@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in ``spaceparts_data_pipeline_spark/queries/`` — this file
+only aggregates the registry.
 """
 
 from __future__ import annotations
@@ -15,24 +17,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (gold_fact_sales shape: broadcast FX/doctype joins,
+    EUR arithmetic, when-chain categorization, conditional measures) on
+    /root/testdata/sf0.001."""
+    from spaceparts_data_pipeline_spark.queries.core import q04_flagship_sales_eur
+    from spaceparts_data_pipeline_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    return q04_flagship_sales_eur(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ LLM-data ops)."""
+    from spaceparts_data_pipeline_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle twins for every SQL-expressible query; approximate
+    ops (MinHash/LSH, SimHash) are intentionally absent → rows-only check."""
+    from spaceparts_data_pipeline_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,68 @@
+"""Keep-latest deduplication (SURVEY.md §2.6 W1/W2).
+
+Window-based dedup: ``row_number() OVER (PARTITION BY <keys> ORDER BY
+<order_col> DESC)``, keep rn=1. Key inference mirrors the reference
+(Silver_full_load.ipynb:1 cell 8 `remove_duplicates`):
+
+- *fact* tables: partition by inferred business-key columns (names
+  containing ``_number`` / ``_key`` / equal to ``customer_key`` /
+  ``product_key``);
+- *dim* tables (no such columns): partition by ALL columns except the
+  ordering/metadata columns — i.e. exact-duplicate removal keeping the
+  latest metadata.
+
+Scale note: this is one hash-shuffle on the partition keys. At 100 TB
+the shuffle is unavoidable for a global dedup; AQE handles skewed key
+groups. For repeated runs over the same table, write the output
+bucketed by the same keys so downstream joins/dedups reuse the layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: metadata columns never used as dedup keys
+META_COLUMNS = {"dwcreateddate", "load_date", "source_system", "silver_created_date",
+                "silver_execution_id", "gold_created_date", "gold_execution_id"}
+
+KEY_PATTERNS = ("_number", "_key")
+
+
+def infer_keys(columns: list[str], order_col: str) -> list[str]:
+    """Infer dedup partition keys per the reference's name-pattern rule."""
+    keyish = [c for c in columns if any(p in c.lower() for p in KEY_PATTERNS)]
+    if keyish:
+        return keyish
+    return [c for c in columns if c != order_col and c.lower() not in META_COLUMNS]
+
+
+def dedup_latest(
+    df: DataFrame,
+    order_col: str = "dwcreateddate",
+    keys: list[str] | None = None,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Keep the latest row per key group by ``order_col`` (descending).
+
+    ``tie_breakers``: extra descending order columns for deterministic
+    results when ``order_col`` ties (the reference leaves ties to chance;
+    we allow pinning them for reproducible tests).
+    """
+    keys = keys or infer_keys(df.columns, order_col)
+    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in (tie_breakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (hash-based distinct) over ``subset`` or all
+    columns. For full-row distinct this is ``df.distinct()`` — a map-side
+    combinable aggregation, cheaper than a window."""
+    if subset is None:
+        return df.distinct()
+    return df.dropDuplicates(subset)

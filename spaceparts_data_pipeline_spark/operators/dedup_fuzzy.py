@@ -1,0 +1,169 @@
+"""Fuzzy / near-duplicate detection operators for document corpora.
+
+Four families, all expressed on DataFrame primitives (no Python row
+loops — higher-order array functions + joins, so they distribute):
+
+- exact dedup: hash-groupBy canonicalization (see also queries d01)
+- n-gram Jaccard: exact set similarity via a shingle self-join
+- MinHash + LSH: shingle → k min-hashes → bands → bucket join; the
+  scale path (linear in corpus size, no all-pairs product)
+- SimHash: 64-bit bit-vote signature; hamming-close pairs are near-dups
+
+Scale notes: the shingle self-join (exact Jaccard) is quadratic in
+bucket size and only usable below ~10^5 docs or after LSH bucketing;
+MinHash/LSH is the 100 TB path — its only shuffles are the band
+group-bys, and band hashes distribute uniformly by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle)."""
+    toks = tokens_col(text_col)
+    with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
+    shingle = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda i: F.concat_ws(" ", *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return with_t.select(F.col(id_col), F.explode(shingle).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similar pairs (id_a < id_b, jaccard ≥
+    threshold). Self-join on shingle; count intersections; divide by
+    union size."""
+    sh = word_shingles(df, id_col, text_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, (a["shingle"] == b["shingle"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_perm`` seeded
+    hash functions, the min xxhash64 over the document's shingles.
+    Output: (id, sig array<bigint>). One shuffle (groupBy id)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    mins = [F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}") for seed in range(num_perm)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[f"h{s}" for s in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (num_perm/rows_per_band
+    bands), bucket-join on (band, band-hash). Returns (id_a, id_b,
+    n_bands) — pairs colliding in ≥1 band, id_a < id_b.
+
+    The scale path for corpus dedup: no all-pairs product; cost is
+    Σ bucket² which stays small for well-distributed hashes.
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    n_bands = num_perm // rows_per_band
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, bit-votes summed
+    per bit, sign → bit. Output: (id, simhash bigint).
+
+    Implemented as explode(tokens) → 64 conditional sums → bit
+    reassembly; one shuffle on id.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    # Reassemble: sum of 2^b for positive-vote bits (signed 64-bit wrap for b=63).
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return agg.select(F.col(id_col), total.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by the 4
+    16-bit quarters (a pair within hamming ≤3 of 64 bits must agree on
+    ≥1 quarter — pigeonhole), avoiding the all-pairs product."""
+    quarters = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF))).alias(f"q{q}") for q in range(4)
+    ]
+    with_q = sim.select(F.col(id_col), F.col("simhash"), *quarters)
+    pairs = None
+    for q in range(4):
+        a = with_q.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"q{q}").alias("qq"))
+        b = with_q.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"q{q}").alias("qq"))
+        p = a.join(b, "qq").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,90 @@
+"""Upsert strategies (SURVEY.md §2.2 K3, §3.3).
+
+The reference uses three different upsert flavors at its three layers:
+
+1. bronze: plain watermarked APPEND (K2) — ``mode("append")``.
+2. silver: UNION + keep-latest window + OVERWRITE (U1 + W1/W2) —
+   :func:`upsert_union_dedup`.
+3. gold: keyed ``MERGE INTO`` on 1-5 column business keys (K3) —
+   re-expressed Parquet-only as :func:`merge_upsert`
+   (update-existing + insert-new via null-safe anti-join + union).
+
+MERGE semantics notes (SURVEY.md §7 "hard parts"):
+- duplicate source keys: deduped keep-latest BEFORE merging (Delta MERGE
+  would raise on multiple matches; the reference pre-dedups too);
+- NULL keys: matched with null-safe equality (``<=>``) so a NULL key in
+  source updates a NULL key in target rather than inserting a duplicate.
+
+Scale: the anti-join shuffles target by key once; with the target written
+bucketed by the merge keys the shuffle disappears on the target side and
+only the (small) source shuffles. AQE skew-join covers hot keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.operators.dedup import dedup_latest
+
+
+def upsert_union_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Silver-layer upsert: union existing+incoming then keep latest per key.
+
+    ``unionByName`` (not positional union) so schema drift between runs
+    cannot silently misalign columns.
+    """
+    merged = existing.unionByName(incoming, allowMissingColumns=True)
+    return dedup_latest(merged, order_col=order_col, keys=keys, tie_breakers=tie_breakers)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Gold-layer MERGE emulation over plain DataFrames/Parquet.
+
+    WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * —
+    i.e. the result contains every source row (latest version per key if
+    ``order_col`` given) plus every target row whose key has no source
+    match. Null-safe key comparison throughout.
+    """
+    if order_col is not None:
+        source = dedup_latest(source, order_col=order_col, keys=keys)
+    cond = reduce(
+        lambda a, b: a & b,
+        [target[k].eqNullSafe(source[k]) for k in keys],
+    )
+    kept_target = target.join(source, cond, "left_anti")
+    return kept_target.unionByName(source.select(*target.columns))
+
+
+def write_merged(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """MERGE into a stored Parquet table path (read → merge → atomic-ish
+    rewrite via staging dir rename is not available on object stores;
+    here we materialize the merged result then overwrite).
+
+    On Delta-capable clusters, swap for ``MERGE INTO`` — the plan shape
+    (broadcast/hash join on keys) is the same.
+    """
+    target = spark.read.format(fmt).load(target_path)
+    merged = merge_upsert(target, source, keys, order_col=order_col)
+    # Break lineage before overwriting the input path (self-overwrite guard).
+    merged.localCheckpoint(eager=True).write.mode("overwrite").format(fmt).save(target_path)

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline (query-side broadcast ×
+  corpus scan); linear in corpus per query, the correctness oracle.
+- LSH-bucketed (random hyperplane signs): the scale path — corpus is
+  bucketed by signature so each query probes one bucket (plus optional
+  multi-probe), turning all-pairs into per-bucket products.
+
+All vector math is built-in higher-order functions (zip_with/aggregate/
+transform) in doubles — JVM-side, no UDFs, distributes trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with elementwise double cast (sequential fold — stable order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is broadcast (keep it small); the corpus scan is the
+    only big side, so this is one pass over the corpus + a top-k window
+    per query. Output: (query_id, neighbor_id, knn_rank, cosine_sim).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("__cos", cosine(F.col("__qv"), F.col("__nv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank", F.round("__cos", 6).alias("cosine_sim"))
+    )
+
+
+def similar_pairs_bruteforce(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — exact, quadratic;
+    bound the input (or use :func:`similar_pairs_lsh`) beyond ~10⁴ rows."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+    return (
+        scored.filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine_sim"))
+    )
+
+
+def _hyperplane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a splitmix-
+    style integer mix — reproducible across runs with no RNG state."""
+    vals = []
+    x = (plane_id + 1) * 0x9E3779B97F4A7C15
+    for i in range(dim):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        vals.append((z / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign signature as a bigint (bit b = sign of
+    ⟨v, plane_b⟩)."""
+    bits = []
+    for b, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(p) for p in plane]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    total = bits[0]
+    for t in bits[1:]:
+        total = total + t
+    return total
+
+
+def similar_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Approximate similar pairs: bucket by hyperplane signature, compare
+    only within buckets, verify with exact cosine. Recall < 1 by design;
+    at 100 TB this replaces the quadratic product with Σ bucket².
+    """
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    sig = df.select(F.col(id_col), F.col(vec_col), signature(F.col(vec_col), planes).alias("__sig"))
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__sig")
+    pairs = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+    return (
+        scored.filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine_sim"))
+    )

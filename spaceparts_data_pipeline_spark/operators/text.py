@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+All built-in column expressions (JVM-side, whole-stage codegen): at
+100 TB these run as a single projection over the scan with no shuffle.
+
+Operators:
+- token stats (whitespace tokenization + counts)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (stopword-hit heuristic over a few languages)
+- document fingerprinting (md5 content hash + xxhash64 rolling variant)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_PATTERN = r"[.,!?;:]"
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ein", "zu", "ist"),
+    "fr": ("le", "les", "et", "des", "un", "une", "dans"),
+}
+
+
+def _word_pattern(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """Count of stopword occurrences (word-boundary matches, lowercased)."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.regexp_count(t, F.lit(_word_pattern(STOPWORDS[lang])))
+
+
+def punct_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(t, F.lit(PUNCT_PATTERN))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_tokens / n_chars_computed columns."""
+    return df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "n_chars_computed", F.length(text_col)
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append punctuation/stopword ratios and a boolean quality gate
+    (the standard cheap pre-filters of LLM data pipelines)."""
+    n_tokens = token_count(text_col)
+    n_chars = F.length(text_col)
+    punct = punct_count(text_col).cast("long")
+    stops = stopword_hits(text_col, "en").cast("long")
+    return (
+        df.withColumn("punct_cnt", punct)
+        .withColumn("stopword_cnt", stops)
+        .withColumn("punct_ratio", punct / F.greatest(n_chars.cast("long"), F.lit(1)))
+        .withColumn("stopword_ratio", stops / F.greatest(n_tokens.cast("long"), F.lit(1)))
+        .withColumn(
+            "is_quality",
+            (n_tokens >= 20) & (n_tokens <= 5000) & (stops > 0),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax over the known sets;
+    ties (including all-zero) → 'und'."""
+    t = F.lower(F.col(text_col))
+    hits = {lang: F.regexp_count(t, F.lit(_word_pattern(words))).cast("long") for lang, words in STOPWORDS.items()}
+    out = df
+    for lang, h in hits.items():
+        out = out.withColumn(f"{lang}_hits", h)
+    en, es, de, fr = (F.col(f"{l}_hits") for l in ("en", "es", "de", "fr"))
+    predicted = (
+        F.when((en > es) & (en > de) & (en > fr), F.lit("en"))
+        .when((es > en) & (es > de) & (es > fr), F.lit("es"))
+        .when((de > en) & (de > es) & (de > fr), F.lit("de"))
+        .when((fr > en) & (fr > es) & (fr > de), F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return out.withColumn("predicted_lang", predicted)
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Stable content fingerprint (hex md5)."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def fingerprint_rolling(text: Column | str, window: int = 8) -> Column:
+    """Rolling-hash style fingerprint: min xxhash64 over character
+    ``window``-grams — a cheap locality-sensitive document signature.
+    (xxhash64 is Spark-native; no SQL oracle twin.)
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(t) - window + 1, F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(window))))
+    return F.array_min(grams)

@@ -1,0 +1,660 @@
+"""Core operator queries (SURVEY.md §2) over the driver's synthetic
+star schema, each with a DuckDB oracle twin.
+
+Query naming: ``qNN_*`` for pipeline/relational operators, ``pNN_*`` for
+composite pipeline slices. The SURVEY §2 operator IDs covered by each
+query are listed in its docstring.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.functions.scalars import (
+    davg,
+    document_category,
+    dsum,
+    safe_divide,
+)
+from spaceparts_data_pipeline_spark.functions import measures
+from spaceparts_data_pipeline_spark.operators.dedup import dedup_latest
+from spaceparts_data_pipeline_spark.operators.merge import merge_upsert, upsert_union_dedup
+from spaceparts_data_pipeline_spark.operators.quality import quarantine_split
+from spaceparts_data_pipeline_spark.operators.standardize import standardize_types
+from spaceparts_data_pipeline_spark.sources.parquet import load_table, watermark_scan
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary: scan + filter + grouped aggregation (G-family ops,
+# P-filters; the classic TPC-H Q1 shape). Partial aggregation is map-side
+# combinable; one shuffle on the 2-col group key.
+# ---------------------------------------------------------------------------
+
+_Q01_CUTOFF = dt.datetime(1998, 9, 2)
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(_Q01_CUTOFF))
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — dim consolidation: J1 (geo left join), J2/J3 (the same small dim
+# joined twice under different filters/aliases — the reference's
+# account-manager / key-account-manager pattern). All dims broadcast.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q02_dim_customer_enrich",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           n.n_name AS nation_name, r.r_name AS region_name,
+           am.s_name AS account_manager, kam.s_name AS key_account_manager
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 2 = 0) am
+           ON c.c_custkey % 10 = am.s_suppkey
+    LEFT JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 2 = 1) kam
+           ON c.c_custkey % 7 = kam.s_suppkey
+    """,
+)
+def q02_dim_customer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    s = T(spark, sf_dir, "supplier")
+    am = s.filter(F.col("s_suppkey") % 2 == 0).select(
+        F.col("s_suppkey").alias("am_key"), F.col("s_name").alias("account_manager")
+    )
+    kam = s.filter(F.col("s_suppkey") % 2 == 1).select(
+        F.col("s_suppkey").alias("kam_key"), F.col("s_name").alias("key_account_manager")
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .join(F.broadcast(am), c["c_custkey"] % 10 == F.col("am_key"), "left")
+        .join(F.broadcast(kam), c["c_custkey"] % 7 == F.col("kam_key"), "left")
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            "account_manager", "key_account_manager",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — fact-fact-dim join + grouped agg + top-k (J-family, O2 top-k).
+# customer is the small side (broadcast); orders⋈lineitem shuffles on the
+# join key with AQE sizing the partitions.
+# ---------------------------------------------------------------------------
+
+_Q03_DATE = dt.datetime(1998, 1, 1)
+
+@register(
+    "q03_top_revenue_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(_Q03_DATE))
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(_Q03_DATE))
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — FLAGSHIP: the gold_fact_sales shape (J5 FX lookup with coalesce
+# default, J6 doctype join, §2.9 when-chain categorization, EUR arithmetic,
+# §2.10 conditional measures). All dims broadcast; single shuffle for the
+# final group-by.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q04_flagship_sales_eur",
+    """
+    WITH fx AS (
+      SELECT n_name AS from_currency, 1.0 + n_nationkey * 0.01 AS eur_rate
+      FROM nation WHERE n_nationkey < 20
+    ),
+    doctype AS (SELECT * FROM (VALUES ('A','Invoice'), ('R','Adjustment')) AS t(code, group_col)),
+    fact AS (
+      SELECT l.l_extendedprice, l.l_discount,
+             COALESCE(fx.eur_rate, 1.0) AS eur_rate, dt.group_col
+      FROM lineitem l
+      LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      LEFT JOIN fx ON n.n_name = fx.from_currency
+      LEFT JOIN doctype dt ON l.l_returnflag = dt.code
+    ),
+    agg AS (
+      SELECT CASE WHEN group_col = 'Invoice' THEN 'Sale'
+                  WHEN group_col = 'Adjustment' THEN 'Adjustment'
+                  WHEN group_col IS NULL THEN 'Unclassified'
+                  ELSE group_col END AS document_category,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * eur_rate AS DECIMAL(27,6))) AS DOUBLE) AS sales_eur,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 * eur_rate AS DECIMAL(27,6))) AS DOUBLE) AS cogs_eur,
+             COUNT(*) AS line_count
+      FROM fact GROUP BY 1
+    )
+    SELECT document_category, sales_eur, cogs_eur,
+           sales_eur - cogs_eur AS gross_margin, line_count
+    FROM agg
+    """,
+)
+def q04_flagship_sales_eur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation")
+    fx = n.filter(F.col("n_nationkey") < 20).select(
+        F.col("n_name").alias("from_currency"),
+        (F.lit(1.0) + F.col("n_nationkey") * F.lit(0.01)).alias("eur_rate"),
+    )
+    doctype = spark.createDataFrame([("A", "Invoice"), ("R", "Adjustment")], "code string, group_col string")
+    fact = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"], "left")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(fx), n["n_name"] == fx["from_currency"], "left")
+        .join(F.broadcast(doctype), l["l_returnflag"] == F.col("code"), "left")
+        .select(
+            "l_extendedprice", "l_discount",
+            F.coalesce("eur_rate", F.lit(1.0)).alias("eur_rate"),
+            "group_col",
+        )
+    )
+    sales = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.col("eur_rate")
+    cogs = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(0.8) * F.col("eur_rate")
+    agg = (
+        fact.withColumn("document_category", document_category("group_col"))
+        .groupBy("document_category")
+        .agg(dsum(sales, "sales_eur"), dsum(cogs, "cogs_eur"), F.count(F.lit(1)).alias("line_count"))
+    )
+    return agg.select(
+        "document_category", "sales_eur", "cogs_eur",
+        (F.col("sales_eur") - F.col("cogs_eur")).alias("gross_margin"),
+        "line_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — W1/W2 keep-latest dedup via window row_number (the silver dedup
+# kernel), with pinned tie-breakers for determinism.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q05_dedup_latest_events",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q05_dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    deduped = dedup_latest(e, order_col="ts", keys=["user_id", "event_type"], tie_breakers=["event_id"])
+    return deduped.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# q06 — quarantine split (P5 disjunctive predicate + K4 side output).
+# Horizon pinned for determinism; reason = first matching rule.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q06_quarantine_orders",
+    """
+    SELECT o_orderkey,
+           CASE WHEN CAST(o_orderdate AS DATE) > DATE '2000-12-31' THEN 'future_date:o_orderdate'
+                WHEN o_totalprice > 400000.0 OR o_totalprice < -10000000.0 THEN 'extreme_value:o_totalprice'
+           END AS quarantine_reason,
+           'orders' AS source_table
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) > DATE '2000-12-31'
+       OR o_totalprice > 400000.0 OR o_totalprice < -10000000.0
+    """,
+)
+def q06_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    _, quarantined = quarantine_split(
+        o,
+        source_table="orders",
+        horizon="2000-12-31",
+        value_max=400000.0,
+        date_cols=["o_orderdate"],
+        value_cols=["o_totalprice"],
+    )
+    return quarantined.select("o_orderkey", "quarantine_reason", "source_table")
+
+
+# ---------------------------------------------------------------------------
+# q07 — P7 membership-predicate null standardization + key normalization
+# (upper/trim + null-token scrub), the silver string kernel.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q07_null_standardize",
+    """
+    SELECT event_id,
+           CASE WHEN upper(trim(event_type)) IN ('', 'NULL', 'N/A', 'UNKNOWN', 'NONE', '#N/A')
+                THEN NULL ELSE upper(trim(event_type)) END AS event_type_key
+    FROM events
+    """,
+)
+def q07_null_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.functions.scalars import standardize_key
+
+    e = T(spark, sf_dir, "events")
+    return e.select("event_id", standardize_key("event_type").alias("event_type_key"))
+
+
+# ---------------------------------------------------------------------------
+# q08 — S10 watermarked incremental scan with the reference's 1-hour
+# late-arrival overlap. The predicate pushes down to the parquet scan.
+# ---------------------------------------------------------------------------
+
+_Q08_WM = "2024-01-20T00:00:00"
+
+@register(
+    "q08_watermark_scan",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-19 23:00:00'
+    """,
+)
+def q08_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return watermark_scan(e, "ts", _Q08_WM).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# q09 — O2 top-1-by-timestamp (latest control row lookup).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q09_latest_control_row",
+    "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
+)
+def q09_latest_control_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return e.orderBy(F.desc("ts"), F.desc("event_id")).select("event_id", "ts").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# q10 — G2 global watermark extraction (max timestamp) + G1 count.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_watermark_max",
+    "SELECT MAX(ts) AS last_watermark, COUNT(*) AS record_count FROM events",
+)
+def q10_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return e.agg(F.max("ts").alias("last_watermark"), F.count(F.lit(1)).alias("record_count"))
+
+
+# ---------------------------------------------------------------------------
+# q11 — J8/G3 changed-key restriction: DISTINCT keys above watermark,
+# applied as a left-semi join (the reference's incremental dim rebuild).
+# ---------------------------------------------------------------------------
+
+_Q11_WM = dt.datetime(2024, 1, 15)
+
+@register(
+    "q11_changed_keys_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def q11_changed_keys_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    e = T(spark, sf_dir, "events")
+    changed = e.filter(F.col("ts") >= F.lit(_Q11_WM)).select(F.col("user_id")).distinct()
+    return c.join(changed, c["c_custkey"] == changed["user_id"], "left_semi").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# q12 — U1 silver-style upsert: union existing+incoming (with watermark
+# overlap duplication) then keep-latest dedup.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_union_upsert",
+    """
+    WITH u AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      UNION ALL
+      SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-19 23:00:00'
+    )
+    SELECT event_id, ts, user_id, event_type, value FROM u
+    QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q12_union_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    cutoff = dt.datetime(2024, 1, 20)
+    overlap_start = dt.datetime(2024, 1, 19, 23)
+    existing = e.filter(F.col("ts") < F.lit(cutoff))
+    incoming = e.filter(F.col("ts") >= F.lit(overlap_start))
+    merged = upsert_union_dedup(existing, incoming, keys=["event_id"], order_col="ts", tie_breakers=["event_id"])
+    return merged.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# q13 — K3 MERGE upsert (update-existing + insert-new) emulated with a
+# null-safe anti-join + union (the Parquet-only gold upsert).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_merge_upsert",
+    """
+    WITH src AS (
+      SELECT user_id + 1400 AS c_custkey,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS c_acctbal
+      FROM events GROUP BY user_id
+    )
+    SELECT t.c_custkey, t.c_acctbal
+    FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM src
+    """,
+)
+def q13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    e = T(spark, sf_dir, "events")
+    src = e.groupBy("user_id").agg(dsum("value", "c_acctbal")).select(
+        (F.col("user_id") + 1400).alias("c_custkey"), "c_acctbal"
+    )
+    return merge_upsert(c, src, keys=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# q14 — calendar dimension generation (§2.10, M-dataflow semantics):
+# distributed sequence+explode from the fact date bounds.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_calendar_dim",
+    """
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mn, CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders),
+    d AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+    SELECT strftime(d, '%Y-%m-%d') AS cal_date,
+           CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+           CAST(year(d) AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           monthname(d) AS month_name
+    FROM d
+    """,
+)
+def q14_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    cal = measures.calendar_dim(o.select(F.col("o_orderdate").alias("date")))
+    return cal.select(
+        F.date_format("date", "yyyy-MM-dd").alias("cal_date"),
+        "date_key", "year", "quarter", "month_name",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — G5/G6 profiling aggregates: counts, distinct, min/max, avg length.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_profile_customer",
+    """
+    SELECT COUNT(*) AS rows_total,
+           COUNT(c_name) AS name_non_null,
+           COUNT(DISTINCT c_mktsegment) AS segment_distinct,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal,
+           CAST(SUM(CAST(length(c_name) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_name_len
+    FROM customer
+    """,
+)
+def q15_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count("c_name").alias("name_non_null"),
+        F.count_distinct("c_mktsegment").alias("segment_distinct"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        davg(F.length("c_name"), "avg_name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — §2.10 cross-fact budget variance + null-safe achievement %:
+# aggregate each fact first, then full-outer join the small aggregates.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_budget_variance_monthly",
+    """
+    WITH s AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS year_month,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sales_total
+      FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS budget_total
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(s.year_month, b.year_month) AS year_month,
+           COALESCE(s.sales_total, 0.0) AS sales_total,
+           COALESCE(b.budget_total, 0.0) AS budget_total,
+           COALESCE(s.sales_total, 0.0) - COALESCE(b.budget_total, 0.0) AS budget_variance,
+           (CASE WHEN b.budget_total IS NULL OR b.budget_total = 0 THEN 0.0
+                 ELSE s.sales_total / b.budget_total END) * 100 AS achievement_pct
+    FROM s FULL OUTER JOIN b ON s.year_month = b.year_month
+    """,
+)
+def q16_budget_variance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    sales = l.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("year_month"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("sales_eur"),
+    )
+    budget = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.col("o_totalprice").alias("budget_eur"),
+    )
+    out = measures.budget_variance(sales, budget, keys=["year_month"])
+    return out.select(
+        "year_month", "sales_total", "budget_total", "budget_variance", "achievement_pct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — §2.10 OTD / date-inversion quality metric (ship < order).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_otd_quality",
+    """
+    SELECT COUNT(*) AS total_rows,
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS inverted_date_rows,
+           CAST(CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS inverted_share
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q17_otd_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    return measures.otd_metrics(joined, "l_shipdate", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# q19 — G5 distinct-ratio profiling (exact count_distinct / count).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_distinct_ratio",
+    """
+    SELECT CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) / COUNT(*) AS status_ratio,
+           CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) / COUNT(*) AS priority_ratio,
+           CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) / COUNT(*) AS custkey_ratio
+    FROM orders
+    """,
+)
+def q19_distinct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return o.agg(
+        (F.count_distinct("o_orderstatus").cast("double") / n).alias("status_ratio"),
+        (F.count_distinct("o_orderpriority").cast("double") / n).alias("priority_ratio"),
+        (F.count_distinct("o_custkey").cast("double") / n).alias("custkey_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — U2 date-domain union (calendar source domain).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_date_domain_union",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d FROM orders
+    UNION
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d FROM lineitem
+    """,
+)
+def q20_date_domain_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+    l = T(spark, sf_dir, "lineitem").select(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+    return o.union(l).distinct()
+
+
+# ---------------------------------------------------------------------------
+# q21 — S7/O3 deterministic sample scan (ordered limit).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_sample_scan",
+    "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5",
+)
+def q21_sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "orders").orderBy("o_orderkey").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# q22 — J4 product-brand enrichment with a derived brand dim (broadcast).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_dim_product_enrich",
+    """
+    WITH b AS (SELECT p_brand, COUNT(*) AS brand_part_count FROM part GROUP BY p_brand)
+    SELECT p.p_partkey, p.p_name, p.p_brand, p.p_retailprice, b.brand_part_count
+    FROM part p LEFT JOIN b ON p.p_brand = b.p_brand
+    """,
+)
+def q22_dim_product_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    b = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("brand_part_count"))
+    return (
+        p.join(F.broadcast(b), "p_brand", "left")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice", "brand_part_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p01 — composite silver slice: standardize → keep-latest dedup → watermark
+# filter, the reference's silver pipeline shape end-to-end on events.
+# ---------------------------------------------------------------------------
+
+@register(
+    "p01_silver_events_pipeline",
+    """
+    WITH std AS (
+      SELECT event_id, ts, user_id,
+             CASE WHEN upper(trim(event_type)) IN ('', 'NULL', 'N/A', 'UNKNOWN', 'NONE', '#N/A')
+                  THEN NULL ELSE trim(event_type) END AS event_type,
+             CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value
+      FROM events
+    ),
+    ded AS (
+      SELECT * FROM std
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT event_id, ts, user_id, event_type, value FROM ded
+    WHERE ts > TIMESTAMP '2024-01-09 23:00:00'
+    """,
+)
+def p01_silver_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    std = standardize_types(e)
+    ded = dedup_latest(std, order_col="ts", keys=["user_id", "event_type"], tie_breakers=["event_id"])
+    out = watermark_scan(ded, "ts", "2024-01-10T00:00:00")
+    return out.select("event_id", "ts", "user_id", "event_type", "value")

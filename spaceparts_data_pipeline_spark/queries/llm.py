@@ -1,0 +1,275 @@
+"""LLM-training-data operator queries over the ``documents`` and
+``embeddings`` tables: dedup families, similarity search, text analysis,
+multimodal plumbing. Oracle-checked where DuckDB can express the
+semantics; hash-only (rows-only) for the LSH/SimHash approximate paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.operators import dedup_fuzzy, multimodal, similarity, text
+from spaceparts_data_pipeline_spark.sources.parquet import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# d01 — exact dedup canonicalization: hash-groupBy (window-min) over text.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d01_dedup_exact",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY text) AS canonical_doc_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM documents
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d02 — content fingerprinting (md5).
+# ---------------------------------------------------------------------------
+
+@register(
+    "d02_fingerprint",
+    "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def d02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# d03 — token statistics.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d03_token_stats",
+    """
+    SELECT doc_id, n_chars,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def d03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars", text.token_count("text").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# d04 — quality scoring: punctuation / stopword ratios + boolean gate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d04_text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(text) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS BIGINT) AS stopword_cnt
+      FROM documents
+    )
+    SELECT doc_id, punct_cnt, stopword_cnt,
+           punct_cnt / greatest(CAST(n_chars AS BIGINT), 1) AS punct_ratio,
+           stopword_cnt / greatest(CAST(n_tokens AS BIGINT), 1) AS stopword_ratio,
+           n_tokens >= 20 AND n_tokens <= 5000 AND stopword_cnt > 0 AS is_quality
+    FROM t
+    """,
+)
+def d04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.with_quality_score(d).select(
+        "doc_id", "punct_cnt", "stopword_cnt", "punct_ratio", "stopword_ratio", "is_quality"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d05 — heuristic language ID (stopword-hit argmax).
+# ---------------------------------------------------------------------------
+
+@register(
+    "d05_lang_id",
+    r"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS BIGINT) AS en_hits,
+             CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS BIGINT) AS es_hits,
+             CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein|zu|ist)\b')) AS BIGINT) AS de_hits,
+             CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|des|un|une|dans)\b')) AS BIGINT) AS fr_hits
+      FROM documents
+    )
+    SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+           CASE WHEN en_hits > es_hits AND en_hits > de_hits AND en_hits > fr_hits THEN 'en'
+                WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
+                WHEN de_hits > en_hits AND de_hits > es_hits AND de_hits > fr_hits THEN 'de'
+                WHEN fr_hits > en_hits AND fr_hits > es_hits AND fr_hits > de_hits THEN 'fr'
+                ELSE 'und' END AS predicted_lang
+    FROM h
+    """,
+)
+def d05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.with_lang_id(d).select(
+        "doc_id", "lang", "en_hits", "es_hits", "de_hits", "fr_hits", "predicted_lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d06 — exact n-gram Jaccard similar pairs (shingle self-join).
+# ---------------------------------------------------------------------------
+
+@register(
+    "d06_jaccard_pairs",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    docs AS (SELECT * FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM docs
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, inter / (ca.n + cb.n - inter) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE inter / (ca.n + cb.n - inter) >= 0.05
+    """,
+)
+def d06_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return dedup_fuzzy.jaccard_pairs(d, threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# d07 — MinHash+LSH candidate pairs (approximate; hash functions are
+# Spark-native xxhash64 → no SQL oracle; driver records rows-only check).
+# ---------------------------------------------------------------------------
+
+@register("d07_minhash_lsh_pairs")
+def d07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return dedup_fuzzy.minhash_lsh_pairs(d, num_perm=16, rows_per_band=2)
+
+
+# ---------------------------------------------------------------------------
+# d08 — SimHash signatures (rows-only: xxhash64-based).
+# ---------------------------------------------------------------------------
+
+@register("d08_simhash")
+def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return dedup_fuzzy.simhash(d)
+
+
+# ---------------------------------------------------------------------------
+# e01 — brute-force cosine top-k (exact ANN baseline).
+# ---------------------------------------------------------------------------
+
+@register(
+    "e01_knn_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+    p AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))) AS dot,
+             sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qn,
+             sqrt(list_sum(list_transform(range(1, 65), i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))) AS nn
+      FROM c, q WHERE query_id <> neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, dot / (qn * nn) AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY dot / (qn * nn) DESC, neighbor_id) AS rnk
+      FROM p
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS knn_rank, round(cos, 6) AS cosine_sim
+    FROM r WHERE rnk <= 3
+    """,
+)
+def e01_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return similarity.knn_bruteforce(e, q, k=3)
+
+
+# ---------------------------------------------------------------------------
+# e02 — bounded exact similar-pairs (cosine ≥ 0.35 over vec_id < 1000).
+# ---------------------------------------------------------------------------
+
+@register(
+    "e02_similar_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine_sim FROM p WHERE cos >= 0.35
+    """,
+)
+def e02_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return similarity.similar_pairs_bruteforce(e, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# e03 — LSH-bucketed similar pairs (the scale path; approximate → rows-only).
+# ---------------------------------------------------------------------------
+
+@register("e03_similar_pairs_lsh")
+def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.similar_pairs_lsh(e, n_planes=8, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# m01 — multimodal plumbing: binary payload through Arrow mapInPandas,
+# oracle-checked against octet_length.
+# ---------------------------------------------------------------------------
+
+@register(
+    "m01_binary_bytes",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+)
+def m01_binary_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return multimodal.byte_lengths(d, "doc_id", "payload")

@@ -1,0 +1,60 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Mirrors the reference's Spark conf choices (AQE, partition coalescing,
+skew-join handling — see /root/reference Silver_full_load.ipynb:1 cell 6
+and Gold_incremental_load.ipynb:1 cell 6) and adds Arrow transfer for the
+Pandas-UDF paths. Designed so the same code runs on local[N] and on a
+multi-executor cluster: nothing here assumes single-JVM execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and desirable) to apply to an externally provided
+#: session at runtime — all of these are runtime-mutable SQL confs.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any toPandas / pandas-UDF boundary crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "spaceparts-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    On a real cluster, ``master`` comes from the environment / launcher;
+    locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    master = master or os.environ.get("SPARK_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable engine confs to an externally owned session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf not settable in this deployment — keep going
+            pass
+    return spark

@@ -1,0 +1,74 @@
+"""Parquet scans (SURVEY.md §2.1 S1/S7/S10 analogs).
+
+All reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free — filters
+applied after these helpers land in the scan (`PushedFilters` in
+``.explain``). Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the driver's synthetic star-schema tables (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: watermark overlap for late/clock-skewed rows
+#: (bronze_incremental_load.ipynb:1 cell 17 `safe_timestamp`, 1 hour)
+DEFAULT_OVERLAP = dt.timedelta(hours=1)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table from a scale-factor directory.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects; we read nanos as long (legacy conf) and convert to a
+    microsecond-truncated timestamp — integer ``div`` (not ``/``: a
+    double mantissa can't hold epoch-nanos exactly) — which is exactly
+    the reference's epoch-disambiguation semantic (SURVEY.md §1.3) and
+    matches DuckDB's own ns→µs truncation of the same file.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in tables}
+
+
+def sample_scan(df: DataFrame, n: int = 5) -> DataFrame:
+    """Profiling sample (S7: `SELECT TOP n *`)."""
+    return df.limit(n)
+
+
+def watermark_scan(
+    df: DataFrame,
+    ts_col: str,
+    watermark: dt.datetime | str | None,
+    overlap: dt.timedelta = DEFAULT_OVERLAP,
+) -> DataFrame:
+    """Incremental scan: rows with ``ts_col`` strictly above
+    ``watermark - overlap``; ``watermark=None`` ⇒ full scan (first-run
+    fallback). Mirrors S10 (bronze_incremental_load.ipynb:1 cell 17).
+
+    The comparison stays a plain column predicate so it pushes down to
+    the parquet (or JDBC) scan.
+    """
+    if watermark is None:
+        return df
+    if isinstance(watermark, str):
+        watermark = dt.datetime.fromisoformat(watermark)
+    effective = watermark - overlap
+    return df.filter(F.col(ts_col) > F.lit(effective))

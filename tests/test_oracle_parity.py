@@ -1,0 +1,30 @@
+"""Every registered query must match its DuckDB oracle at the oracle SF —
+the local replica of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_harness import compare
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_oracle, name):
+    compare(spark, QUERIES[name], ORACLES.get(name), sf_oracle, name=name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns == ["document_category", "sales_eur", "cogs_eur", "gross_margin", "line_count"]
+
+
+def test_every_query_has_oracle_or_is_approximate(spark):
+    approximate = {"d07_minhash_lsh_pairs", "d08_simhash", "e03_similar_pairs_lsh"}
+    missing = set(QUERIES) - set(ORACLES) - approximate
+    assert not missing, f"queries lacking oracles: {missing}"
