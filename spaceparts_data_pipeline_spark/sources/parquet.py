@@ -35,13 +35,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the reference's epoch-disambiguation semantic (SURVEY.md §1.3) and
     matches DuckDB's own ns→µs truncation of the same file.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(path)
+    return _maybe_parallelize(spark, df, path)
+
+
+def _maybe_parallelize(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Spread an *unsplittable* scan across cores.
+
+    Parquet splits at row-group granularity; a multi-MB file with a
+    single row group yields exactly one task no matter what
+    ``maxPartitionBytes`` says, serializing all downstream map work.
+    For such files (the driver's synthetic data is written this way) we
+    pay one cheap shuffle to restore parallelism. On production layouts
+    (many files / many row groups) the condition never triggers — this
+    is deliberately NOT a blind ``repartition`` (SURVEY.md §4 warns
+    against those).
+    """
+    try:
+        if os.path.isfile(path) and os.path.getsize(path) > 6_000_000:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+            target = spark.sparkContext.defaultParallelism
+            if meta.num_row_groups < max(2, target // 4):
+                return df.repartition(target)
+    except Exception:
+        pass
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[str, DataFrame]:
