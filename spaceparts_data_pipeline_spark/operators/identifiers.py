@@ -25,19 +25,20 @@ import unicodedata
 
 from pyspark.sql import DataFrame
 
-#: ANSI-ish reserved words the reference guards against (representative set;
-#: extend freely — suffixing a non-reserved word is harmless).
+#: ANSI reserved words the reference guards against. Deliberately does
+#: NOT include common business-column words like month/date/year/key:
+#: the reference keeps `month` as-is (fact_budget) while renaming
+#: `Group` → `group_col` (dim_invoice_doctype) — see FIXTURES.md.
 RESERVED_WORDS = {
     "all", "alter", "and", "any", "as", "asc", "between", "by", "case", "cast",
-    "check", "column", "constraint", "create", "cross", "current", "database",
-    "date", "day", "default", "delete", "desc", "distinct", "drop", "else",
-    "end", "exists", "false", "for", "foreign", "from", "full", "grant",
-    "group", "having", "in", "index", "inner", "insert", "intersect", "into",
-    "is", "join", "key", "left", "like", "limit", "month", "natural", "not",
-    "null", "on", "or", "order", "outer", "primary", "references", "right",
-    "rows", "select", "set", "table", "then", "time", "timestamp", "to",
-    "true", "union", "unique", "update", "user", "using", "values", "view",
-    "when", "where", "with", "year",
+    "check", "column", "constraint", "create", "cross", "default", "delete",
+    "desc", "distinct", "drop", "else", "end", "exists", "false", "for",
+    "foreign", "from", "full", "grant", "group", "having", "in", "inner",
+    "insert", "intersect", "into", "is", "join", "left", "like", "limit",
+    "natural", "not", "null", "on", "or", "order", "outer", "primary",
+    "references", "right", "select", "set", "table", "then", "to", "true",
+    "union", "unique", "update", "user", "using", "values", "view", "when",
+    "where", "with",
 }
 
 MAX_IDENTIFIER_LENGTH = 128

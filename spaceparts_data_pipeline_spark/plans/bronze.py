@@ -1,0 +1,73 @@
+"""Bronze layer: raw ingest + identifier sanitization + load metadata
+(SURVEY.md §3.2 step 2; reference bronze_full_load / bronze_incremental_load).
+
+Full mode: overwrite `bronze_<table>` with sanitized column names and
+(load_date, source_system) metadata. Incremental mode: watermark scan
+with 1-hour overlap + APPEND (the bronze upsert flavor, K2) + control
+row (K6). Source here is any DataFrame (parquet stand-in for the
+reference's JDBC; `sources.jdbc` builds real JDBC readers).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.operators.identifiers import clean_columns
+from spaceparts_data_pipeline_spark.plans import logs
+from spaceparts_data_pipeline_spark.sources.parquet import DEFAULT_OVERLAP, watermark_scan
+
+SOURCE_SYSTEM = "spaceparts"
+
+
+def prepare(df: DataFrame) -> DataFrame:
+    """Sanitize identifiers + attach load metadata (one projection)."""
+    return (
+        clean_columns(df)
+        .withColumn("load_date", F.current_timestamp())
+        .withColumn("source_system", F.lit(SOURCE_SYSTEM))
+    )
+
+
+def run_full(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    execution_id: str | None = None,
+    log_table: str = "bronze_execution_log",
+) -> dict:
+    execution_id = execution_id or logs.new_execution_id()
+    out = prepare(source)
+    out.write.mode("overwrite").saveAsTable(f"bronze_{table}")
+    n = spark.table(f"bronze_{table}").count()
+    logs.append_log(spark, log_table, "bronze", table, execution_id, "success", n)
+    return {"table": table, "status": "success", "records": n, "mode": "full"}
+
+
+def run_incremental(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    ts_col: str = "dwcreateddate",
+    execution_id: str | None = None,
+    control_table: str = "bronze_incremental_control",
+    log_table: str = "bronze_execution_log",
+    overlap: dt.timedelta = DEFAULT_OVERLAP,
+) -> dict:
+    """Watermarked append: rows above (last watermark − overlap); first
+    run falls back to full extraction (S10 semantics)."""
+    execution_id = execution_id or logs.new_execution_id()
+    wm = logs.last_watermark(spark, control_table, table)
+    incoming = prepare(watermark_scan(source, ts_col, wm, overlap))
+    target = f"bronze_{table}"
+    mode = "append" if spark.catalog.tableExists(target) else "overwrite"
+    incoming.write.mode(mode).option("mergeSchema", "true").saveAsTable(target)
+    stats = incoming.agg(
+        F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("mx")
+    ).collect()[0]
+    new_wm = stats["mx"] or wm
+    logs.append_control(spark, control_table, table, execution_id, new_wm, "success", stats["n"])
+    logs.append_log(spark, log_table, "bronze", table, execution_id, "success", stats["n"])
+    return {"table": table, "status": "success", "records": stats["n"], "mode": "incremental", "watermark": new_wm}

@@ -1,0 +1,219 @@
+"""Gold layer: star-schema business models (SURVEY.md §3.2 step 4;
+reference Gold_full_load cell 8 builders, Gold_incremental_load cell 10).
+
+Five models over silver tables (FIXTURES.md schemas):
+- gold_dim_customer: customers ⟕ regions (J1) ⟕ employees-as-AM (J2)
+  ⟕ employees-as-KAM (J3) — the aliased double self-join pattern.
+- gold_dim_product: products ⟕ brands (J4).
+- gold_fact_sales: invoices ⟕ budget_rate FX (J5, coalesce rate→1.0)
+  ⟕ invoice_doctype (J6), ×rate EUR arithmetic, when-chain document
+  categorization, epoch date conversion.
+- gold_fact_orders: orders ⟕ budget_rate (J7).
+- gold_fact_budget: budget with month-null filter (P4); values already EUR.
+
+All dim sides are broadcast (≤257k rows in the reference). Incremental:
+watermark filter (P6) + changed-key semi-join restriction (J8) + keyed
+MERGE emulation (K3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.functions.scalars import document_category
+from spaceparts_data_pipeline_spark.operators.merge import merge_upsert
+from spaceparts_data_pipeline_spark.plans import logs
+
+
+def _t(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(f"silver_{name}")
+
+
+def build_dim_customer(spark: SparkSession) -> DataFrame:
+    c = _t(spark, "dim_customers")
+    r = _t(spark, "dim_regions")
+    e = _t(spark, "dim_employees")
+    am = e.filter(F.col("role") == "Account Manager").select(
+        F.col("employee_name").alias("am_name"), F.col("employee_email").alias("account_manager_email")
+    )
+    kam = e.filter(F.col("role") == "Key Account Manager").select(
+        F.col("employee_name").alias("kam_name"), F.col("employee_email").alias("key_account_manager_email")
+    )
+    return (
+        c.join(F.broadcast(r), "station", "left")
+        .join(F.broadcast(am), c["account_manager"] == F.col("am_name"), "left")
+        .join(F.broadcast(kam), c["key_account_manager"] == F.col("kam_name"), "left")
+        .select(
+            "customer_key", "customer_sold_to_name", "account_name", "key_account_name",
+            "transaction_type", "account_type", "account_manager", "key_account_manager",
+            "account_manager_email", "key_account_manager_email", "station",
+            F.col("system").alias("customer_system"), "interplanetary_region", "territory",
+        )
+    )
+
+
+def build_dim_product(spark: SparkSession) -> DataFrame:
+    p = _t(spark, "dim_products")
+    b = _t(spark, "dim_brands")
+    return (
+        p.join(F.broadcast(b), p["sub_brand_name"] == b["sub_brand"], "left")
+        .select(
+            "product_key", "product_name",
+            F.col("type").alias("product_type"), "subtype", "sub_brand_name",
+            "brand", "flagship", F.col("class").alias("brand_class"), "product_brand_vp",
+            "weight_tonnes", "color", "material",
+        )
+    )
+
+
+_MONETARY_SALES_COLS = (
+    "net_invoice_value", "net_invoice_cogs", "delivery_cost", "freight", "taxes_commercial_fees",
+)
+
+
+def build_fact_sales(spark: SparkSession) -> DataFrame:
+    i = _t(spark, "fact_invoices")
+    br = _t(spark, "dim_budget_rate").select(
+        "from_currency", F.col("rate").alias("eur_rate")
+    )
+    dtype = _t(spark, "dim_invoice_doctype").select("billing_document_type_code", "group_col")
+    rate = F.coalesce("eur_rate", F.lit(1.0))
+    out = (
+        i.join(F.broadcast(br), i["local_currency"] == br["from_currency"], "left")
+        .join(F.broadcast(dtype), "billing_document_type_code", "left")
+        .select(
+            "customer_key", "product_key",
+            F.to_date("billing_date").alias("billing_date"),
+            F.to_date("ship_date").alias("ship_date"),
+            "billing_document_number", "billing_document_line_item_number",
+            "billing_document_type_code",
+            document_category("group_col").alias("document_category"),
+            (F.col("net_invoice_value") * rate).alias("sales_eur"),
+            (F.col("net_invoice_cogs") * rate).alias("cogs_eur"),
+            (F.col("delivery_cost") * rate).alias("delivery_cost_eur"),
+            (F.col("freight") * rate).alias("freight_eur"),
+            (F.col("taxes_commercial_fees") * rate).alias("taxes_eur"),
+            F.col("net_invoice_quantity").alias("quantity"),
+            "local_currency",
+            F.col("otd_indicator").cast("boolean").alias("on_time_delivery"),
+        )
+    )
+    return out
+
+
+def build_fact_orders(spark: SparkSession) -> DataFrame:
+    o = _t(spark, "fact_orders")
+    br = _t(spark, "dim_budget_rate").select("from_currency", F.col("rate").alias("eur_rate"))
+    rate = F.coalesce("eur_rate", F.lit(1.0))
+    return (
+        o.join(F.broadcast(br), o["local_currency"] == br["from_currency"], "left")
+        .select(
+            "customer_key", "product_key",
+            F.to_date("order_date").alias("order_date"),
+            F.to_date("ship_date").alias("ship_date"),
+            F.to_date("request_goods_receipt_date").alias("request_goods_receipt_date"),
+            "sales_order_document_number", "sales_order_document_line_item_number",
+            F.col("sales_order_document_line_item_status").alias("line_item_status"),
+            (F.col("net_order_value") * rate).alias("order_value_eur"),
+            F.col("net_order_quantity").alias("quantity"),
+            "local_currency",
+        )
+    )
+
+
+def build_fact_budget(spark: SparkSession) -> DataFrame:
+    b = _t(spark, "fact_budget")
+    return (
+        b.filter(F.col("month").isNotNull())
+        .select(
+            "customer_key", "product_key",
+            F.to_date("month").alias("budget_month"),
+            F.col("total_budget").alias("budget_eur"),
+        )
+    )
+
+
+@dataclass
+class GoldModel:
+    name: str
+    builder: callable
+    merge_keys: list[str]
+    watermark_col: str = "silver_created_date"
+    source_tables: list[str] = field(default_factory=list)
+
+
+MODELS: list[GoldModel] = [
+    GoldModel("gold_dim_customer", build_dim_customer, ["customer_key"],
+              source_tables=["dim_customers"]),
+    GoldModel("gold_dim_product", build_dim_product, ["product_key"],
+              source_tables=["dim_products"]),
+    GoldModel("gold_fact_sales", build_fact_sales,
+              ["customer_key", "product_key", "billing_date", "billing_document_number",
+               "billing_document_line_item_number"],
+              source_tables=["fact_invoices"]),
+    GoldModel("gold_fact_orders", build_fact_orders,
+              ["customer_key", "product_key", "order_date", "sales_order_document_number",
+               "sales_order_document_line_item_number"],
+              source_tables=["fact_orders"]),
+    GoldModel("gold_fact_budget", build_fact_budget,
+              ["customer_key", "product_key", "budget_month"],
+              source_tables=["fact_budget"]),
+]
+
+
+def run_full(spark: SparkSession, execution_id: str | None = None,
+             log_table: str = "gold_execution_log", models: list[GoldModel] | None = None) -> dict:
+    execution_id = execution_id or logs.new_execution_id()
+    results = {}
+    for m in models or MODELS:
+        try:
+            df = m.builder(spark)
+            df.write.mode("overwrite").saveAsTable(m.name)
+            n = spark.table(m.name).count()
+            logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
+            results[m.name] = {"status": "success", "records": n}
+        except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting
+            logs.append_log(spark, log_table, "gold", m.name, execution_id, "failed", None, str(exc)[:500])
+            results[m.name] = {"status": "failed", "error": str(exc)}
+    return results
+
+
+def run_incremental(
+    spark: SparkSession,
+    watermark: dt.datetime,
+    execution_id: str | None = None,
+    log_table: str = "gold_execution_log",
+    models: list[GoldModel] | None = None,
+    force_full_refresh: bool = False,
+) -> dict:
+    """Incremental gold: dims → changed-key semi-join restriction (J8)
+    then MERGE; facts → watermark filter on the rebuilt rows (P6) then
+    MERGE on the composite business key (K3)."""
+    execution_id = execution_id or logs.new_execution_id()
+    results = {}
+    for m in models or MODELS:
+        if force_full_refresh or not spark.catalog.tableExists(m.name):
+            results[m.name] = run_full(spark, execution_id, log_table, models=[m])[m.name]
+            results[m.name]["mode"] = "full_refresh"
+            continue
+        source = spark.table(f"silver_{m.source_tables[0]}")
+        changed = source.filter(F.col(m.watermark_col) >= F.lit(watermark))
+        rebuilt = m.builder(spark)
+        if m.name.startswith("gold_dim"):
+            keys = changed.select(*m.merge_keys).distinct()
+            delta = rebuilt.join(keys, m.merge_keys, "left_semi")
+        else:
+            changed_keys = changed.select(*[c for c in m.merge_keys if c in changed.columns]).distinct()
+            join_keys = [c for c in m.merge_keys if c in changed.columns]
+            delta = rebuilt.join(changed_keys, join_keys, "left_semi") if join_keys else rebuilt
+        target = spark.table(m.name)
+        merged = merge_upsert(target, delta.select(*target.columns), m.merge_keys)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(m.name)
+        n = delta.count()
+        logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
+        results[m.name] = {"status": "success", "records": n, "mode": "incremental"}
+    return results

@@ -1,0 +1,99 @@
+"""Observability sinks: execution logs + watermark control tables
+(SURVEY.md §2.2 K5/K6, §2.1 S10/O2).
+
+Explicit StructType schemas (the reference's only fixed schemas) and
+1-row typed appends. Control rows are the single sanctioned driver-side
+collect in the engine (≤1 row per table per run).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+#: bronze_full_load.ipynb:1 (cells 30, 32); Silver_full_load.ipynb:1 (cell 12)
+EXECUTION_LOG_SCHEMA = StructType([
+    StructField("layer", StringType(), False),
+    StructField("table_name", StringType(), False),
+    StructField("execution_id", StringType(), False),
+    StructField("execution_timestamp", TimestampType(), False),
+    StructField("status", StringType(), False),
+    StructField("record_count", IntegerType(), True),
+    StructField("message", StringType(), True),
+])
+
+#: bronze_incremental_load.ipynb:1 (cell 10, `control_schema`)
+CONTROL_SCHEMA = StructType([
+    StructField("table_name", StringType(), False),
+    StructField("execution_id", StringType(), False),
+    StructField("execution_timestamp", TimestampType(), False),
+    StructField("last_extracted_timestamp", TimestampType(), True),
+    StructField("status", StringType(), False),
+    StructField("record_count", IntegerType(), True),
+])
+
+
+def new_execution_id() -> str:
+    return uuid.uuid4().hex
+
+
+def append_log(
+    spark: SparkSession,
+    log_table: str,
+    layer: str,
+    table_name: str,
+    execution_id: str,
+    status: str,
+    record_count: int | None = None,
+    message: str | None = None,
+) -> None:
+    row = [(layer, table_name, execution_id, dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            status, record_count, message)]
+    spark.createDataFrame(row, EXECUTION_LOG_SCHEMA).write.mode("append").saveAsTable(log_table)
+
+
+def append_control(
+    spark: SparkSession,
+    control_table: str,
+    table_name: str,
+    execution_id: str,
+    last_extracted: dt.datetime | None,
+    status: str,
+    record_count: int | None = None,
+) -> None:
+    row = [(table_name, execution_id, dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            last_extracted, status, record_count)]
+    spark.createDataFrame(row, CONTROL_SCHEMA).write.mode("append").saveAsTable(control_table)
+
+
+def last_watermark(spark: SparkSession, control_table: str, table_name: str) -> dt.datetime | None:
+    """Latest successful watermark for a table (O2: top-1 by timestamp).
+    Returns None on first run (→ full-extract fallback, S10)."""
+    if not spark.catalog.tableExists(control_table):
+        return None
+    rows = (
+        spark.table(control_table)
+        .filter((F.col("table_name") == table_name) & (F.col("status") == "success"))
+        .orderBy(F.desc("execution_timestamp"))
+        .select("last_extracted_timestamp")
+        .limit(1)
+        .collect()
+    )
+    return rows[0][0] if rows else None
+
+
+def latest_failures(spark: SparkSession, log_table: str) -> DataFrame:
+    """Failure-lookup query used by the orchestration alert path
+    (ETL_FABRIC.json 'Lookup_Error_*')."""
+    return (
+        spark.table(log_table)
+        .filter(F.col("status") != "success")
+        .orderBy(F.desc("execution_timestamp"))
+        .limit(1)
+    )

@@ -1,0 +1,84 @@
+"""Pipeline orchestration: bronze → silver → gold with per-table status
+accounting, precondition checks, and `completed_with_errors` semantics
+(SURVEY.md §3.1-3.2; reference spaceparts_etl_orchestrator.py +
+ETL_FABRIC pipeline DAG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spaceparts_data_pipeline_spark.plans import bronze, gold, logs, silver
+from spaceparts_data_pipeline_spark.sources.catalog import discover_tables
+
+#: gold requires ≥80% of its silver inputs present (gold_processor.py:173-197)
+SILVER_AVAILABILITY_THRESHOLD = 0.8
+
+
+def _status(results: dict) -> str:
+    statuses = {r.get("status") for r in results.values()} or {"success"}
+    if statuses == {"success"}:
+        return "success"
+    if "success" in statuses:
+        return "completed_with_errors"
+    return "failed"
+
+
+def run_bronze_layer(spark: SparkSession, sources: dict[str, DataFrame]) -> dict:
+    execution_id = logs.new_execution_id()
+    results = {}
+    for table in sorted(sources):
+        try:
+            results[table] = bronze.run_full(spark, sources[table], table, execution_id)
+        except Exception as exc:  # noqa: BLE001 - per-table isolation
+            logs.append_log(spark, "bronze_execution_log", "bronze", table, execution_id, "failed", None, str(exc)[:500])
+            results[table] = {"table": table, "status": "failed", "error": str(exc)}
+    return {"layer": "bronze", "status": _status(results), "tables": results}
+
+
+def run_silver_layer(spark: SparkSession, horizon=None) -> dict:
+    execution_id = logs.new_execution_id()
+    results = {}
+    for bronze_table in discover_tables(spark, "bronze_*"):
+        table = bronze_table.removeprefix("bronze_")
+        try:
+            results[table] = silver.run_full(
+                spark, table, execution_id, source_table=bronze_table, horizon=horizon
+            )
+        except Exception as exc:  # noqa: BLE001
+            logs.append_log(spark, "silver_execution_log", "silver", table, execution_id, "failed", None, str(exc)[:500])
+            results[table] = {"table": table, "status": "failed", "error": str(exc)}
+    return {"layer": "silver", "status": _status(results), "tables": results}
+
+
+def check_gold_preconditions(spark: SparkSession, models: list[gold.GoldModel] | None = None) -> tuple[bool, float]:
+    required = {t for m in (models or gold.MODELS) for t in m.source_tables}
+    available = sum(1 for t in required if spark.catalog.tableExists(f"silver_{t}"))
+    share = available / len(required) if required else 1.0
+    return share >= SILVER_AVAILABILITY_THRESHOLD, share
+
+
+def run_gold_layer(spark: SparkSession, models: list[gold.GoldModel] | None = None) -> dict:
+    ok, share = check_gold_preconditions(spark, models)
+    if not ok:
+        return {"layer": "gold", "status": "skipped",
+                "reason": f"silver availability {share:.0%} < {SILVER_AVAILABILITY_THRESHOLD:.0%}"}
+    results = gold.run_full(spark, models=models)
+    return {"layer": "gold", "status": _status(results), "tables": results}
+
+
+def run_pipeline(spark: SparkSession, sources: dict[str, DataFrame], horizon=None,
+                 models: list[gold.GoldModel] | None = None) -> dict:
+    """Full medallion run. Layer failures don't halt the pipeline —
+    downstream layers run on whatever landed (the reference's DAG
+    continues and reports per-stage status)."""
+    b = run_bronze_layer(spark, sources)
+    s = run_silver_layer(spark, horizon=horizon)
+    g = run_gold_layer(spark, models=models)
+    overall = {"success"}
+    for layer in (b, s, g):
+        overall.add(layer["status"])
+    status = "success" if overall == {"success"} else (
+        "failed" if "success" not in {b["status"], s["status"], g["status"]} else "completed_with_errors"
+    )
+    return {"status": status, "bronze": b, "silver": s, "gold": g}

@@ -1,0 +1,51 @@
+"""Batch-incremental orchestration (SURVEY.md §2.11, §3.3).
+
+The reference's incrementality is watermark-batch, with a different
+upsert flavor per layer:
+
+  bronze  — watermark scan + APPEND        (plans.bronze.run_incremental)
+  silver  — union + window dedup + OVERWRITE (plans.silver.run_incremental)
+  gold    — changed-keys + keyed MERGE     (plans.gold.run_incremental)
+
+This module adds the cross-layer driver: compute the effective
+watermark (`now − lookback_days`, overridable; `force_full_refresh`
+flag) and run the three layers' incremental paths in order.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spaceparts_data_pipeline_spark.plans import bronze, gold, silver
+
+DEFAULT_LOOKBACK_DAYS = 7
+
+
+def effective_watermark(
+    lookback_days: int = DEFAULT_LOOKBACK_DAYS,
+    now: dt.datetime | None = None,
+) -> dt.datetime:
+    """Gold watermark: now − lookback_days (Gold_incremental_load cell 8)."""
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    return now - dt.timedelta(days=lookback_days)
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    sources: dict[str, DataFrame],
+    ts_col: str = "dwcreateddate",
+    lookback_days: int = DEFAULT_LOOKBACK_DAYS,
+    now: dt.datetime | None = None,
+    force_full_refresh: bool = False,
+) -> dict:
+    results: dict = {"bronze": {}, "silver": {}, "gold": {}}
+    for table in sorted(sources):
+        results["bronze"][table] = bronze.run_incremental(spark, sources[table], table, ts_col=ts_col)
+    for table in sorted(sources):
+        incoming = spark.table(f"bronze_{table}")
+        results["silver"][table] = silver.run_incremental(spark, table, incoming, order_col=ts_col)
+    wm = effective_watermark(lookback_days, now)
+    results["gold"] = gold.run_incremental(spark, wm, force_full_refresh=force_full_refresh)
+    return results

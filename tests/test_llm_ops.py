@@ -1,0 +1,131 @@
+"""Unit tests for the LLM-data operators: multimodal plumbing, similarity
+search (LSH vs brute force), fuzzy dedup, text analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from spaceparts_data_pipeline_spark.operators import dedup_fuzzy, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", 64, 64, None),
+        (2, "audio", b"RIFF fake wav", None, None, 2500),
+        (3, "video", b"\x00\x00ftyp fake mp4", 640, 480, 3500),
+        (4, "image", None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+
+
+class TestMultimodal:
+    def test_extract_features(self, spark, assets):
+        out = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+        assert out[1]["n_bytes"] == len(b"\x89PNG fake bytes")
+        assert out[1]["decoded"] == "decode:image:15"
+        assert out[4]["n_bytes"] == 0 and out[4]["decoded"] == "decode:empty"
+        assert out[2]["feature_hash"] > 0
+        # deterministic across runs
+        again = {r["asset_id"]: r["feature_hash"] for r in multimodal.extract_features(assets).collect()}
+        assert again == {k: v["feature_hash"] for k, v in out.items()}
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode(b"x", "image")
+
+    def test_frame_sample_plan(self, spark, assets):
+        plan = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
+        assert [(r["asset_id"], r["frame_idx"], r["frame_ts_ms"]) for r in plan] == \
+            [(3, 0, 0), (3, 1, 1000), (3, 2, 2000)]
+
+
+class TestSimilarity:
+    def test_lsh_pairs_subset_of_bruteforce(self, spark, sf_small):
+        e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 similarity.similar_pairs_bruteforce(e, threshold=0.3).collect()}
+        approx = {(r["id_a"], r["id_b"]) for r in
+                  similarity.similar_pairs_lsh(e, n_planes=6, threshold=0.3).collect()}
+        assert approx <= exact            # no false positives (cosine verified)
+        if exact:
+            assert len(approx) > 0        # nonzero recall on this data
+
+    def test_knn_self_excluded_and_ranked(self, spark, sf_small):
+        e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 3)
+        out = similarity.knn_bruteforce(e, q, k=5).collect()
+        by_q = {}
+        for r in out:
+            assert r["neighbor_id"] != r["query_id"]
+            by_q.setdefault(r["query_id"], []).append((r["knn_rank"], r["cosine_sim"]))
+        for sims in by_q.values():
+            ranks = [r for r, _ in sorted(sims)]
+            vals = [v for _, v in sorted(sims)]
+            assert ranks == [1, 2, 3, 4, 5]
+            assert vals == sorted(vals, reverse=True)
+
+
+class TestFuzzyDedup:
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, ""),
+    ]
+    SCHEMA = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+
+    def test_jaccard_finds_near_dup(self, spark):
+        df = spark.createDataFrame(self.DOCS, self.SCHEMA)
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                 dedup_fuzzy.jaccard_pairs(df, threshold=0.3).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+        assert all(a != 3 and b != 3 for a, b in pairs)
+
+    def test_minhash_lsh_finds_near_dup(self, spark):
+        df = spark.createDataFrame(self.DOCS, self.SCHEMA)
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup_fuzzy.minhash_lsh_pairs(df, num_perm=16, rows_per_band=2).collect()}
+        assert (1, 2) in pairs
+
+    def test_simhash_near_pairs(self, spark):
+        df = spark.createDataFrame(self.DOCS, self.SCHEMA)
+        sims = dedup_fuzzy.simhash(df)
+        assert sims.count() == 3  # empty doc has no tokens
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 dedup_fuzzy.simhash_near_pairs(sims, max_hamming=16).collect()}
+        assert (1, 2) in pairs
+
+
+class TestText:
+    def test_token_count_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b  c"), (2, ""), (3, "   "), (4, "one")],
+            StructType([StructField("id", LongType()), StructField("text", StringType())]),
+        )
+        out = {r["id"]: r["n"] for r in df.select("id", text.token_count("text").alias("n")).collect()}
+        assert out == {1: 3, 2: 0, 3: 0, 4: 1}
+
+    def test_lang_id_on_crafted_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog is in a house of the king"),
+             (2, "el perro y la casa de los reyes que en madrid"),
+             (3, "der hund und die katze das ein haus zu berlin ist"),
+             (4, "xyzzy plugh")],
+            StructType([StructField("doc_id", LongType()), StructField("text", StringType())]),
+        )
+        out = {r["doc_id"]: r["predicted_lang"] for r in text.with_lang_id(df).collect()}
+        assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+    def test_rolling_fingerprint_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world document"), (2, "hello world document"), (3, "other content")],
+            StructType([StructField("id", LongType()), StructField("text", StringType())]),
+        )
+        out = df.select("id", text.fingerprint_rolling("text").alias("fp")).collect()
+        fps = {r["id"]: r["fp"] for r in out}
+        assert fps[1] == fps[2] != fps[3]

@@ -1,0 +1,161 @@
+"""Unit tests for the silver cleaning kernel + merge semantics
+(SURVEY.md §7 steps 2, 5 'hard parts')."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from spaceparts_data_pipeline_spark.operators.dedup import dedup_latest, infer_keys
+from spaceparts_data_pipeline_spark.operators.identifiers import build_column_mapping, clean_identifier
+from spaceparts_data_pipeline_spark.operators.merge import merge_upsert, upsert_union_dedup
+from spaceparts_data_pipeline_spark.operators.quality import drop_all_null, quarantine_split
+from spaceparts_data_pipeline_spark.operators.standardize import standardize_types
+
+
+class TestIdentifiers:
+    def test_accent_stripping(self):
+        assert clean_identifier("Añó Créated") == "ano_created"
+
+    def test_reserved_word_suffix(self):
+        assert clean_identifier("Group") == "group_col"
+        assert clean_identifier("Order") == "order_col"
+
+    def test_leading_digit_prefix(self):
+        assert clean_identifier("2024_sales") == "c_2024_sales"
+
+    def test_forbidden_chars(self):
+        assert clean_identifier("Net Invoice (EUR)") == "net_invoice_eur"
+
+    def test_collision_dedup(self):
+        m = build_column_mapping(["a b", "a-b", "a_b"])
+        assert list(m.values()) == ["a_b", "a_b_2", "a_b_3"]
+
+    def test_length_cap(self):
+        assert len(clean_identifier("x" * 300)) == 128
+
+    def test_empty_becomes_col(self):
+        assert clean_identifier("!!!") == "col"
+
+
+class TestStandardize:
+    def test_epoch_disambiguation_and_tokens(self, spark):
+        schema = StructType([
+            StructField("billing_date", LongType(), True),
+            StructField("customer_key", StringType(), True),
+            StructField("note", StringType(), True),
+            StructField("net_value", DoubleType(), True),
+        ])
+        ns = int(dt.datetime(2025, 4, 1, tzinfo=dt.timezone.utc).timestamp()) * 10**9
+        s = int(dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc).timestamp())
+        df = spark.createDataFrame(
+            [(ns, "  ab1 ", "  keep  ", 1.5),
+             (s, "n/a", "NULL", math.nan),
+             (None, None, "x", math.inf)],
+            schema,
+        )
+        out = standardize_types(df).collect()
+        assert out[0]["billing_date"] == dt.datetime(2025, 4, 1)   # ns unit
+        assert out[1]["billing_date"] == dt.datetime(2025, 3, 1)   # s unit
+        assert out[0]["customer_key"] == "AB1"                      # upper+trim
+        assert out[1]["customer_key"] is None                       # token -> null
+        assert out[0]["note"] == "keep"                             # trimmed, case kept
+        assert out[1]["note"] is None
+        assert out[1]["net_value"] is None                          # NaN scrubbed
+        assert out[2]["net_value"] is None                          # Inf scrubbed
+
+
+class TestDedup:
+    def test_key_inference(self):
+        assert infer_keys(["customer_key", "x", "dwcreateddate"], "dwcreateddate") == ["customer_key"]
+        assert infer_keys(["a", "b", "dwcreateddate"], "dwcreateddate") == ["a", "b"]
+
+    def test_keep_latest(self, spark):
+        t0, t1 = dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)
+        df = spark.createDataFrame(
+            [("k1", 1.0, t0), ("k1", 2.0, t1), ("k2", 3.0, t0)],
+            StructType([StructField("customer_key", StringType()), StructField("v", DoubleType()),
+                        StructField("dwcreateddate", TimestampType())]),
+        )
+        out = {r["customer_key"]: r["v"] for r in dedup_latest(df).collect()}
+        assert out == {"k1": 2.0, "k2": 3.0}
+
+
+class TestQuality:
+    def test_split_reasons_and_complement(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2031, 1, 1), 10.0, "future"),
+             (dt.datetime(2025, 1, 1), 5e8, "extreme"),
+             (dt.datetime(2025, 1, 1), 10.0, "clean"),
+             (None, None, "nulls")],
+            StructType([StructField("ship_date", TimestampType()), StructField("net_value", DoubleType()),
+                        StructField("tag", StringType())]),
+        )
+        clean, quar = quarantine_split(df, "t", horizon="2027-01-01")
+        tags = {r["tag"]: r["quarantine_reason"] for r in quar.collect()}
+        assert tags == {"future": "future_date:ship_date", "extreme": "extreme_value:net_value"}
+        assert {r["tag"] for r in clean.collect()} == {"clean", "nulls"}  # null predicates -> clean side
+
+    def test_drop_all_null(self, spark):
+        df = spark.createDataFrame(
+            [(None, None), ("a", None)],
+            StructType([StructField("x", StringType()), StructField("y", StringType())]),
+        )
+        assert drop_all_null(df).count() == 1
+
+
+class TestMerge:
+    SCHEMA = StructType([StructField("k", StringType()), StructField("v", DoubleType()),
+                         StructField("ts", TimestampType())])
+
+    def test_update_insert_null_keys_and_dup_source(self, spark):
+        t0, t1 = dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)
+        target = spark.createDataFrame([("a", 1.0, t0), ("b", 2.0, t0), (None, 3.0, t0)], self.SCHEMA)
+        source = spark.createDataFrame(
+            [("a", 10.0, t0), ("a", 11.0, t1),      # duplicate source key -> latest wins
+             ("c", 30.0, t0),                        # insert-new
+             (None, 99.0, t1)],                      # null key updates null-key row (null-safe)
+            self.SCHEMA,
+        )
+        out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"], order_col="ts").collect()}
+        assert out == {"a": 11.0, "b": 2.0, "c": 30.0, None: 99.0}
+
+    def test_union_dedup_upsert(self, spark):
+        t0, t1 = dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)
+        existing = spark.createDataFrame([("a", 1.0, t0), ("b", 2.0, t0)], self.SCHEMA)
+        incoming = spark.createDataFrame([("a", 9.0, t1), ("c", 3.0, t0)], self.SCHEMA)
+        out = {r["k"]: r["v"] for r in
+               upsert_union_dedup(existing, incoming, keys=["k"], order_col="ts").collect()}
+        assert out == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+
+class TestProperties:
+    def test_dedup_idempotent_and_minimal(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5), st.floats(allow_nan=False, allow_infinity=False)), min_size=1, max_size=20))
+        def check(rows):
+            df = spark.createDataFrame(
+                [(str(k), dt.datetime(2025, 1, 1) + dt.timedelta(hours=h), v) for k, h, v in rows],
+                StructType([StructField("customer_key", StringType()),
+                            StructField("dwcreateddate", TimestampType()),
+                            StructField("v", DoubleType())]),
+            )
+            out = dedup_latest(df)
+            collected = out.collect()
+            # one row per key, carrying the max timestamp for that key
+            per_key = {}
+            for k, h, v in rows:
+                ts = dt.datetime(2025, 1, 1) + dt.timedelta(hours=h)
+                per_key[str(k)] = max(per_key.get(str(k), ts), ts)
+            assert {r["customer_key"]: r["dwcreateddate"] for r in collected} == per_key
+            assert dedup_latest(out).count() == len(per_key)  # idempotent
+
+        check()

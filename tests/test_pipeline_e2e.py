@@ -1,0 +1,135 @@
+"""End-to-end medallion pipeline tests on SpaceParts-shaped fixtures
+(FIXTURES.md): full load, invariants from the reference's recorded
+behavior, then an incremental round with updates + inserts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.plans import gold, logs, runner, silver
+from tests.fixtures import EPOCH_2025_NS, T1, build_fixtures
+
+HORIZON = "2027-01-01"
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS e2e")
+    spark.catalog.setCurrentDatabase("e2e")
+    sources = build_fixtures(spark)
+    result = runner.run_pipeline(spark, sources, horizon=HORIZON)
+    yield result
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql("DROP DATABASE e2e CASCADE")
+
+
+def test_full_pipeline_status(pipeline_result):
+    assert pipeline_result["status"] == "success"
+    assert pipeline_result["gold"]["status"] == "success"
+
+
+def test_silver_dedup_and_quarantine(spark, pipeline_result):
+    inv = spark.table("silver_fact_invoices")
+    # dup business key (inv1 line 1) resolved keep-latest: value 999 survives
+    v = inv.filter(F.col("billing_document_number") == "inv1").select("net_invoice_value").collect()
+    assert [r[0] for r in v] == [999.0]
+    # future-date + extreme-value rows quarantined
+    quar = spark.table("silver_quarantine_fact_invoices")
+    reasons = {r["billing_document_number"]: r["quarantine_reason"] for r in quar.collect()}
+    assert reasons["inv4"].startswith("future_date:")
+    assert reasons["inv5"].startswith("extreme_value:")
+    # NaN scrubbed to null, row kept
+    nan_row = inv.filter(F.col("billing_document_number") == "inv6").collect()[0]
+    assert nan_row["net_invoice_value"] is None
+
+
+def test_silver_ship_before_order_preserved(spark, pipeline_result):
+    orders = spark.table("silver_fact_orders")
+    inverted = orders.filter(F.col("ship_date") < F.col("order_date")).count()
+    assert inverted == 1  # README.md:487 finding: preserved, NOT quarantined
+
+
+def test_gold_dim_customer_double_self_join(spark, pipeline_result):
+    dc = {r["customer_key"]: r for r in spark.table("gold_dim_customer").collect()}
+    assert dc["C1"]["account_manager_email"] == "ada@x.io"
+    assert dc["C1"]["key_account_manager_email"] == "grace@x.io"
+    assert dc["C1"]["customer_system"] == "Sys-A"
+    assert dc["C2"]["key_account_manager_email"] is None  # Linus is not a KAM
+    assert dc["C3"]["customer_system"] is None            # station miss -> left join null
+
+
+def test_gold_fact_sales_eur_and_categorization(spark, pipeline_result):
+    fs = {(r["billing_document_number"]): r for r in spark.table("gold_fact_sales").collect()}
+    # USD rate 0.9 applied to the keep-latest row (999)
+    assert fs["inv1"]["sales_eur"] == pytest.approx(999.0 * 0.9)
+    assert fs["inv1"]["document_category"] == "Sale"
+    # GBP rate 1.15, Adjustment category, seconds-epoch date decoded
+    assert fs["inv2"]["cogs_eur"] == pytest.approx(150.0 * 1.15)
+    assert fs["inv2"]["document_category"] == "Adjustment"
+    assert fs["inv2"]["billing_date"] == dt.date(2025, 3, 1)
+    # unknown currency -> rate 1.0; unknown doctype -> Unclassified
+    assert fs["inv3"]["sales_eur"] == pytest.approx(50.0)
+    assert fs["inv3"]["document_category"] == "Unclassified"
+    assert fs["inv1"]["on_time_delivery"] is True
+
+
+def test_gold_fact_budget_month_filter(spark, pipeline_result):
+    fb = spark.table("gold_fact_budget").collect()
+    assert len(fb) == 1  # null month filtered
+    assert fb[0]["budget_month"] == dt.date(2025, 4, 1)
+
+
+def test_execution_logs_written(spark, pipeline_result):
+    log = spark.table("gold_execution_log")
+    assert log.filter(F.col("status") == "success").count() == 5
+    assert logs.latest_failures(spark, "gold_execution_log").count() == 0
+
+
+def test_gold_incremental_merge(spark, pipeline_result):
+    # new silver rows: update inv3 (value 60 -> sales 54 EUR) + insert inv9
+    upd = spark.createDataFrame(
+        [("c2", "p1", EPOCH_2025_NS, EPOCH_2025_NS, "inv3", "1", "F2", 60.0, 40.0, 1.0, 1.0, 0.5, 2.0, "USD", 1, T1),
+         ("c3", "p2", EPOCH_2025_NS, EPOCH_2025_NS, "inv9", "1", "G2", 10.0, 5.0, 1.0, 1.0, 0.5, 1.0, "GBP", 0, T1)],
+        spark.table("bronze_fact_invoices").drop("load_date", "source_system").schema,
+    )
+    silver.run_incremental(spark, "fact_invoices", upd, horizon=HORIZON)
+    wm = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - dt.timedelta(minutes=5)
+    res = gold.run_incremental(spark, wm)
+    assert res["gold_fact_sales"]["mode"] == "incremental"
+    fs = {r["billing_document_number"]: r for r in spark.table("gold_fact_sales").collect()}
+    assert fs["inv3"]["sales_eur"] == pytest.approx(60.0 * 0.9)   # updated (now known USD)
+    assert fs["inv9"]["document_category"] == "Adjustment"         # inserted
+    assert fs["inv1"]["sales_eur"] == pytest.approx(999.0 * 0.9)   # untouched rows survive
+
+
+def test_precondition_gate(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS empty_db")
+    spark.catalog.setCurrentDatabase("empty_db")
+    try:
+        ok, share = runner.check_gold_preconditions(spark)
+        assert not ok and share == 0.0
+        out = runner.run_gold_layer(spark)
+        assert out["status"] == "skipped"
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE empty_db CASCADE")
+
+
+def test_failed_table_isolates(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS failing")
+    spark.catalog.setCurrentDatabase("failing")
+    try:
+        src = build_fixtures(spark)
+        bad = {"dim_regions": src["dim_regions"], "broken": None}  # None source -> failure
+        out = runner.run_bronze_layer(spark, bad)
+        assert out["status"] == "completed_with_errors"
+        assert out["tables"]["dim_regions"]["status"] == "success"
+        assert out["tables"]["broken"]["status"] == "failed"
+        failures = logs.latest_failures(spark, "bronze_execution_log").collect()
+        assert failures and failures[0]["table_name"] == "broken"
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE failing CASCADE")
