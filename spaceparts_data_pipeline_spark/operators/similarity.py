@@ -16,6 +16,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Vector math via higher-order functions is CPU-heavy per row; a
+    corpus that arrives in fewer partitions than cores (tiny file, single
+    row group) serializes it. Spread it once — no-op when the scan is
+    already parallel (the 100 TB case)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with elementwise double cast (sequential fold — stable order)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -45,7 +57,7 @@ def knn_bruteforce(
     per query. Output: (query_id, neighbor_id, knn_rank, cosine_sim).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    c = _ensure_parallel(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn("__cos", cosine(F.col("__qv"), F.col("__nv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
@@ -64,9 +76,9 @@ def similar_pairs_bruteforce(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact, quadratic;
     bound the input (or use :func:`similar_pairs_lsh`) beyond ~10⁴ rows."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    a = _ensure_parallel(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
     return (
         scored.filter(F.col("__cos") >= threshold)
@@ -119,6 +131,7 @@ def similar_pairs_lsh(
     at 100 TB this replaces the quadratic product with Σ bucket².
     """
     planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    df = _ensure_parallel(df)
     sig = df.select(F.col(id_col), F.col(vec_col), signature(F.col(vec_col), planes).alias("__sig"))
     a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__sig")
     b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__sig")
