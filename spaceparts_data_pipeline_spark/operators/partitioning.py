@@ -1,0 +1,86 @@
+"""Physical-layout operators for scale: bucketed writes (co-located
+joins), salted two-phase aggregation (hot-key skew), and an
+aggregation-based keep-latest dedup that avoids the window sort.
+
+These are the 100 TB levers SURVEY.md §4/§7 calls for:
+
+- ``write_bucketed``: persist a table hash-bucketed (+sorted) by its
+  join/dedup keys; subsequent equi-joins and groupBys on those keys
+  skip the shuffle entirely (`test_scale_ops.py` asserts the plan has
+  no Exchange).
+- ``dedup_latest_agg``: keep-latest as ``max_by(payload, order)`` —
+  a *combinable* aggregation: partial max per map task, one light
+  shuffle of one row per key per task, no full sort of the fact table.
+  Same semantics as the window variant when the order key is a total
+  order (add tie-breakers).
+- ``salted_sum``: two-phase sum/count for aggregations whose group key
+  is pathologically hot: pre-aggregate on (key, salt), then finish on
+  key. AQE's skew handling covers joins; this covers single-key aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist hash-bucketed by ``keys`` (and optionally sorted within
+    buckets, which also gives parquet min/max skipping on the sort key)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def dedup_latest_agg(
+    df: DataFrame,
+    order_col: str,
+    keys: list[str],
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Keep-latest via max_by aggregation (shuffle-light W1/W2).
+
+    Picks, per key group, the row with the lexicographically greatest
+    (order_col, *tie_breakers) — identical to the window row_number
+    variant when the tie-breakers make the order total.
+    """
+    order = F.struct(F.col(order_col), *[F.col(t) for t in (tie_breakers or [])])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(payload, order).alias("__row"))
+        .select("__row.*")
+    )
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase sum+count: groupBy(keys + salt) → groupBy(keys).
+
+    The salt spreads a hot key over ``salt_buckets`` reducers in phase
+    one; phase two combines ``salt_buckets`` rows per key — trivially
+    small. Sums use the engine's decimal pattern so the two-phase
+    result is bit-identical to a one-phase sum.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[F.sum(F.col(c).cast("decimal(27,6)")).alias(f"__s_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(f"__s_{c}").cast("double").alias(f"{c}_sum") for c in sum_cols],
+        F.sum("__n").alias("row_count"),
+    )

@@ -118,6 +118,66 @@ def signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return total
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate kNN: coarse-quantize the corpus into
+    ``n_centroids`` cells (centroids = deterministic sample: the first
+    ``n_centroids`` vectors by id), then each query scans only its
+    ``n_probe`` nearest cells.
+
+    At 100 TB the corpus-side cell assignment is one broadcast-join
+    pass, the index is just a `centroid_id` column (write the corpus
+    bucketed/partitioned by it), and each query touches
+    ``n_probe/n_centroids`` of the data instead of all of it.
+    Recall < 1 by design; raise ``n_probe`` to trade cost for recall.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv"))
+    )
+    # corpus → nearest centroid (by cosine), one broadcast pass
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    assign_w = Window.partitionBy("neighbor_id").orderBy(F.desc("__ccos"), F.asc("centroid_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__ccos", cosine(F.col("__nv"), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(assign_w))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "__nv", "centroid_id")
+    )
+    # query → its n_probe nearest centroids
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("__qcos"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qcos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    # exact cosine within probed cells only
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank", F.round("__cos", 6).alias("cosine_sim"))
+    )
+
+
 def similar_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -630,6 +630,165 @@ def q22_dim_product_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q18 — §2.10 DAX-style global measures: Sales Only (conditional agg),
+# Total COGS, Gross Margin, Achievement % vs a cross-fact budget total.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_sales_measures",
+    """
+    WITH s AS (
+      SELECT
+        CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS sales_only,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 AS DECIMAL(27,6))) AS DOUBLE) AS total_cogs
+      FROM lineitem
+    ),
+    b AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_budget FROM orders)
+    SELECT sales_only, total_cogs,
+           sales_only - total_cogs AS gross_margin,
+           (CASE WHEN total_budget IS NULL OR total_budget = 0 THEN 0.0
+                 ELSE sales_only / total_budget END) * 100 AS achievement_pct
+    FROM s, b
+    """,
+)
+def q18_sales_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    s = l.agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", rev).cast("decimal(27,6)"))
+        .cast("double").alias("sales_only"),
+        dsum(rev * F.lit(0.8), "total_cogs"),
+    )
+    b = o.agg(dsum("o_totalprice", "total_budget"))
+    return s.crossJoin(b).select(
+        "sales_only", "total_cogs",
+        (F.col("sales_only") - F.col("total_cogs")).alias("gross_margin"),
+        (safe_divide(F.col("sales_only"), F.col("total_budget")) * 100).alias("achievement_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — keep-latest dedup as a combinable max_by aggregation (the
+# shuffle-light W1/W2 for 100 TB facts): same semantics as q05.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q23_dedup_latest_agg",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q23_dedup_latest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.operators.partitioning import dedup_latest_agg
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts", "value")
+    out = dedup_latest_agg(e, order_col="ts", keys=["user_id", "event_type"], tie_breakers=["event_id"])
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# x01 — sessionization (gap-based): lag + cumulative-sum session ids, the
+# standard event-pipeline analytic (extension beyond the reference).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x01_event_sessions",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    f AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM l
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM f
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def x01_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_prev = e.withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = with_prev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x02 — rolling-window analytics (rows frame + lag), per-user over events.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x02_rolling_events",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value,
+           CAST(COUNT(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_n,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_type
+    FROM events
+    """,
+)
+def x02_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-3, 0)
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast("decimal(27,6)")).over(frame).cast("double").alias("rolling_value"),
+        F.count(F.lit(1)).over(frame).alias("rolling_n"),
+        F.lag("event_type").over(order).alias("prev_event_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x03 — hierarchical ROLLUP aggregation (subtotals + grand total).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x03_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def x03_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(rev, "revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------

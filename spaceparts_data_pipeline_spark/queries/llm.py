@@ -262,6 +262,18 @@ def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# e04 — IVF approximate kNN (coarse-quantize + probe; the partition-pruned
+# ANN scale path — approximate → rows-only).
+# ---------------------------------------------------------------------------
+
+@register("e04_knn_ivf")
+def e04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return similarity.knn_ivf(e, q, k=3, n_centroids=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
 # m01 — multimodal plumbing: binary payload through Arrow mapInPandas,
 # oracle-checked against octet_length.
 # ---------------------------------------------------------------------------
