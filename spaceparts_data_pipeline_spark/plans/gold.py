@@ -125,6 +125,18 @@ def build_fact_orders(spark: SparkSession) -> DataFrame:
     )
 
 
+def build_dim_date(spark: SparkSession) -> DataFrame:
+    """Calendar dimension from the union of the fact date domains (U2 +
+    README.md:400-417 M-dataflow semantics), via measures.calendar_dim."""
+    from spaceparts_data_pipeline_spark.functions.measures import calendar_dim
+
+    inv = _t(spark, "fact_invoices").select(F.col("billing_date").alias("d"))
+    orders = _t(spark, "fact_orders").select(F.col("order_date").alias("d"))
+    budget = _t(spark, "fact_budget").filter(F.col("month").isNotNull()).select(F.col("month").alias("d"))
+    domain = inv.unionByName(orders).unionByName(budget).select(F.col("d").alias("date"))
+    return calendar_dim(domain)
+
+
 def build_fact_budget(spark: SparkSession) -> DataFrame:
     b = _t(spark, "fact_budget")
     return (
@@ -162,6 +174,8 @@ MODELS: list[GoldModel] = [
     GoldModel("gold_fact_budget", build_fact_budget,
               ["customer_key", "product_key", "budget_month"],
               source_tables=["fact_budget"]),
+    GoldModel("gold_dim_date", build_dim_date, ["date_key"],
+              source_tables=["fact_invoices", "fact_orders", "fact_budget"]),
 ]
 
 
@@ -203,13 +217,14 @@ def run_incremental(
         source = spark.table(f"silver_{m.source_tables[0]}")
         changed = source.filter(F.col(m.watermark_col) >= F.lit(watermark))
         rebuilt = m.builder(spark)
-        if m.name.startswith("gold_dim"):
-            keys = changed.select(*m.merge_keys).distinct()
-            delta = rebuilt.join(keys, m.merge_keys, "left_semi")
-        else:
-            changed_keys = changed.select(*[c for c in m.merge_keys if c in changed.columns]).distinct()
-            join_keys = [c for c in m.merge_keys if c in changed.columns]
-            delta = rebuilt.join(changed_keys, join_keys, "left_semi") if join_keys else rebuilt
+        # restrict the rebuild to changed business keys where the source
+        # carries them (J8); models whose keys are derived (e.g. the
+        # calendar's date_key) fall back to a full-delta MERGE
+        join_keys = [c for c in m.merge_keys if c in changed.columns]
+        delta = (
+            rebuilt.join(changed.select(*join_keys).distinct(), join_keys, "left_semi")
+            if join_keys else rebuilt
+        )
         target = spark.table(m.name)
         merged = merge_upsert(target, delta.select(*target.columns), m.merge_keys)
         merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(m.name)

@@ -789,6 +789,32 @@ def x03_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x04 — top-k per group (rank window): the standard "best N orders per
+# customer" analytic.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x04_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS price_rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 2
+    """,
+)
+def x04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "price_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------

@@ -84,7 +84,7 @@ def test_gold_fact_budget_month_filter(spark, pipeline_result):
 
 def test_execution_logs_written(spark, pipeline_result):
     log = spark.table("gold_execution_log")
-    assert log.filter(F.col("status") == "success").count() == 5
+    assert log.filter(F.col("status") == "success").count() == len(gold.MODELS)
     assert logs.latest_failures(spark, "gold_execution_log").count() == 0
 
 

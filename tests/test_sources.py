@@ -68,3 +68,20 @@ class TestWatermarkScan:
         assert parquet.watermark_scan(df, "ts", None).count() == 10  # first run: full
         # watermark 05:00 − 1h overlap → strictly after 04:00 → hours 5..9
         assert parquet.watermark_scan(df, "ts", dt.datetime(2024, 1, 1, 5)).count() == 5
+
+
+class TestProfiling:
+    def test_type_hints(self, spark):
+        import datetime as dt
+        from spaceparts_data_pipeline_spark.operators.profiling import type_hints
+        ns = int(dt.datetime(2025, 4, 1, tzinfo=dt.timezone.utc).timestamp()) * 10**9
+        df = spark.createDataFrame(
+            [(ns + i * 10**9, "A" if i % 2 else "B", str(i) + ".5", f"unique prose number {i} here")
+             for i in range(8)],
+            "billing_date long, seg string, amount string, note string",
+        )
+        h = type_hints(df)
+        assert h["billing_date"]["epoch_unit"] == "ns"
+        assert h["seg"]["category"] is True
+        assert h["amount"]["numeric_string"] is True
+        assert "note" not in h or "numeric_string" not in h.get("note", {})
