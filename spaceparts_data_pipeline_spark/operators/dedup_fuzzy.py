@@ -121,6 +121,56 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Cluster near-dup pairs into components by iterative min-label
+    propagation: each node takes the min label among itself and its
+    neighbors; converges in graph-diameter iterations (near-dup
+    clusters are shallow — ``max_iter`` bounds pathological chains).
+
+    Output: (id, component) where component = min id in the component.
+    Each iteration is two shuffles (join + groupBy); checkpoint every
+    few rounds in a long-running job to cut lineage.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels, "src")
+            .select(F.col("dst").alias("src"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+        )
+        if new_labels.join(labels, ["src", "component"], "left_anti").isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(F.col("src").alias(id_col), "component")
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: keep only the canonical (min-id) document of
+    each connected component of the pair graph."""
+    comps = connected_components(pairs, df.select(id_col), id_col)
+    keep = comps.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, bit-votes summed
     per bit, sign → bit. Output: (id, simhash bigint).

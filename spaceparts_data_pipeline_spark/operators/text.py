@@ -91,6 +91,22 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("predicted_lang", predicted)
 
 
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic, engine-portable hash bucket: first 8 hex chars of
+    md5 → int → mod. Used for reproducible train/val/test splits that
+    are stable across engines, runs, and partitionings (unlike
+    ``sample``/``rand``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def deterministic_split(df: DataFrame, id_col: str, train_pct: int = 90) -> DataFrame:
+    """Append a ``split`` column ('train'/'val') by hash bucket of the id."""
+    b = hash_bucket(id_col)
+    return df.withColumn("split", F.when(b < train_pct, F.lit("train")).otherwise(F.lit("val")))
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Stable content fingerprint (hex md5)."""
     return F.md5(F.col(text) if isinstance(text, str) else text)

@@ -262,6 +262,95 @@ def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x05 — deterministic train/val split (md5 hash bucket; stable across
+# engines, runs, and partitionings — the reproducible alternative to rand).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x05_train_val_split",
+    """
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def x05_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.deterministic_split(d, "doc_id", train_pct=90).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# x06 — vocabulary building: corpus token frequencies, top 20.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x06_vocab_topk",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT token, COUNT(*) AS freq FROM toks
+    GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+)
+def x06_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    return (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token")).limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x07 — TF-IDF top terms per document (bounded doc set): term frequency ×
+# ln((N+1)/(df+1)), the classic corpus-statistics join pattern.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x07_tfidf_topterms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents WHERE length(trim(text)) > 0),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n + 1) / (df.df + 1)), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+      WHERE tf.doc_id < 100
+    )
+    SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS term_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def x07_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tfidf", "term_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # e04 — IVF approximate kNN (coarse-quantize + probe; the partition-pruned
 # ANN scale path — approximate → rows-only).
 # ---------------------------------------------------------------------------

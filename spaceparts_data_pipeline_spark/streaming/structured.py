@@ -50,6 +50,71 @@ def windowed_counts(
     )
 
 
+def session_window_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming twin of the
+    batch sessionization query (x01_event_sessions)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key's state only until the
+    watermark passes — the streaming W1 with O(window) memory."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_user_totals(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    queryName: str = "user_totals",
+):
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user (event_count, value_sum) that survives across micro-batches.
+    This is the escape hatch for stateful logic the built-in windowed
+    operators can't express; state is per-key, Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, event_count bigint, value_sum double"
+    state_schema = "event_count bigint, value_sum double"
+
+    def update(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((count, total))
+        yield pd.DataFrame({"user_id": [key[0]], "event_count": [count], "value_sum": [total]})
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return (
+        out.writeStream.format("memory").queryName(queryName)
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir).start()
+    )
+
+
 def stream_upsert(
     spark: SparkSession,
     stream: DataFrame,

@@ -129,3 +129,32 @@ class TestText:
         out = df.select("id", text.fingerprint_rolling("text").alias("fp")).collect()
         fps = {r["id"]: r["fp"] for r in out}
         assert fps[1] == fps[2] != fps[3]
+
+
+class TestClustering:
+    def test_connected_components_and_corpus_dedup(self, spark):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        from spaceparts_data_pipeline_spark.operators.dedup_fuzzy import connected_components, dedup_corpus
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 7)],
+            StructType([StructField("doc_id", LongType()), StructField("text", StringType())]),
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)],  # components {1,2,3}, {4,5}, {6}
+            StructType([StructField("id_a", LongType()), StructField("id_b", LongType())]),
+        )
+        comps = {r["doc_id"]: r["component"] for r in
+                 connected_components(pairs, docs.select("doc_id")).collect()}
+        assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+        kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
+        assert kept == [1, 4, 6]
+
+    def test_deterministic_split_stability(self, spark, sf_small):
+        from spaceparts_data_pipeline_spark.operators.text import deterministic_split
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        a = {r["doc_id"]: r["split"] for r in deterministic_split(d, "doc_id").collect()}
+        b = {r["doc_id"]: r["split"] for r in
+             deterministic_split(d.repartition(7), "doc_id").collect()}
+        assert a == b                          # partition-independent
+        frac = sum(1 for v in a.values() if v == "train") / len(a)
+        assert 0.8 < frac < 0.97               # ~90%

@@ -72,3 +72,74 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql("DROP DATABASE stream_db CASCADE")
+
+
+def test_session_window_agg(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    _write_batch(spark, src, [
+        (1, t, "click", 1.0),
+        (2, t + dt.timedelta(minutes=10), "click", 2.0),       # same session (gap 10m < 30m)
+        (3, t + dt.timedelta(hours=3), "view", 3.0),           # new session
+        (4, t + dt.timedelta(hours=6), "probe", 0.0),          # advances watermark, closes the above
+    ])
+    # schema has no user_id; reuse event_type as the session key column
+    stream = structured.stream_events(spark, src, SCHEMA)
+    agg = structured.session_window_agg(stream, key_col="event_type", gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess")).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["event_type"], r["session_start"]): r["n_events"] for r in spark.table("sessions").collect()}
+    assert rows[("click", t)] == 2
+    assert rows[("view", t + dt.timedelta(hours=3))] == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    _write_batch(spark, src, [
+        (1, t, "click", 1.0),
+        (1, t + dt.timedelta(minutes=1), "click", 1.0),  # duplicate event_id within watermark
+        (2, t, "view", 2.0),
+    ])
+    stream = structured.stream_events(spark, src, SCHEMA)
+    deduped = structured.stream_dedup(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd")).start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.table("dedup_stream").collect())
+    assert ids == [1, 2]
+
+
+def test_applyinpandas_with_state(spark, tmp_path):
+    src = str(tmp_path / "state_src")
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    user_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    # two files -> two micro-batches (maxFilesPerTrigger=1); state must
+    # carry user 7's totals across the batch boundary
+    spark.createDataFrame([(7, t, 1.5), (7, t, 2.5), (8, t, 4.0)], user_schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(7, t + dt.timedelta(minutes=1), 6.0)], user_schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(user_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = structured.running_user_totals(stream, str(tmp_path / "ckpt_state"), queryName="totals1")
+    q.awaitTermination(120)
+    rows = spark.table("totals1").collect()
+    latest = {}
+    for r in rows:  # update-mode memory sink appends every update; keep the max count per user
+        cur = latest.get(r["user_id"])
+        if cur is None or r["event_count"] > cur[0]:
+            latest[r["user_id"]] = (r["event_count"], r["value_sum"])
+    assert latest[8] == (1, 4.0)
+    assert latest[7] == (3, 10.0)  # 2 events in batch 1 + 1 in batch 2, state accumulated
