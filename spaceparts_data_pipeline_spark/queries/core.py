@@ -815,6 +815,54 @@ def x04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x08 — pivot (conditional-aggregation spread): revenue by status × flag.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x08_pivot_revenue",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS A,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS N,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def x08_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(27,6)")
+    return (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(rev).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x09 — histogram binning (fixed-width buckets over a numeric column).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x09_price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bucket_low,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def x09_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .select("bucket", (F.col("bucket") * 50000.0).alias("bucket_low"), "n", "total")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------
