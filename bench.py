@@ -60,6 +60,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    layer_rates = layer_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -67,7 +69,46 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "layer_rows_per_hour": layer_rates,
     }))
+
+
+def layer_throughput(spark, sf_dir: str) -> dict:
+    """Bronze/silver layer throughput (rows/hour incl. table writes) over
+    the three biggest synthetic tables — directly comparable to the
+    reference's recorded rates in BASELINE.md (bronze ≈61M rows/h,
+    silver ≈78M rows/h on Fabric Spark)."""
+    from spaceparts_data_pipeline_spark.plans import bronze as bronze_plan
+    from spaceparts_data_pipeline_spark.plans import silver as silver_plan
+    from spaceparts_data_pipeline_spark.sources.parquet import load_table
+
+    db = "bench_layers"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    prev = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        tables = ["lineitem", "orders", "events"]
+        sources = {t: load_table(spark, sf_dir, t) for t in tables}
+        n_rows = sum(df.count() for df in sources.values())
+
+        start = time.perf_counter()
+        for t, df in sources.items():
+            bronze_plan.run_full(spark, df, t)
+        bronze_sec = time.perf_counter() - start
+
+        start = time.perf_counter()
+        for t in tables:
+            silver_plan.run_full(spark, t)
+        silver_sec = time.perf_counter() - start
+        return {
+            "rows": n_rows,
+            "bronze": round(n_rows / bronze_sec * 3600),
+            "silver": round(n_rows / silver_sec * 3600),
+        }
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
 if __name__ == "__main__":

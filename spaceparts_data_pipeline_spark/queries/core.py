@@ -863,6 +863,67 @@ def x09_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q24 — anti-join: customers with no orders (the complement of J8's semi).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q24_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    """,
+)
+def q24_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    recent = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(dt.datetime(2001, 1, 1))
+    )
+    return c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# x10 — set operations: INTERSECT / EXCEPT over key domains.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x10_key_set_ops",
+    """
+    WITH oc AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    ec AS (SELECT DISTINCT user_id AS k FROM events)
+    SELECT 'both' AS which, k FROM (SELECT k FROM oc INTERSECT SELECT k FROM ec)
+    UNION ALL
+    SELECT 'orders_only' AS which, k FROM (SELECT k FROM oc EXCEPT SELECT k FROM ec)
+    """,
+)
+def x10_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oc = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    ec = T(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    both = oc.intersect(ec).select(F.lit("both").alias("which"), "k")
+    only = oc.exceptAll(ec).select(F.lit("orders_only").alias("which"), "k")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# x11 — CUBE aggregation (all grouping-set combinations).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x11_cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def x11_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------
