@@ -35,6 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the reference's epoch-disambiguation semantic (SURVEY.md §1.3) and
     matches DuckDB's own ns→µs truncation of the same file.
     """
+    # Timestamps in results must be UTC wall-clock to hash-match the
+    # DuckDB oracle regardless of the host session's timezone.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
