@@ -924,6 +924,65 @@ def x11_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x12 — exact percentiles (interpolated median / p95 per group).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x12_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x12_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x13 — distribution moments from exact sums (order-independent variance/
+# stddev: sqrt((Σx² − (Σx)²/n)/(n−1)) over decimal sums — deterministic
+# under any partitioning, unlike built-in stddev which folds doubles).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x13_stats_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+    FROM s
+    """,
+)
+def x13_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sx"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return s.select(
+        "l_returnflag", "n",
+        (F.col("sx") / F.col("n")).alias("mean_qty"),
+        F.round(F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)), 6).alias("stddev_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------
