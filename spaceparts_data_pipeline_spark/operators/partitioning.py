@@ -61,6 +61,26 @@ def dedup_latest_agg(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt_buckets: int = 16,
+    seed: int = 42,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side's key with a random
+    bucket, replicate the small side across all buckets, join on
+    (keys + salt). A single hot key spreads over ``salt_buckets``
+    reducers instead of one. Use when AQE's skew-join can't help (e.g.
+    deliberately partitioned outputs). Result equals the plain join."""
+    salted = skewed.withColumn("__salt", (F.rand(seed) * salt_buckets).cast("int"))
+    explode_salt = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    replicated = small.withColumn("__salt", explode_salt)
+    out = salted.join(replicated, keys + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def salted_sum(
     df: DataFrame,
     keys: list[str],

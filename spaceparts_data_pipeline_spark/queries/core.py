@@ -983,6 +983,35 @@ def x13_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x14 — event-time RANGE frame: per-user rolling 1-hour window (range by
+# epoch seconds, not row count) — late-arrival-robust rolling metrics.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x14_range_window",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_last_hour
+    FROM events
+    """,
+)
+def x14_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    # DuckDB's epoch(ts) yields fractional seconds; mirror it exactly so
+    # the RANGE frame boundaries agree on sub-second timestamps.
+    sec = F.unix_micros("ts") / F.lit(1_000_000.0)
+    w = Window.partitionBy("user_id").orderBy(sec.alias("__sec")).rangeBetween(-3600, 0)
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double").alias("value_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------

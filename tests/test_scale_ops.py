@@ -67,3 +67,14 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     for qid, _ in approx:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert set(per_q.values()) == {3}
+
+
+def test_salted_join_matches_plain(spark, sf_small):
+    from spaceparts_data_pipeline_spark.operators.partitioning import salted_join
+    l = spark.read.parquet(f"{sf_small}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = l.join(o, ["l_orderkey"], "left")
+    salted = salted_join(l, o, ["l_orderkey"], salt_buckets=8)
+    assert salted.count() == plain.count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
