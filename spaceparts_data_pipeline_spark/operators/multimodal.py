@@ -51,6 +51,33 @@ def real_decode(payload: bytes, media_type: str):  # pragma: no cover - stub
     raise NotImplementedError("image/audio codecs are not available in this environment")
 
 
+def parse_png_header(payload: bytes) -> tuple[int, int] | None:
+    """Parse (width, height) from a PNG IHDR chunk — a real (codec-free)
+    metadata extractor: magic check + big-endian dims at offsets 16/20."""
+    if payload is None or len(payload) < 24 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    return (
+        int.from_bytes(payload[16:20], "big"),
+        int.from_bytes(payload[20:24], "big"),
+    )
+
+
+def extract_image_dims(assets: DataFrame) -> DataFrame:
+    """mapInPandas pipeline extracting real image dimensions from PNG
+    payload headers (no codec needed); NULL dims for non-PNG payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [parse_png_header(None if p is None else bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "png_width": pd.array([d[0] if d else None for d in dims], dtype="Int32"),
+                "png_height": pd.array([d[1] if d else None for d in dims], dtype="Int32"),
+            })
+
+    return assets.mapInPandas(fn, "asset_id long, png_width int, png_height int")
+
+
 def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode/feature-extract assets via Arrow-batched mapInPandas.
 

@@ -1012,6 +1012,105 @@ def x14_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x15 — JSON extraction from the events.props payload column.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x15_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def x15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select("event_id", k.alias("k_value"), (k % 10).alias("k_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# x16 — scalar string kit: case, pad, substring, replace, LIKE, length,
+# conditional NULLIF/GREATEST — the §2.9 string-family surface widened.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x16_string_kit",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(c_mktsegment, 'MACHINERY', 'MACH') AS segment_short,
+           length(c_name) AS name_len,
+           c_name LIKE '%1%' AS has_one,
+           nullif(c_mktsegment, 'BUILDING') AS segment_or_null,
+           greatest(c_acctbal, 0.0) AS nonneg_bal
+    FROM customer
+    """,
+)
+def x16_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_mktsegment"), F.lit("MACHINERY"), F.lit("MACH")).alias("segment_short"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_or_null"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("nonneg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x17 — date/time part extraction + truncation + day arithmetic.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x17_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002
+    FROM orders
+    """,
+)
+def x17_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),  # Spark 1=Sun; DuckDB dow 0=Sun
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit(dt.datetime(2002, 1, 1)).cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x18 — approximate quantiles (the sketch-based scale path for x12; sketch
+# internals are engine-specific → rows-only check, determinism unit-tested).
+# ---------------------------------------------------------------------------
+
+@register("x18_approx_quantiles")
+def x18_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_approx"),
+        F.approx_count_distinct("o_custkey").alias("custkey_approx_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------

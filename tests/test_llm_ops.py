@@ -158,3 +158,24 @@ class TestClustering:
         assert a == b                          # partition-independent
         frac = sum(1 for v in a.values() if v == "train") / len(a)
         assert 0.8 < frac < 0.97               # ~90%
+
+
+class TestPngHeader:
+    def test_parse_and_extract_dims(self, spark):
+        import struct
+        from spaceparts_data_pipeline_spark.operators.multimodal import (
+            extract_image_dims, parse_png_header, ASSET_SCHEMA)
+        def png(w, h):
+            return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                    + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+        assert parse_png_header(png(640, 480)) == (640, 480)
+        assert parse_png_header(b"not a png at all....1234") is None
+        assert parse_png_header(None) is None
+        rows = [
+            (1, "image", png(320, 200), None, None, None),
+            (2, "image", b"JFIF not png", None, None, None),
+            (3, "image", None, None, None, None),
+        ]
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        out = {r["asset_id"]: (r["png_width"], r["png_height"]) for r in extract_image_dims(df).collect()}
+        assert out == {1: (320, 200), 2: (None, None), 3: (None, None)}
