@@ -26,13 +26,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--database", default="spaceparts", help="catalog database for layer tables")
     p.add_argument("--horizon", default=None, help="quarantine future-date cutoff (default: today+730d)")
     p.add_argument("--skip-gold", action="store_true", help="run bronze+silver only")
+    p.add_argument("--warehouse", default=None,
+                   help="persistent warehouse dir (Hive/Derby catalog) so layer tables "
+                        "survive across runs; default: in-memory catalog, single run")
     args = p.parse_args(argv)
 
     from spaceparts_data_pipeline_spark.session import get_spark
     from spaceparts_data_pipeline_spark.plans import runner
     from spaceparts_data_pipeline_spark.streaming.incremental import run_incremental_pipeline
 
-    spark = get_spark(app_name="spaceparts-pipeline")
+    spark = get_spark(app_name="spaceparts-pipeline", persistent_warehouse=args.warehouse)
     spark.sparkContext.setLogLevel("ERROR")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.database}")
     spark.catalog.setCurrentDatabase(args.database)
@@ -46,8 +49,11 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     if args.mode == "incremental":
-        result = run_incremental_pipeline(spark, sources, ts_col=args.ts_col)
-        status = "success"
+        result = run_incremental_pipeline(spark, sources, ts_col=args.ts_col, skip_gold=args.skip_gold)
+        statuses = [t.get("status") for layer in ("bronze", "silver") for t in result[layer].values()]
+        statuses += [t.get("status") for t in result["gold"].values()]
+        status = "success" if all(x == "success" for x in statuses) else (
+            "failed" if all(x != "success" for x in statuses) else "completed_with_errors")
     else:
         b = runner.run_bronze_layer(spark, sources)
         s = runner.run_silver_layer(spark, horizon=args.horizon)

@@ -22,6 +22,26 @@ from spaceparts_data_pipeline_spark.sources.parquet import DEFAULT_OVERLAP, wate
 SOURCE_SYSTEM = "spaceparts"
 
 
+def _append_with_evolution(spark: SparkSession, incoming: DataFrame, target: str) -> None:
+    """Append with schema evolution (the reference's Delta `mergeSchema`
+    semantic, K2, re-expressed for plain Parquet tables).
+
+    - incoming ⊆ existing columns: plain append (missing cols → NULL).
+    - incoming adds columns: one-time table rewrite with the union
+      schema (existing rows get NULLs), then the append is part of the
+      rewrite. On Delta-capable clusters this whole helper collapses to
+      `option("mergeSchema", "true")`.
+    """
+    existing = spark.table(target)
+    new_cols = [c for c in incoming.columns if c not in existing.columns]
+    if not new_cols:
+        incoming.unionByName(existing.limit(0), allowMissingColumns=True) \
+            .write.mode("append").saveAsTable(target)
+        return
+    merged = existing.unionByName(incoming, allowMissingColumns=True)
+    merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(target)
+
+
 def prepare(df: DataFrame) -> DataFrame:
     """Sanitize identifiers + attach load metadata (one projection)."""
     return (
@@ -62,8 +82,10 @@ def run_incremental(
     wm = logs.last_watermark(spark, control_table, table)
     incoming = prepare(watermark_scan(source, ts_col, wm, overlap))
     target = f"bronze_{table}"
-    mode = "append" if spark.catalog.tableExists(target) else "overwrite"
-    incoming.write.mode(mode).option("mergeSchema", "true").saveAsTable(target)
+    if spark.catalog.tableExists(target):
+        _append_with_evolution(spark, incoming, target)
+    else:
+        incoming.write.mode("overwrite").saveAsTable(target)
     stats = incoming.agg(
         F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("mx")
     ).collect()[0]

@@ -48,7 +48,12 @@ def run_full(
     source_table: str | None = None,
     log_table: str = "silver_execution_log",
     horizon=None,
+    sort_by: list[str] | None = None,
 ) -> dict:
+    """``sort_by``: optionally sort within partitions before the write so
+    parquet row-group min/max statistics prune downstream key lookups
+    (the Parquet analog of the reference's dataSkippingNumIndexedCols +
+    OPTIMIZE clustering, SURVEY.md §4)."""
     execution_id = execution_id or logs.new_execution_id()
     src = spark.table(source_table or f"bronze_{table}")
     clean, quarantined = transform(src, table, execution_id, horizon=horizon)
@@ -57,6 +62,8 @@ def run_full(
         quarantined.write.mode("append").option("mergeSchema", "true").saveAsTable(
             f"silver_quarantine_{table}"
         )
+    if sort_by:
+        clean = clean.sortWithinPartitions(*sort_by)
     clean.write.mode("overwrite").saveAsTable(f"silver_{table}")
     n = spark.table(f"silver_{table}").count()
     logs.append_log(spark, log_table, "silver", table, execution_id, "success", n)

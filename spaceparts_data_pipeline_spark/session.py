@@ -29,11 +29,17 @@ def get_spark(
     app_name: str = "spaceparts-engine",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    persistent_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults.
 
     On a real cluster, ``master`` comes from the environment / launcher;
     locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+
+    ``persistent_warehouse``: directory for a Hive/Derby-backed catalog
+    so ``saveAsTable`` tables survive across processes (used by the CLI
+    for multi-run incremental pipelines; the default in-memory catalog
+    lives and dies with the session).
     """
     master = master or os.environ.get("SPARK_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
@@ -43,8 +49,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
     )
+    if persistent_warehouse:
+        wh = os.path.abspath(persistent_warehouse)
+        os.makedirs(wh, exist_ok=True)
+        builder = (
+            builder.config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", os.path.join(wh, "tables"))
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={os.path.join(wh, 'metastore_db')};create=true",
+            )
+            .enableHiveSupport()
+        )
+    else:
+        builder = builder.config(
+            "spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse")
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -39,6 +39,7 @@ def run_incremental_pipeline(
     lookback_days: int = DEFAULT_LOOKBACK_DAYS,
     now: dt.datetime | None = None,
     force_full_refresh: bool = False,
+    skip_gold: bool = False,
 ) -> dict:
     results: dict = {"bronze": {}, "silver": {}, "gold": {}}
     for table in sorted(sources):
@@ -46,6 +47,7 @@ def run_incremental_pipeline(
     for table in sorted(sources):
         incoming = spark.table(f"bronze_{table}")
         results["silver"][table] = silver.run_incremental(spark, table, incoming, order_col=ts_col)
-    wm = effective_watermark(lookback_days, now)
-    results["gold"] = gold.run_incremental(spark, wm, force_full_refresh=force_full_refresh)
+    if not skip_gold:
+        wm = effective_watermark(lookback_days, now)
+        results["gold"] = gold.run_incremental(spark, wm, force_full_refresh=force_full_refresh)
     return results

@@ -70,3 +70,32 @@ def test_overlap_reappend_is_idempotent_in_silver(spark, inc_db):
     run_incremental_pipeline(spark, {"fact_idem": src})
     assert spark.table("bronze_fact_idem").count() == 4     # append kept the overlap dupes
     assert spark.table("silver_fact_idem").count() == 2     # silver exactly-once
+
+
+def test_bronze_schema_evolution(spark, inc_db):
+    from spaceparts_data_pipeline_spark.plans import bronze
+    src1 = spark.createDataFrame([("o1", 10.0, T0)], SCHEMA)
+    bronze.run_incremental(spark, src1, "fact_evolve")
+    # round 2 adds a column the source didn't have before
+    schema2 = StructType(SCHEMA.fields + [StructField("channel", StringType())])
+    src2 = spark.createDataFrame([("o2", 20.0, T1, "web")], schema2)
+    bronze.run_incremental(spark, src2, "fact_evolve")
+    t = spark.table("bronze_fact_evolve")
+    assert "channel" in t.columns
+    rows = {r["order_number"]: r["channel"] for r in t.collect()}
+    assert rows == {"o1": None, "o2": "web"}       # old rows NULL-filled
+    # round 3 back to the narrow schema: append with NULL for the new col
+    src3 = spark.createDataFrame([("o3", 30.0, T1 + dt.timedelta(hours=2))], SCHEMA)
+    bronze.run_incremental(spark, src3, "fact_evolve")
+    t = spark.table("bronze_fact_evolve")
+    assert {r["order_number"] for r in t.collect()} == {"o1", "o2", "o3"}
+
+
+def test_silver_sorted_write(spark, inc_db):
+    from spaceparts_data_pipeline_spark.plans import bronze, silver
+    rows = [(f"o{i}", float(i), T0) for i in range(100)]
+    bronze.run_full(spark, spark.createDataFrame(rows, SCHEMA), "fact_sorted")
+    silver.run_full(spark, "fact_sorted", sort_by=["order_number"])
+    t = spark.table("silver_fact_sorted")
+    assert t.count() == 100
+    assert t.filter(F.col("order_number") == "o42").count() == 1
