@@ -32,6 +32,7 @@ HEADLINE = [
     "d04_text_quality",
     "d07_minhash_lsh_pairs",
     "e01_knn_topk",
+    "e05_knn_topk_vectorized",
     "e03_similar_pairs_lsh",
 ]
 

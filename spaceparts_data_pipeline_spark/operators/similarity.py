@@ -118,6 +118,62 @@ def signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return total
 
 
+def knn_bruteforce_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Same semantics as :func:`knn_bruteforce`, computed with NumPy
+    matmul inside Arrow-batched ``mapInPandas`` — the vectorized-Python
+    fast path for when per-element higher-order functions bottleneck.
+
+    The (small) query matrix rides in the UDF closure; each corpus
+    Arrow batch does one (batch × dim)·(dim × q) product and emits its
+    per-query top-(k+1) candidates; a final window selects the global
+    top-k. Scales: corpus-linear, one small shuffle of candidates.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small side only
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    keep = k + 1  # +1 so dropping the self-match cannot lose a true top-k
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__nv"]])
+            cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            cos = cnorm @ qnorm.T                      # (batch, n_queries)
+            n = min(keep, cos.shape[0])
+            top = np.argpartition(-cos, n - 1, axis=0)[:n]  # per-query candidate rows
+            nids = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j in range(cos.shape[1]):
+                rows = top[:, j]
+                out_q.extend([q_ids[j]] * len(rows))
+                out_n.extend(nids[rows])
+                out_c.extend(cos[rows, j])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "__cos": out_c})
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    cands = _ensure_parallel(c).mapInPandas(fn, "query_id long, neighbor_id long, __cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        cands.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank", F.round("__cos", 6).alias("cosine_sim"))
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -363,6 +363,50 @@ def e04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x19 — array-column functions over embeddings (size/min/max/slice).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x19_array_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+           CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    """,
+)
+def x19_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+        F.array_min("embedding").cast("double").alias("min_elem"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e05 — vectorized kNN via Arrow pandas_udf (NumPy matmul): same results
+# as e01, the fast path when built-in higher-order functions become the
+# bottleneck. Same oracle as e01.
+# ---------------------------------------------------------------------------
+
+@register(
+    "e05_knn_topk_vectorized",
+    ORACLES.get("e01_knn_topk"),
+)
+def e05_knn_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return similarity.knn_bruteforce_vectorized(e, q, k=3)
+
+
+# ---------------------------------------------------------------------------
 # m01 — multimodal plumbing: binary payload through Arrow mapInPandas,
 # oracle-checked against octet_length.
 # ---------------------------------------------------------------------------
