@@ -1111,6 +1111,81 @@ def x18_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x20 — HAVING: post-aggregation filtering (customers with ≥12 orders).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x20_having_filter",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+)
+def x20_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x21 — ranking-function family: rank, dense_rank, lead, first_value over
+# a deterministic per-group order.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x21_ranking_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS INT) AS price_rank,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INT) AS priority_dense_rank,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER w AS top_orderkey
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def x21_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(wp).alias("priority_dense_rank"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first_value("o_orderkey").over(w).alias("top_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x22 — scalar-subquery predicate: orders above the (exact) global mean.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x22_above_average_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) FROM orders
+    )
+    """,
+)
+def x22_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    avg_df = o.agg(davg("o_totalprice", "__avg"))
+    return (
+        o.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------
