@@ -1186,6 +1186,28 @@ def x22_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x24 — unpivot (wide→long): per-order metrics as (metric, value) rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x24_unpivot_metrics",
+    """
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def x24_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, 'custkey', cast(o_custkey as double))"
+        ).alias("metric", "value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------

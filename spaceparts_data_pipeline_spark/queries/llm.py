@@ -407,6 +407,30 @@ def e05_knn_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x23 — positional explode (token position index), the lateral-view shape.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x23_posexplode_tokens",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 20 AND length(trim(text)) > 0
+    ),
+    u AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), i -> {'pos': i - 1, 'tok': t[i]})) AS s
+      FROM toks
+    )
+    SELECT doc_id, CAST(s.pos AS INT) AS pos, s.tok AS token FROM u
+    """,
+)
+def x23_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter((F.col("doc_id") < 20) & (F.length(F.trim("text")) > 0))
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    return toks.select("doc_id", F.posexplode("t").alias("pos", "token"))
+
+
+# ---------------------------------------------------------------------------
 # m01 — multimodal plumbing: binary payload through Arrow mapInPandas,
 # oracle-checked against octet_length.
 # ---------------------------------------------------------------------------
