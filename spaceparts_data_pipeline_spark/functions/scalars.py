@@ -93,9 +93,15 @@ def epoch_to_timestamp(col: Column | str) -> Column:
     silver_processor.py:143-149.
     """
     c = _c(col)
+    # ns → µs must stay in exact integer arithmetic: 2025-era ns epochs
+    # (~1.7e18) exceed double's 2^53 integer range, so `c / 1e9` can land
+    # on a different microsecond. Decimal division keeps every digit and
+    # the decimal→long cast truncates — same semantics as SQL `div`
+    # (mirrors sources/parquet.load_table's `ts div 1000`).
+    micros = (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
     return F.when(
         F.abs(c) > F.lit(EPOCH_NS_THRESHOLD),
-        F.timestamp_seconds(c / F.lit(1_000_000_000.0)),
+        F.timestamp_micros(micros),
     ).otherwise(F.timestamp_seconds(c))
 
 

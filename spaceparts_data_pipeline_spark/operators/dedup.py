@@ -22,9 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: metadata columns never used as dedup keys
+#: metadata columns never used as dedup keys (p_bucket/p_month are the
+#: engine's derived partition columns — layout, not identity)
 META_COLUMNS = {"dwcreateddate", "load_date", "source_system", "silver_created_date",
-                "silver_execution_id", "gold_created_date", "gold_execution_id"}
+                "silver_execution_id", "gold_created_date", "gold_execution_id",
+                "p_bucket", "p_month"}
 
 KEY_PATTERNS = ("_number", "_key")
 

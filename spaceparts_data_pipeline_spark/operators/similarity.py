@@ -174,6 +174,25 @@ def knn_bruteforce_vectorized(
     )
 
 
+def assign_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for the corpus side of IVF.
+
+    argmax via ``max_by`` over (cos, -centroid_id): map-side combinable,
+    so the broadcast-crossJoin's ×n_centroids fan-out collapses in the
+    partial aggregation and the exchange carries ONE row per corpus
+    vector — no window, no sort, no ×n_centroids shuffle. ``corpus``
+    must have columns (neighbor_id, __nv); ``cents`` (centroid_id, __cv).
+    """
+    assign_ord = F.struct(F.col("__ccos").alias("s"), (-F.col("centroid_id")).alias("t"))
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("__ccos", cosine(F.col("__nv"), F.col("__cv")))
+        .groupBy("neighbor_id")
+        .agg(F.max_by(F.struct(F.col("centroid_id"), F.col("__nv")), assign_ord).alias("__best"))
+        .select("neighbor_id", F.col("__best.__nv").alias("__nv"), F.col("__best.centroid_id").alias("centroid_id"))
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,13 +204,16 @@ def knn_ivf(
 ) -> DataFrame:
     """IVF-style approximate kNN: coarse-quantize the corpus into
     ``n_centroids`` cells (centroids = deterministic sample: the first
-    ``n_centroids`` vectors by id), then each query scans only its
-    ``n_probe`` nearest cells.
+    ``n_centroids`` vectors by id — swap in sampled / k-means|| centroids
+    for better recall on clustered corpora; the plan shape is identical),
+    then each query scans only its ``n_probe`` nearest cells.
 
     At 100 TB the corpus-side cell assignment is one broadcast-join
-    pass, the index is just a `centroid_id` column (write the corpus
-    bucketed/partitioned by it), and each query touches
-    ``n_probe/n_centroids`` of the data instead of all of it.
+    pass whose ×n_centroids fan-out collapses in the map-side partial
+    aggregation (``max_by`` — no window sort, the shuffle carries one
+    row per corpus vector). The index is just a `centroid_id` column
+    (write the corpus bucketed/partitioned by it), and each query
+    touches ``n_probe/n_centroids`` of the data instead of all of it.
     Recall < 1 by design; raise ``n_probe`` to trade cost for recall.
     """
     from pyspark.sql import Window
@@ -202,14 +224,7 @@ def knn_ivf(
     )
     # corpus → nearest centroid (by cosine), one broadcast pass
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
-    assign_w = Window.partitionBy("neighbor_id").orderBy(F.desc("__ccos"), F.asc("centroid_id"))
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__ccos", cosine(F.col("__nv"), F.col("__cv")))
-        .withColumn("__r", F.row_number().over(assign_w))
-        .filter(F.col("__r") == 1)
-        .select("neighbor_id", "__nv", "centroid_id")
-    )
+    assigned = assign_cells(c, cents)
     # query → its n_probe nearest centroids
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("__qcos"), F.asc("centroid_id"))

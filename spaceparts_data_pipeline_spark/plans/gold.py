@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spaceparts_data_pipeline_spark.functions.scalars import document_category
-from spaceparts_data_pipeline_spark.operators.merge import merge_upsert
+from spaceparts_data_pipeline_spark.operators.merge import merge_into_table
 from spaceparts_data_pipeline_spark.plans import logs
 
 
@@ -156,24 +156,44 @@ class GoldModel:
     merge_keys: list[str]
     watermark_col: str = "silver_created_date"
     source_tables: list[str] = field(default_factory=list)
+    #: (partition_col, expr_factory): a column *derived from the merge
+    #: keys* (so an upsert never moves a row across partitions). Facts
+    #: partition by month of the business date — the reference's
+    #: watermark-window access pattern; dims by a 16-way key-hash bucket.
+    #: Incremental merges then rewrite only touched partitions.
+    partition: tuple | None = None
+
+
+def _month_of(col: str):
+    return lambda: F.trunc(col, "month")
+
+
+def _bucket_of(col: str, n: int = 16):
+    return lambda: F.pmod(F.xxhash64(col), F.lit(n))
 
 
 MODELS: list[GoldModel] = [
     GoldModel("gold_dim_customer", build_dim_customer, ["customer_key"],
-              source_tables=["dim_customers"]),
+              source_tables=["dim_customers"],
+              partition=("p_bucket", _bucket_of("customer_key"))),
     GoldModel("gold_dim_product", build_dim_product, ["product_key"],
-              source_tables=["dim_products"]),
+              source_tables=["dim_products"],
+              partition=("p_bucket", _bucket_of("product_key"))),
     GoldModel("gold_fact_sales", build_fact_sales,
               ["customer_key", "product_key", "billing_date", "billing_document_number",
                "billing_document_line_item_number"],
-              source_tables=["fact_invoices"]),
+              source_tables=["fact_invoices"],
+              partition=("p_month", _month_of("billing_date"))),
     GoldModel("gold_fact_orders", build_fact_orders,
               ["customer_key", "product_key", "order_date", "sales_order_document_number",
                "sales_order_document_line_item_number"],
-              source_tables=["fact_orders"]),
+              source_tables=["fact_orders"],
+              partition=("p_month", _month_of("order_date"))),
     GoldModel("gold_fact_budget", build_fact_budget,
               ["customer_key", "product_key", "budget_month"],
-              source_tables=["fact_budget"]),
+              source_tables=["fact_budget"],
+              partition=("p_month", _month_of("budget_month"))),
+    # calendar dim: tiny, rebuilt in one shot — no partitioning needed
     GoldModel("gold_dim_date", build_dim_date, ["date_key"],
               source_tables=["fact_invoices", "fact_orders", "fact_budget"]),
 ]
@@ -186,7 +206,12 @@ def run_full(spark: SparkSession, execution_id: str | None = None,
     for m in models or MODELS:
         try:
             df = m.builder(spark)
-            df.write.mode("overwrite").saveAsTable(m.name)
+            if m.partition:
+                pcol, pexpr = m.partition
+                df.withColumn(pcol, pexpr()).write.mode("overwrite") \
+                    .partitionBy(pcol).saveAsTable(m.name)
+            else:
+                df.write.mode("overwrite").saveAsTable(m.name)
             n = spark.table(m.name).count()
             logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
             results[m.name] = {"status": "success", "records": n}
@@ -206,29 +231,46 @@ def run_incremental(
 ) -> dict:
     """Incremental gold: dims → changed-key semi-join restriction (J8)
     then MERGE; facts → watermark filter on the rebuilt rows (P6) then
-    MERGE on the composite business key (K3)."""
+    MERGE on the composite business key (K3). Partitioned models rewrite
+    only the partitions the delta touches (dynamic partition overwrite —
+    the Parquet analog of Delta ``MERGE INTO``'s file-level rewrite)."""
     execution_id = execution_id or logs.new_execution_id()
     results = {}
     for m in models or MODELS:
-        if force_full_refresh or not spark.catalog.tableExists(m.name):
-            results[m.name] = run_full(spark, execution_id, log_table, models=[m])[m.name]
-            results[m.name]["mode"] = "full_refresh"
-            continue
-        source = spark.table(f"silver_{m.source_tables[0]}")
-        changed = source.filter(F.col(m.watermark_col) >= F.lit(watermark))
-        rebuilt = m.builder(spark)
-        # restrict the rebuild to changed business keys where the source
-        # carries them (J8); models whose keys are derived (e.g. the
-        # calendar's date_key) fall back to a full-delta MERGE
-        join_keys = [c for c in m.merge_keys if c in changed.columns]
-        delta = (
-            rebuilt.join(changed.select(*join_keys).distinct(), join_keys, "left_semi")
-            if join_keys else rebuilt
-        )
-        target = spark.table(m.name)
-        merged = merge_upsert(target, delta.select(*target.columns), m.merge_keys)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(m.name)
-        n = delta.count()
-        logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
-        results[m.name] = {"status": "success", "records": n, "mode": "incremental"}
+        try:
+            if force_full_refresh or not spark.catalog.tableExists(m.name):
+                results[m.name] = run_full(spark, execution_id, log_table, models=[m])[m.name]
+                results[m.name]["mode"] = "full_refresh"
+                continue
+            source = spark.table(f"silver_{m.source_tables[0]}")
+            changed = source.filter(F.col(m.watermark_col) >= F.lit(watermark))
+            rebuilt = m.builder(spark)
+            # restrict the rebuild to changed business keys where the source
+            # carries them (J8); models whose keys are derived (e.g. the
+            # calendar's date_key) fall back to a full-delta MERGE.
+            join_keys = [c for c in m.merge_keys if c in changed.columns]
+            if join_keys:
+                # Cast the changed-side keys through the rebuilt side's
+                # types (e.g. silver TIMESTAMP → gold DATE): a raw
+                # DATE = TIMESTAMP comparison coerces DATE to midnight,
+                # silently dropping any non-midnight update from the delta.
+                rtypes = dict(rebuilt.dtypes)
+                keys_df = changed.select(
+                    *[F.col(k).cast(rtypes[k]).alias(k) for k in join_keys]
+                ).distinct()
+                delta = rebuilt.join(keys_df, join_keys, "left_semi")
+            else:
+                delta = rebuilt
+            if m.partition:
+                pcol, pexpr = m.partition
+                delta = delta.withColumn(pcol, pexpr())
+                merge_into_table(spark, m.name, delta, m.merge_keys, partition_col=pcol)
+            else:
+                merge_into_table(spark, m.name, delta, m.merge_keys)
+            n = delta.count()
+            logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
+            results[m.name] = {"status": "success", "records": n, "mode": "incremental"}
+        except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting
+            logs.append_log(spark, log_table, "gold", m.name, execution_id, "failed", None, str(exc)[:500])
+            results[m.name] = {"status": "failed", "error": str(exc)}
     return results

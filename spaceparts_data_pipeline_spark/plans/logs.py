@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, StringType, StructField, StructType, TimestampType,
+    LongType, StringType, StructField, StructType, TimestampType,
 )
 
 #: bronze_full_load.ipynb:1 (cells 30, 32); Silver_full_load.ipynb:1 (cell 12)
@@ -24,7 +24,9 @@ EXECUTION_LOG_SCHEMA = StructType([
     StructField("execution_id", StringType(), False),
     StructField("execution_timestamp", TimestampType(), False),
     StructField("status", StringType(), False),
-    StructField("record_count", IntegerType(), True),
+    # Long, not Integer: populated from DataFrame.count(), which exceeds
+    # 2^31 on the table sizes this engine targets.
+    StructField("record_count", LongType(), True),
     StructField("message", StringType(), True),
 ])
 
@@ -35,7 +37,7 @@ CONTROL_SCHEMA = StructType([
     StructField("execution_timestamp", TimestampType(), False),
     StructField("last_extracted_timestamp", TimestampType(), True),
     StructField("status", StringType(), False),
-    StructField("record_count", IntegerType(), True),
+    StructField("record_count", LongType(), True),
 ])
 
 

@@ -17,10 +17,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spaceparts_data_pipeline_spark.operators.dedup import dedup_latest, infer_keys
-from spaceparts_data_pipeline_spark.operators.merge import upsert_union_dedup
+from spaceparts_data_pipeline_spark.operators.merge import physical_partition_cols, upsert_union_dedup
 from spaceparts_data_pipeline_spark.operators.quality import drop_all_null, quarantine_split
 from spaceparts_data_pipeline_spark.operators.standardize import standardize_types
 from spaceparts_data_pipeline_spark.plans import logs
+
+#: Silver tables are partitioned by a key-hash bucket. Because the bucket
+#: is a pure function of the dedup keys, a key NEVER moves partitions and
+#: an upsert can never empty one — so an incremental merge reads and
+#: rewrites only the buckets its incoming keys hash into (dynamic
+#: partition overwrite), O(touched buckets) instead of O(table). Size
+#: ``n_buckets`` so one bucket ≈ executor-memory-sized at the target
+#: scale (16 suits tests; thousands at 100 TB). Changing it requires a
+#: full rewrite — it must stay constant across incremental runs.
+PARTITION_COL = "p_bucket"
+DEFAULT_N_BUCKETS = 16
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
+                       n_buckets: int, sort_by: list[str] | None = None) -> None:
+    out = clean.withColumn(PARTITION_COL, _bucket_expr(keys, n_buckets))
+    # one shuffle by bucket so each partition dir gets few, large files
+    # (AQE coalesces); without it every task writes a file per bucket.
+    out = out.repartition(F.col(PARTITION_COL))
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").partitionBy(PARTITION_COL).saveAsTable(target)
 
 
 def transform(
@@ -49,22 +75,25 @@ def run_full(
     log_table: str = "silver_execution_log",
     horizon=None,
     sort_by: list[str] | None = None,
+    order_col: str = "dwcreateddate",
+    n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> dict:
-    """``sort_by``: optionally sort within partitions before the write so
-    parquet row-group min/max statistics prune downstream key lookups
-    (the Parquet analog of the reference's dataSkippingNumIndexedCols +
-    OPTIMIZE clustering, SURVEY.md §4)."""
+    """``sort_by``: sort rows within each written file so parquet
+    row-group min/max statistics prune downstream key lookups (the
+    Parquet analog of the reference's dataSkippingNumIndexedCols +
+    OPTIMIZE clustering, SURVEY.md §4). Defaults to the inferred dedup
+    keys — the columns downstream merges and lookups filter on."""
     execution_id = execution_id or logs.new_execution_id()
     src = spark.table(source_table or f"bronze_{table}")
-    clean, quarantined = transform(src, table, execution_id, horizon=horizon)
+    clean, quarantined = transform(src, table, execution_id, order_col=order_col, horizon=horizon)
     n_quarantined = quarantined.count()
     if n_quarantined:
         quarantined.write.mode("append").option("mergeSchema", "true").saveAsTable(
             f"silver_quarantine_{table}"
         )
-    if sort_by:
-        clean = clean.sortWithinPartitions(*sort_by)
-    clean.write.mode("overwrite").saveAsTable(f"silver_{table}")
+    keys = infer_keys(clean.columns, order_col)
+    _write_partitioned(clean, f"silver_{table}", keys, n_buckets,
+                       sort_by=sort_by if sort_by is not None else keys)
     n = spark.table(f"silver_{table}").count()
     logs.append_log(spark, log_table, "silver", table, execution_id, "success", n)
     return {"table": table, "status": "success", "records": n, "quarantined": n_quarantined}
@@ -81,19 +110,45 @@ def run_incremental(
     horizon=None,
 ) -> dict:
     """Silver upsert: clean the incoming slice, union with the existing
-    silver table, keep-latest per inferred key, overwrite (U1+W1/W2 —
-    the reference's silver merge strategy)."""
+    rows OF THE TOUCHED KEY-HASH BUCKETS only, keep-latest per inferred
+    key, dynamic-partition-overwrite those buckets (U1+W1/W2 — the
+    reference's silver merge strategy, at O(touched buckets) I/O).
+    Schema drift (incoming adds columns) falls back to a full rewrite
+    with the union schema, like bronze's append-with-evolution."""
     execution_id = execution_id or logs.new_execution_id()
     clean, quarantined = transform(incoming, table, execution_id, order_col=order_col, horizon=horizon)
     target = f"silver_{table}"
+    n_buckets = DEFAULT_N_BUCKETS
     if spark.catalog.tableExists(target):
         existing = spark.table(target)
         keys = infer_keys(existing.columns, order_col)
-        merged = upsert_union_dedup(existing, clean, keys=keys, order_col=order_col)
-        # Materialize before overwriting the table we read from.
-        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(target)
+        partitioned = (
+            PARTITION_COL in physical_partition_cols(spark, target)
+            and all(c in existing.columns for c in clean.columns)
+        )
+        if partitioned:
+            clean_p = clean.withColumn(PARTITION_COL, _bucket_expr(keys, n_buckets))
+            parts = [r[0] for r in clean_p.select(PARTITION_COL).distinct().collect()]
+            sub = existing.filter(F.col(PARTITION_COL).isin(parts))
+            merged = upsert_union_dedup(sub, clean_p, keys=keys, order_col=order_col)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                # checkpoint materializes only the touched buckets
+                merged.select(*existing.columns).localCheckpoint(eager=True) \
+                    .write.mode("overwrite").insertInto(target)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            # schema drift or legacy unpartitioned table: one-time full
+            # rewrite with the union schema, re-bucketed going forward
+            base = existing.drop(PARTITION_COL) if PARTITION_COL in existing.columns else existing
+            merged = upsert_union_dedup(base, clean, keys=keys, order_col=order_col)
+            ck = merged.localCheckpoint(eager=True)
+            _write_partitioned(ck, target, infer_keys(ck.columns, order_col), n_buckets)
     else:
-        clean.write.mode("overwrite").saveAsTable(target)
+        keys = infer_keys(clean.columns, order_col)
+        _write_partitioned(clean, target, keys, n_buckets, sort_by=keys)
     if quarantined.isEmpty() is False:
         quarantined.write.mode("append").option("mergeSchema", "true").saveAsTable(
             f"silver_quarantine_{table}"

@@ -1096,17 +1096,36 @@ def x17_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x18 — approximate quantiles (the sketch-based scale path for x12; sketch
-# internals are engine-specific → rows-only check, determinism unit-tested).
+# x18 — approximate quantiles (the sketch-based scale path for x12). Sketch
+# values are engine-specific, so the oracle checks the *containment
+# properties* instead: exact per-group n, approx-median ∈ [min, max], and
+# HLL distinct within ±30% of the exact count (default rsd is 5%, so 30%
+# is a safe deterministic envelope). The DuckDB twin emits the same
+# booleans as TRUE — an out-of-bounds sketch flips the value hash.
 # ---------------------------------------------------------------------------
 
-@register("x18_approx_quantiles")
+@register(
+    "x18_approx_quantiles",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           TRUE AS median_in_bounds, TRUE AS distinct_in_bounds
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def x18_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_approx"),
-        F.approx_count_distinct("o_custkey").alias("custkey_approx_distinct"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("__med"),
+        F.approx_count_distinct("o_custkey").alias("__cd"),
         F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("__mn"),
+        F.max("o_totalprice").alias("__mx"),
+        F.count_distinct("o_custkey").alias("__d"),
+    )
+    return agg.select(
+        "o_orderpriority", "n",
+        ((F.col("__med") >= F.col("__mn")) & (F.col("__med") <= F.col("__mx"))).alias("median_in_bounds"),
+        (F.abs(F.col("__cd") - F.col("__d")) <= F.col("__d") * 0.3).alias("distinct_in_bounds"),
     )
 
 

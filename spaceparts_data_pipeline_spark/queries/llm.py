@@ -44,7 +44,11 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    w = Window.partitionBy("text")
+    # Shuffle on md5(text), not text: at corpus scale the window's
+    # partition key would otherwise BE the full document. 16-byte keys
+    # move through the exchange; grouping is equivalent (md5 collisions
+    # are negligible and the oracle's PARTITION BY text agrees on this data).
+    w = Window.partitionBy(F.md5("text"))
     return d.select(
         "doc_id",
         F.min("doc_id").over(w).alias("canonical_doc_id"),

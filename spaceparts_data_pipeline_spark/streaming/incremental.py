@@ -18,7 +18,8 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spaceparts_data_pipeline_spark.plans import bronze, gold, silver
+from spaceparts_data_pipeline_spark.plans import bronze, gold, logs, silver
+from spaceparts_data_pipeline_spark.sources.parquet import watermark_scan
 
 DEFAULT_LOOKBACK_DAYS = 7
 
@@ -45,7 +46,13 @@ def run_incremental_pipeline(
     for table in sorted(sources):
         results["bronze"][table] = bronze.run_incremental(spark, sources[table], table, ts_col=ts_col)
     for table in sorted(sources):
-        incoming = spark.table(f"bronze_{table}")
+        # Feed silver only the bronze slice above its own last control
+        # watermark (minus the standard overlap), not the full history:
+        # keeps the silver stage O(increment) and stops the quarantine
+        # side-sink from re-deriving (and re-appending) old bad rows
+        # every run. First run: no watermark → full scan.
+        wm = logs.last_watermark(spark, "silver_incremental_control", table)
+        incoming = watermark_scan(spark.table(f"bronze_{table}"), ts_col, wm)
         results["silver"][table] = silver.run_incremental(spark, table, incoming, order_col=ts_col)
     if not skip_gold:
         wm = effective_watermark(lookback_days, now)

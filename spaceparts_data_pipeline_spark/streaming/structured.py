@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from spaceparts_data_pipeline_spark.operators.merge import merge_upsert
+from spaceparts_data_pipeline_spark.operators.merge import merge_into_table
 
 
 def stream_events(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
@@ -122,18 +122,22 @@ def stream_upsert(
     keys: list[str],
     order_col: str,
     checkpoint_dir: str,
+    partition_col: str | None = None,
 ):
     """writeStream.foreachBatch MERGE: each micro-batch upserts into
     ``target_table`` with the engine's keyed merge (dedup-latest source,
-    null-safe match). Returns the StreamingQuery (availableNow)."""
+    null-safe match). When the target is partitioned on ``partition_col``
+    (a function of the keys), each micro-batch rewrites only the touched
+    partitions — O(batch), not O(table), per trigger. Returns the
+    StreamingQuery (availableNow)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not spark.catalog.tableExists(target_table):
             batch_df.write.mode("overwrite").saveAsTable(target_table)
             return
         target = spark.table(target_table)
-        merged = merge_upsert(target, batch_df.select(*target.columns), keys, order_col=order_col)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(target_table)
+        merge_into_table(spark, target_table, batch_df.select(*target.columns), keys,
+                         partition_col=partition_col, order_col=order_col)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -91,6 +91,93 @@ def test_bronze_schema_evolution(spark, inc_db):
     assert {r["order_number"] for r in t.collect()} == {"o1", "o2", "o3"}
 
 
+def _table_location(spark, table: str) -> str:
+    loc = [r.data_type for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+           if r.col_name.strip() == "Location"][0]
+    return loc.replace("file:", "")
+
+
+def _parquet_files(table_dir: str) -> dict[str, float]:
+    import os
+    out = {}
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_silver_incremental_rewrites_only_touched_buckets(spark, inc_db):
+    """The partition-scoped upsert must leave untouched bucket dirs'
+    files byte-for-byte alone (same paths, same mtimes) — O(delta
+    buckets) I/O, not a full-table rewrite."""
+    from spaceparts_data_pipeline_spark.plans import bronze, silver
+    from spaceparts_data_pipeline_spark.plans.silver import DEFAULT_N_BUCKETS, PARTITION_COL
+
+    rows = [(f"o{i}", float(i), T0) for i in range(200)]
+    bronze.run_full(spark, spark.createDataFrame(rows, SCHEMA), "fact_part")
+    silver.run_full(spark, "fact_part")
+    tdir = _table_location(spark, "silver_fact_part")
+    before = _parquet_files(tdir)
+    assert before, tdir
+
+    # one updated key → exactly one touched bucket
+    inc = spark.createDataFrame([("o5", 999.0, T1)], SCHEMA)
+    silver.run_incremental(spark, "fact_part", inc)
+
+    t = spark.table("silver_fact_part")
+    touched = t.filter(F.col("order_number") == "o5").select(PARTITION_COL).collect()[0][0]
+    assert 0 <= touched < DEFAULT_N_BUCKETS
+    got = {r["order_number"]: r["amount"] for r in t.collect()}
+    assert got["o5"] == 999.0 and len(got) == 200
+    after = _parquet_files(tdir)
+    untouched_before = {p: m for p, m in before.items()
+                        if f"{PARTITION_COL}={touched}" not in p}
+    untouched_after = {p: m for p, m in after.items()
+                       if f"{PARTITION_COL}={touched}" not in p}
+    assert untouched_before == untouched_after   # bytes on disk unchanged
+    # and the touched bucket WAS rewritten
+    assert {p for p in before if f"{PARTITION_COL}={touched}" in p} != \
+           {p for p in after if f"{PARTITION_COL}={touched}" in p}
+
+
+def test_gold_incremental_rewrites_only_touched_months(spark, inc_db):
+    """Gold fact merge with a delta confined to one month must rewrite
+    only that month's partition (dynamic partition overwrite)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.operators.merge import merge_into_table
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.to_date(F.lit("2025-01-15")).alias("billing_date"),
+        (F.col("id") * 1.0).alias("v"),
+    ).union(spark.range(100, 200).select(
+        F.col("id").alias("k"),
+        F.to_date(F.lit("2025-02-15")).alias("billing_date"),
+        (F.col("id") * 1.0).alias("v"),
+    )).withColumn("p_month", F.trunc("billing_date", "month"))
+    base.write.mode("overwrite").partitionBy("p_month").saveAsTable("gold_mini")
+    tdir = _table_location(spark, "gold_mini")
+    before = _parquet_files(tdir)
+
+    delta = spark.createDataFrame(
+        [(5, dtm.date(2025, 1, 20), 555.0)], "k long, billing_date date, v double"
+    ).withColumn("p_month", F.trunc("billing_date", "month"))
+    merge_into_table(spark, "gold_mini", delta, ["k"], partition_col="p_month")
+
+    after = _parquet_files(tdir)
+    feb_before = {p: m for p, m in before.items() if "p_month=2025-02" in p}
+    feb_after = {p: m for p, m in after.items() if "p_month=2025-02" in p}
+    assert feb_before and feb_before == feb_after   # February untouched on disk
+    t = spark.table("gold_mini")
+    assert t.count() == 200
+    assert t.filter(F.col("k") == 5).collect()[0]["v"] == 555.0
+
+
 def test_silver_sorted_write(spark, inc_db):
     from spaceparts_data_pipeline_spark.plans import bronze, silver
     rows = [(f"o{i}", float(i), T0) for i in range(100)]

@@ -64,3 +64,36 @@ def test_column_pruning_reaches_scan(spark, sf_oracle):
 def test_semi_join_stays_semi(spark, sf_oracle):
     plan = plan_of(spark, "q11_changed_keys_semi", sf_oracle)
     assert "LeftSemi" in plan
+
+
+def test_ivf_assignment_no_window_no_fanout_shuffle(spark, sf_oracle):
+    """e04's corpus→cell assignment must aggregate (map-side combinable
+    max_by), never window-sort the ×n_centroids fan-out."""
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.operators.similarity import assign_cells
+    from spaceparts_data_pipeline_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    cents = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("__cv"))
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"))
+    assigned = assign_cells(corpus, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "max_by" in plan
+    assert "partial_max_by" in plan   # map-side combine collapses the fan-out
+    assert assigned.count() == e.count()  # exactly one cell per vector
+
+
+def test_d01_shuffles_hash_not_text(spark, sf_oracle):
+    """d01's window partition key must be md5(text), not the document."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["d01_dedup_exact"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in plan
+    # the exchange must partition on the projected hash attr, not text
+    assert "hashpartitioning(text" not in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("text#" not in l for l in exch), exch
