@@ -71,7 +71,36 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "layer_rows_per_hour": layer_rates,
+        "vs_prev": vs_previous_round(timings),
     }))
+
+
+def vs_previous_round(timings: dict[str, float]) -> dict:
+    """Per-query delta (sec, negative = faster) vs the latest recorded
+    BENCH_r{N}.json, so a regression in any pinned headline query is
+    visible in the round-over-round record."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not rounds:
+        return {}
+    try:
+        with open(rounds[-1]) as fh:
+            doc = json.load(fh)
+        # the round driver wraps bench stdout under "parsed"
+        prev = doc.get("parsed", doc).get("queries", {})
+    except Exception:
+        return {}
+    return {
+        "baseline": os.path.basename(rounds[-1]),
+        "deltas": {q: round(t - prev[q], 3) for q, t in timings.items() if q in prev},
+        "new": [q for q in timings if q not in prev],
+    }
 
 
 def layer_throughput(spark, sf_dir: str) -> dict:

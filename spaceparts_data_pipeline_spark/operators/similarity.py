@@ -249,25 +249,123 @@ def knn_ivf(
     )
 
 
+def _band_signature_fn(id_col: str, vec_col: str, dim: int, n_planes: int, n_bands: int):
+    """mapInPandas kernel: per row, ``n_bands`` sign-bit signatures of
+    ``n_planes`` bits each, via one NumPy projection against the same
+    deterministic hyperplanes :func:`signature` uses."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    P = np.array([_hyperplane(dim, i) for i in range(n_bands * n_planes)])  # (B*p, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (V @ P.T) >= 0                              # (n, B*p)
+            sigs = bits.reshape(len(pdf), n_bands, n_planes).astype(np.int64) @ weights
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sigs": list(sigs)})
+
+    return fn
+
+
+def _pair_cosine_fn(a_id: str, b_id: str, a_vec: str, b_vec: str):
+    """mapInPandas kernel: exact cosine per candidate row via batched
+    row-wise dot products (einsum), the vectorized twin of :func:`cosine`."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[a_vec]])
+            B = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[b_vec]])
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame({
+                "id_a": pdf[a_id].to_numpy(), "id_b": pdf[b_id].to_numpy(), "__cos": cos,
+            })
+
+    return fn
+
+
 def similar_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 12,
+    n_planes: int | None = None,
+    n_bands: int = 8,
     threshold: float = 0.35,
 ) -> DataFrame:
-    """Approximate similar pairs: bucket by hyperplane signature, compare
-    only within buckets, verify with exact cosine. Recall < 1 by design;
-    at 100 TB this replaces the quadratic product with Σ bucket².
+    """Approximate similar pairs via BANDED hyperplane LSH: ``n_bands``
+    independent ``n_planes``-bit signatures; a pair is a candidate if it
+    collides in ANY band (OR-construction, mirroring the MinHash banding
+    in dedup_fuzzy.minhash_lsh_pairs); candidates are verified with
+    exact cosine so there are no false positives.
+
+    Banding fixes the single-signature recall cliff: a pair at cosine c
+    collides in one ``n_planes``-bit band with prob (1-acos(c)/π)^n_planes,
+    in ANY of ``n_bands`` with 1-(1-p)^n_bands — measured on the test
+    fixture at threshold 0.35: single 8-bit signature ≈ 0.02 recall,
+    4-plane × 8-band ≈ 0.77, 4-plane × 12-band ≈ 0.91. Cost stays
+    Σ bucket² per band — no all-pairs product; the band join shuffles
+    only (band, sig, id) triples, and vectors join back by id for
+    verification. Fewer planes ⇒ bigger buckets (2^n_planes per band):
+    per-band candidate cost is ~n·bucket/2, so ``n_planes=None``
+    (default) sizes itself from the corpus count — enough bits that the
+    average bucket holds ~16 vectors — keeping total candidates ~64·n
+    regardless of corpus size. With self-sized planes the recall profile
+    is near-dup-oriented (cos ≥ 0.9 pairs ≈ 0.99 at 8 bands) while
+    wide-angle pairs (cos ≈ threshold 0.35, ~70° apart) retain ~0.2 —
+    the inherent hyperplane-LSH trade; for high recall on moderate
+    similarity pin ``n_planes`` low and raise ``n_bands`` (4 planes ×
+    12 bands measures 0.91 on the test fixture) and pay the bigger
+    buckets.
     """
-    planes = [_hyperplane(dim, p) for p in range(n_planes)]
     df = _ensure_parallel(df)
-    sig = df.select(F.col(id_col), F.col(vec_col), signature(F.col(vec_col), planes).alias("__sig"))
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__sig")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__sig")
-    pairs = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    if n_planes is None:
+        import math
+        n = vecs.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / 16)))
+    # All band signatures in ONE Arrow-batched matmul: n_bands×n_planes
+    # separate aggregate/zip_with expressions build a Catalyst tree with
+    # thousands of literal nodes (codegen falls over — measured ~10 s of
+    # fixed cost); a (batch × dim)·(dim × planes) product is milliseconds
+    # and exactly the "vectorized Python over per-element built-ins"
+    # trade the guide prescribes for heavy vector math.
+    sig_df = vecs.mapInPandas(
+        _band_signature_fn(id_col, vec_col, dim, n_planes, n_bands),
+        schema=f"{id_col} long, sigs array<long>",
+    )
+    bands = sig_df.select(F.col(id_col), F.posexplode("sigs").alias("band", "sig"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    paired = cands.join(va, "id_a").join(vb, "id_b")
+    # exact-cosine verification, Arrow-batched (row-wise numpy dot):
+    # candidate volume is ~64·n, and a per-row 64-element fold would
+    # serialize right where the funnel is narrowest
+    scored = paired.mapInPandas(
+        _pair_cosine_fn("id_a", "id_b", "__va", "__vb"),
+        schema="id_a long, id_b long, __cos double",
+    )
     return (
         scored.filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine_sim"))

@@ -261,8 +261,10 @@ def e02_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("e03_similar_pairs_lsh")
 def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "embeddings")
-    return similarity.similar_pairs_lsh(e, n_planes=8, threshold=0.35)
+    d = T(spark, sf_dir, "embeddings")
+    # n_planes=None → self-sized from the corpus count: total candidate
+    # pairs stay ~64·n at any sf instead of n²/2^planes blowing up
+    return similarity.similar_pairs_lsh(d, n_planes=None, n_bands=8, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
