@@ -56,6 +56,40 @@ def file_stats(spark: SparkSession, table: str) -> dict:
     return {"n_files": n, "total_bytes": total}
 
 
+def overwrite_via_staging(
+    spark: SparkSession,
+    table: str,
+    df,
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """Crash-safe full overwrite: materialize ``<table>__staging``
+    completely, then swap it in with a catalog drop+rename.
+
+    A plain ``mode("overwrite").saveAsTable`` drops the live table before
+    writing — a mid-write crash loses it. Here a crash during the staging
+    write leaves the live table untouched (the orphan staging table is
+    simply re-created next run), shrinking the unprotected window to the
+    metadata-only drop+rename. This is the plain-Parquet stand-in for the
+    reference's Delta transaction log; it also removes the need to
+    localCheckpoint plans that read the table they replace — the staging
+    write IS the materialization.
+    """
+    staging = f"{table}__staging"
+    pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    w = df.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    if pcols:
+        # the rename moves the data directory but the catalog's partition
+        # entries keep their pre-rename locations — re-register them, else
+        # the table reads empty
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
 def compact_table(
     spark: SparkSession,
     table: str,
@@ -87,16 +121,12 @@ def compact_table(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     elif stats["n_files"] > target_files:
-        staging = f"{table}__compact"
-        spark.sql(f"DROP TABLE IF EXISTS {staging}")
         if pcols:
-            writer = df.repartition(*[F.col(c) for c in pcols]) \
-                .write.mode("overwrite").partitionBy(*pcols)
+            overwrite_via_staging(
+                spark, table, df.repartition(*[F.col(c) for c in pcols]),
+                partition_by=pcols)
         else:
-            writer = df.repartition(target_files).write.mode("overwrite")
-        writer.saveAsTable(staging)
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+            overwrite_via_staging(spark, table, df.repartition(target_files))
 
     after = file_stats(spark, table)
     return {

@@ -32,6 +32,8 @@ def _append_with_evolution(spark: SparkSession, incoming: DataFrame, target: str
       rewrite. On Delta-capable clusters this whole helper collapses to
       `option("mergeSchema", "true")`.
     """
+    from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
     existing = spark.table(target)
     new_cols = [c for c in incoming.columns if c not in existing.columns]
     if not new_cols:
@@ -39,7 +41,9 @@ def _append_with_evolution(spark: SparkSession, incoming: DataFrame, target: str
             .write.mode("append").saveAsTable(target)
         return
     merged = existing.unionByName(incoming, allowMissingColumns=True)
-    merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(target)
+    # staged swap materializes the union-schema rewrite before the old
+    # table drops — crash-safe, no executor-memory checkpoint
+    overwrite_via_staging(spark, target, merged)
 
 
 def prepare(df: DataFrame) -> DataFrame:
@@ -58,9 +62,11 @@ def run_full(
     execution_id: str | None = None,
     log_table: str = "bronze_execution_log",
 ) -> dict:
+    from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
     execution_id = execution_id or logs.new_execution_id()
     out = prepare(source)
-    out.write.mode("overwrite").saveAsTable(f"bronze_{table}")
+    overwrite_via_staging(spark, f"bronze_{table}", out)
     n = spark.table(f"bronze_{table}").count()
     logs.append_log(spark, log_table, "bronze", table, execution_id, "success", n)
     return {"table": table, "status": "success", "records": n, "mode": "full"}

@@ -205,13 +205,15 @@ def run_full(spark: SparkSession, execution_id: str | None = None,
     results = {}
     for m in models or MODELS:
         try:
+            from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
             df = m.builder(spark)
             if m.partition:
                 pcol, pexpr = m.partition
-                df.withColumn(pcol, pexpr()).write.mode("overwrite") \
-                    .partitionBy(pcol).saveAsTable(m.name)
+                overwrite_via_staging(spark, m.name, df.withColumn(pcol, pexpr()),
+                                      partition_by=pcol)
             else:
-                df.write.mode("overwrite").saveAsTable(m.name)
+                overwrite_via_staging(spark, m.name, df)
             n = spark.table(m.name).count()
             logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
             results[m.name] = {"status": "success", "records": n}

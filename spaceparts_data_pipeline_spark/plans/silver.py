@@ -40,13 +40,16 @@ def _bucket_expr(keys: list[str], n_buckets: int):
 
 def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
                        n_buckets: int, sort_by: list[str] | None = None) -> None:
+    from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
     out = clean.withColumn(PARTITION_COL, _bucket_expr(keys, n_buckets))
     # one shuffle by bucket so each partition dir gets few, large files
     # (AQE coalesces); without it every task writes a file per bucket.
     out = out.repartition(F.col(PARTITION_COL))
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
-    out.write.mode("overwrite").partitionBy(PARTITION_COL).saveAsTable(target)
+    # staged swap: a crash mid-write leaves the previous table intact
+    overwrite_via_staging(clean.sparkSession, target, out, partition_by=PARTITION_COL)
 
 
 def transform(
@@ -141,11 +144,12 @@ def run_incremental(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:
             # schema drift or legacy unpartitioned table: one-time full
-            # rewrite with the union schema, re-bucketed going forward
+            # rewrite with the union schema, re-bucketed going forward.
+            # No checkpoint needed: the staged write inside
+            # _write_partitioned materializes before the old table drops.
             base = existing.drop(PARTITION_COL) if PARTITION_COL in existing.columns else existing
             merged = upsert_union_dedup(base, clean, keys=keys, order_col=order_col)
-            ck = merged.localCheckpoint(eager=True)
-            _write_partitioned(ck, target, infer_keys(ck.columns, order_col), n_buckets)
+            _write_partitioned(merged, target, infer_keys(merged.columns, order_col), n_buckets)
     else:
         keys = infer_keys(clean.columns, order_col)
         _write_partitioned(clean, target, keys, n_buckets, sort_by=keys)

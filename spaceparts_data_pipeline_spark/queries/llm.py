@@ -181,6 +181,55 @@ def d06_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d09 — near-dup clustering: connected components over the exact n-gram
+# Jaccard pair graph (d06's edges), each doc labeled with the min doc_id
+# of its component. The iterative Spark min-label propagation is checked
+# against a DuckDB recursive-CTE transitive closure — the one genuinely
+# iterative algorithm in the engine, still oracle-verifiable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d09_near_dup_components",
+    r"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    docs AS (SELECT * FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM docs
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE inter / (ca.n + cb.n - inter) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sim
+      UNION ALL
+      SELECT id_b, id_a FROM sim
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    )
+    SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+)
+def d09_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup_fuzzy.jaccard_pairs(d, threshold=0.05)
+    return dedup_fuzzy.connected_components(pairs, d.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # d07 — MinHash+LSH candidate pairs (approximate; hash functions are
 # Spark-native xxhash64 → no SQL oracle; driver records rows-only check).
 # ---------------------------------------------------------------------------

@@ -93,6 +93,21 @@ def test_partition_scoped_compaction(spark, maint_db):
     assert spark.table("part_c").count() == n
 
 
+def test_staged_overwrite_swaps_and_cleans_up(spark, maint_db):
+    """Full-load writes go through <table>__staging + rename: the final
+    catalog has the live table only, with the new data, even when the
+    new data is derived from the table being replaced."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
+    spark.range(10).write.mode("overwrite").saveAsTable("swap_t")
+    # overwrite with a plan READING the table being replaced (doubled)
+    doubled = spark.table("swap_t").withColumn("id", F.col("id") * 2)
+    overwrite_via_staging(spark, "swap_t", doubled)
+    vals = sorted(r["id"] for r in spark.table("swap_t").collect())
+    assert vals == [i * 2 for i in range(10)]
+    assert not spark.catalog.tableExists("swap_t__staging")
+
+
 def test_silver_write_is_sorted_for_data_skipping(spark, maint_db):
     """Silver writes sort rows by the inferred keys inside each file so
     parquet row-group min/max statistics can prune key lookups."""

@@ -74,6 +74,48 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
         spark.sql("DROP DATABASE stream_db CASCADE")
 
 
+def test_stream_upsert_partitioned_target(spark, tmp_path):
+    """With a key-derived partition column, each micro-batch merge must
+    rewrite only the touched partitions of the target."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_db2")
+    spark.catalog.setCurrentDatabase("stream_db2")
+    try:
+        src = str(tmp_path / "upsert_psrc")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        # pre-create the partitioned target: p_bucket = event_id % 2
+        base = spark.createDataFrame(
+            [(10, t0, "seed", 0.5), (11, t0, "seed", 0.7)], SCHEMA
+        ).withColumn("p_bucket", F.pmod("event_id", F.lit(2)))
+        base.write.mode("overwrite").partitionBy("p_bucket").saveAsTable("events_part")
+        loc = [r.data_type for r in spark.sql("DESCRIBE FORMATTED events_part").collect()
+               if r.col_name.strip() == "Location"][0].replace("file:", "")
+
+        def files(part):
+            out = {}
+            for root, _d, fs in os.walk(os.path.join(loc, f"p_bucket={part}")):
+                out.update({os.path.join(root, f): os.path.getmtime(os.path.join(root, f))
+                            for f in fs if f.endswith(".parquet")})
+            return out
+
+        odd_before = files(1)
+        _write_batch(spark, src, [(10, t1, "update", 9.0), (12, t0, "new", 3.0)])  # both even
+        stream = structured.stream_events(spark, src, SCHEMA) \
+            .withColumn("p_bucket", F.pmod("event_id", F.lit(2)))
+        q = structured.stream_upsert(spark, stream, "events_part", ["event_id"], "ts",
+                                     str(tmp_path / "ckpt_p"), partition_col="p_bucket")
+        q.awaitTermination(120)
+        out = {r["event_id"]: r["value"] for r in spark.table("events_part").collect()}
+        assert out == {10: 9.0, 11: 0.7, 12: 3.0}
+        assert files(1) == odd_before          # odd bucket untouched on disk
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE stream_db2 CASCADE")
+
+
 def test_session_window_agg(spark, tmp_path):
     src = str(tmp_path / "sess_src")
     t = dt.datetime(2024, 1, 1, 10, 0)
