@@ -86,6 +86,41 @@ def similar_pairs_bruteforce(
     )
 
 
+def embedding_near_dup(
+    docs: DataFrame,
+    embs: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    threshold: float = 0.35,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup decision over a document
+    corpus: each doc is marked a duplicate of the LOWEST-id doc whose
+    embedding cosine ≥ ``threshold`` (the canonical survivor of a dup
+    group under transitive min-id is the doc with no lower-id neighbor).
+
+    Output: (doc_id, dup_of nullable, is_dup) — ``is_dup = false`` rows
+    are the deduplicated corpus.
+
+    ``pairs`` defaults to the exact quadratic
+    :func:`similar_pairs_bruteforce` — bound the input. At corpus scale
+    pass ``similar_pairs_lsh(embs, ...)`` instead: the decision layer is
+    identical, only the candidate generator changes (the same
+    exact-vs-banded split as d06 vs d07 on the token side).
+    """
+    if pairs is None:
+        pairs = similar_pairs_bruteforce(embs, id_col=vec_id_col, threshold=threshold)
+    dup = (
+        pairs.groupBy(F.col("id_b").alias(doc_id_col))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        docs.select(doc_id_col)
+        .join(dup, doc_id_col, "left")
+        .select(doc_id_col, "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
+    )
+
+
 def _hyperplane(dim: int, plane_id: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a splitmix-
     style integer mix — reproducible across runs with no RNG state."""

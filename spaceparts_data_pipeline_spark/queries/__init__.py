@@ -35,7 +35,7 @@ _PRIORITY = [
     # LLM data ops: dedup family
     "d01_dedup_exact", "d02_fingerprint", "d03_token_stats", "d04_text_quality",
     "d05_lang_id", "d06_jaccard_pairs", "d07_minhash_lsh_pairs", "d08_simhash",
-    "d09_near_dup_components",
+    "d09_near_dup_components", "d10_embed_near_dup",
     # LLM data ops: similarity / ANN family
     "e01_knn_topk", "e02_similar_pairs", "e03_similar_pairs_lsh",
     "e04_knn_ivf", "e05_knn_topk_vectorized",
@@ -44,7 +44,7 @@ _PRIORITY = [
     "x07_tfidf_topterms", "x19_array_stats", "x23_posexplode_tokens",
     # highest-value beyond-reference queries (distinct op families)
     "x18_approx_quantiles", "x16_string_kit", "x17_date_parts",
-    "x01_event_sessions", "x08_pivot_revenue",
+    "x01_event_sessions",
 ]
 
 

@@ -230,6 +230,35 @@ def d09_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d10 — embedding-cosine near-dup dedup decision: each document marked
+# duplicate of the lowest-id doc whose embedding cosine ≥ threshold.
+# Exact pair generator here (oracle-able); at corpus scale swap in the
+# banded-LSH generator — the decision layer is unchanged.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d10_embed_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    d AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM p WHERE cos >= 0.35 GROUP BY id_b)
+    SELECT doc.doc_id, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+    FROM documents doc LEFT JOIN d USING (doc_id)
+    """,
+)
+def d10_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    embs = T(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup(docs, embs, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
 # d07 — MinHash+LSH candidate pairs (approximate; hash functions are
 # Spark-native xxhash64 → no SQL oracle; driver records rows-only check).
 # ---------------------------------------------------------------------------
@@ -407,10 +436,60 @@ def x07_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # e04 — IVF approximate kNN (coarse-quantize + probe; the partition-pruned
-# ANN scale path — approximate → rows-only).
+# ANN scale path). Every step is deterministic — centroids are the first
+# 16 vectors by id, assignment/probing/top-k all have explicit tie-breaks
+# — so unlike the hash-based LSH paths it admits a FULL SQL oracle: the
+# same quantize→probe→rank pipeline in DuckDB, with the cosine written
+# as the identical left-fold so values hash-match bit-for-bit.
 # ---------------------------------------------------------------------------
 
-@register("e04_knn_ivf")
+_COS = (
+    "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "e04_knn_ivf",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 20
+      ) WHERE r <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {_COS.format(a='p.qv', b='a.nv')} AS cos
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE p.query_id <> a.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS knn_rank, round(cos, 6) AS cosine_sim
+    FROM r WHERE rnk <= 3
+    """,
+)
 def e04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)

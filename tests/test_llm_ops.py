@@ -86,6 +86,26 @@ class TestSimilarity:
             assert ranks == [1, 2, 3, 4, 5]
             assert vals == sorted(vals, reverse=True)
 
+    def test_embedding_near_dup_planted(self, spark):
+        """A planted identical-embedding pair dedups to the lower id; the
+        orthogonal vector survives; decision layer works with the LSH
+        generator too."""
+        vecs = [
+            (10, [1.0] * 8),
+            (20, [1.0] * 8),                       # exact dup of 10
+            (30, [1.0, -1.0] * 4),                 # orthogonal to both
+        ]
+        embs = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        docs = embs.selectExpr("vec_id as doc_id")
+        out = {r["doc_id"]: (r["dup_of"], r["is_dup"])
+               for r in similarity.embedding_near_dup(docs, embs, threshold=0.9).collect()}
+        assert out == {10: (None, False), 20: (10, True), 30: (None, False)}
+        lsh_pairs = similarity.similar_pairs_lsh(embs, dim=8, n_planes=4, threshold=0.9)
+        out_lsh = {r["doc_id"]: r["is_dup"]
+                   for r in similarity.embedding_near_dup(
+                       docs, embs, threshold=0.9, pairs=lsh_pairs).collect()}
+        assert out_lsh[10] is False and out_lsh[20] is True
+
 
 class TestFuzzyDedup:
     DOCS = [
