@@ -133,8 +133,13 @@ def connected_components(
     clusters are shallow — ``max_iter`` bounds pathological chains).
 
     Output: (id, component) where component = min id in the component.
-    Each iteration is two shuffles (join + groupBy); checkpoint every
-    few rounds in a long-running job to cut lineage.
+    Each iteration is two shuffles (join + groupBy). Labels only ever
+    DECREASE, so convergence is detected by an exact decimal label-sum
+    staying flat — one map-side-combinable agg per round instead of an
+    anti-join — and each round's labels are persisted (previous round
+    unpersisted) so the convergence probe and the next join share one
+    materialization and lineage stays one round deep instead of
+    accumulating ``max_iter`` nested joins.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -142,6 +147,10 @@ def connected_components(
         .distinct()
     )
     labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("component"))
+    # exact (overflow-free) sum: strictly decreases while any label moves
+    _sig = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    prev_sig = _sig(labels)
     for _ in range(max_iter):
         neighbor_labels = (
             edges.join(labels, "src")
@@ -151,12 +160,16 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("src")
             .agg(F.min("component").alias("component"))
-        )
-        if new_labels.join(labels, ["src", "component"], "left_anti").isEmpty():
-            labels = new_labels
-            break
+        ).persist()
+        sig = _sig(new_labels)
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels
-    return labels.select(F.col("src").alias(id_col), "component")
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    out = labels.select(F.col("src").alias(id_col), "component")
+    return out
 
 
 def dedup_corpus(

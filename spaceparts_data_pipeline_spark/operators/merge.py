@@ -129,8 +129,12 @@ def merge_into_table(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:
+        from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
         merged = merge_upsert(target, source.select(*target.columns), keys, order_col=order_col)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(table)
+        # staged swap: materializes the merge before the old table drops,
+        # so no executor-memory checkpoint and a crash can't lose the table
+        overwrite_via_staging(spark, table, merged)
 
 
 def write_merged(
