@@ -112,6 +112,72 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.col(text) if isinstance(text, str) else text)
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_frac_threshold: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition profile (the Gopher-rule family of
+    quality filters): total/distinct token counts, duplicate-token
+    fraction, top-token frequency fraction, and an ``is_repetitive``
+    flag when one token dominates.
+
+    Shape chosen for corpus scale: explode → count per (doc, token) →
+    combine per doc. Both aggregations are map-side combinable and the
+    shuffle key is (doc_id, token) then doc_id — never full text. The
+    per-doc cost is linear in tokens (an expression-only variant that
+    counts each distinct token with array lambdas would be quadratic
+    per document — wrong for real documents).
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    per_tok = exploded.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.max("cnt").alias("__top"),
+    )
+    has = F.col("total_tokens") > 0
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+            F.coalesce("distinct_tokens", F.lit(0)).alias("distinct_tokens"),
+            F.when(has, F.lit(1.0) - F.col("distinct_tokens").cast("double")
+                   / F.col("total_tokens").cast("double")).alias("dup_token_frac"),
+            F.when(has, F.col("__top").cast("double")
+                   / F.col("total_tokens").cast("double")).alias("top_token_frac"),
+            F.coalesce(
+                F.col("__top").cast("double") / F.col("total_tokens").cast("double")
+                > top_frac_threshold,
+                F.lit(False),
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, int],
+    default_rate: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row when its id's
+    md5 hash bucket (0-99) is below the stratum's percentage rate. The
+    classic corpus-rebalance op (e.g. cap the dominant language) —
+    reproducible across engines, runs, and partitionings, unlike
+    ``DataFrame.sampleBy``; pure narrow ops, no shuffle.
+    """
+    rate = F.lit(default_rate)
+    for value, pct in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(id_col) < rate)
+
+
 def fingerprint_rolling(text: Column | str, window: int = 8) -> Column:
     """Rolling-hash style fingerprint: min xxhash64 over character
     ``window``-grams — a cheap locality-sensitive document signature.

@@ -259,6 +259,64 @@ def d10_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d11 — within-document repetition profile (Gopher-rule quality family):
+# duplicate-token fraction + top-token dominance per document.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d11_repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+             COUNT(*) AS distinct_tokens, MAX(cnt) AS top
+      FROM c GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(s.total_tokens, 0) AS total_tokens,
+           coalesce(s.distinct_tokens, 0) AS distinct_tokens,
+           CASE WHEN s.total_tokens > 0
+                THEN 1.0 - CAST(s.distinct_tokens AS DOUBLE) / CAST(s.total_tokens AS DOUBLE)
+           END AS dup_token_frac,
+           CASE WHEN s.total_tokens > 0
+                THEN CAST(s.top AS DOUBLE) / CAST(s.total_tokens AS DOUBLE)
+           END AS top_token_frac,
+           coalesce(CAST(s.top AS DOUBLE) / CAST(s.total_tokens AS DOUBLE) > 0.2, false)
+             AS is_repetitive
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def d11_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.repetition_stats(d, top_frac_threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# d12 — deterministic stratified corpus rebalance: cap the dominant
+# language at 10%, keep half of everything else (md5 hash bucket, same
+# engine-portable split primitive as x05 — no rand(), no sampleBy()).
+# ---------------------------------------------------------------------------
+
+@register(
+    "d12_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    """,
+)
+def d12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.stratified_sample(d, "doc_id", "lang", rates={"en": 10}, default_rate=50) \
+        .select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # d07 — MinHash+LSH candidate pairs (approximate; hash functions are
 # Spark-native xxhash64 → no SQL oracle; driver records rows-only check).
 # ---------------------------------------------------------------------------

@@ -158,6 +158,31 @@ class TestText:
         out = {r["doc_id"]: r["predicted_lang"] for r in text.with_lang_id(df).collect()}
         assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
 
+    def test_repetition_stats_edges(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a a a b"),          # top 'a' 4/5 → repetitive
+             (2, "u v w x y z"),        # all distinct, top frac 1/6 < 0.2
+             (3, "")],                  # empty → zero counts, null fracs
+            "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict() for r in text.repetition_stats(docs).collect()}
+        assert out[1]["total_tokens"] == 5 and out[1]["distinct_tokens"] == 2
+        assert abs(out[1]["top_token_frac"] - 0.8) < 1e-12 and out[1]["is_repetitive"]
+        assert out[2]["dup_token_frac"] == 0.0 and not out[2]["is_repetitive"]
+        assert out[3]["total_tokens"] == 0 and out[3]["dup_token_frac"] is None
+        assert out[3]["is_repetitive"] is False
+
+    def test_stratified_sample_deterministic_and_rebalanced(self, spark, sf_small):
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        s1 = text.stratified_sample(d, "doc_id", "lang", rates={"en": 10}, default_rate=50)
+        s2 = text.stratified_sample(d, "doc_id", "lang", rates={"en": 10}, default_rate=50)
+        ids1 = {r["doc_id"] for r in s1.collect()}
+        assert ids1 == {r["doc_id"] for r in s2.collect()}      # run-stable
+        kept = s1.groupBy("lang").count().collect()
+        base = dict(d.groupBy("lang").count().collect())
+        for r in kept:                  # en capped well below the others' rate
+            frac = r["count"] / base[r["lang"]]
+            assert frac < (0.25 if r["lang"] == "en" else 0.75)
+
     def test_rolling_fingerprint_deterministic(self, spark):
         df = spark.createDataFrame(
             [(1, "hello world document"), (2, "hello world document"), (3, "other content")],
