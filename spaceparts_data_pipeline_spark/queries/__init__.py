@@ -12,7 +12,7 @@ engine-dependent types.
 
 from __future__ import annotations
 
-from spaceparts_data_pipeline_spark.queries import core, llm
+from spaceparts_data_pipeline_spark.queries import core, llm, stream
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries
 # (insertion order).  Order deliberately: every reference-parity query
@@ -43,7 +43,7 @@ _PRIORITY = [
     "m01_binary_bytes", "x05_train_val_split", "x06_vocab_topk",
     "x07_tfidf_topterms", "x19_array_stats", "x23_posexplode_tokens",
     # highest-value beyond-reference queries (distinct op families)
-    "x18_approx_quantiles", "x16_string_kit", "x17_date_parts",
+    "x18_approx_quantiles", "x16_string_kit", "s01_stream_windowed_counts",
     "x01_event_sessions",
 ]
 
@@ -60,10 +60,10 @@ def _ordered(merged):
 
 
 def all_queries():
-    return _ordered({**core.QUERIES, **llm.QUERIES})
+    return _ordered({**core.QUERIES, **llm.QUERIES, **stream.QUERIES})
 
 
 def all_oracles():
-    merged = {**core.ORACLES, **llm.ORACLES}
+    merged = {**core.ORACLES, **llm.ORACLES, **stream.ORACLES}
     queries = all_queries()
     return {n: merged[n] for n in queries if n in merged}

@@ -1,0 +1,91 @@
+"""Structured Streaming queries that are still driver-verifiable.
+
+A streaming aggregation drained with ``trigger(availableNow=True)`` in
+``complete`` output mode is a pure function of the input files — the
+same rows flow through the same stateful operator the continuous job
+would run, and the final emitted state equals the batch aggregation.
+That makes the streaming path oracle-checkable: the driver runs the
+REAL ``readStream`` → stateful-agg → memory-sink pipeline and DuckDB
+computes the batch equivalent; row counts, schema, and value hashes
+must match. (Watermark-driven *dropping* semantics are exercised in
+``tests/test_streaming.py`` instead — late-row behavior depends on
+micro-batch boundaries, which no batch SQL can express.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.functions.scalars import dsum
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sources.parquet.load_table("events"): same
+    UTC session, same ns→µs integer truncation, via readStream."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a DIRECTORY of files (its basePath
+    # check rejects a bare file); expose the single events file through
+    # a per-sf temp dir of symlinks — zero copy, and exactly the layout
+    # a production stream (a landing directory of parquet drops) has
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"stream_events_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+@register(
+    "s01_stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("s01_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("s01_mem").select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type", "n", "total_value",
+    )
