@@ -105,6 +105,27 @@ def test_gold_incremental_merge(spark, pipeline_result):
     assert fs["inv1"]["sales_eur"] == pytest.approx(999.0 * 0.9)   # untouched rows survive
 
 
+def test_gold_incremental_nonmidnight_timestamp_update(spark, pipeline_result):
+    """Regression (round-1 advice): a silver billing timestamp with a
+    time-of-day component must still match its gold DATE merge key in
+    the changed-keys semi-join. Before the cast fix, DATE = TIMESTAMP
+    coerced the gold date to midnight, so a 14:30 update was silently
+    dropped from the delta — and every fixture epoch was midnight, so
+    only this test can catch it."""
+    ns_1430 = EPOCH_2025_NS + (14 * 3600 + 30 * 60) * 1_000_000_000
+    upd = spark.createDataFrame(
+        [("c3", "p1", ns_1430, EPOCH_2025_NS, "inv5", "1", "F2",
+          70.0, 60.0, 2.0, 1.0, 0.5, 1.0, "USD", 0, T1)],
+        spark.table("bronze_fact_invoices").drop("load_date", "source_system").schema,
+    )
+    silver.run_incremental(spark, "fact_invoices", upd, horizon=HORIZON)
+    wm = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - dt.timedelta(minutes=5)
+    res = gold.run_incremental(spark, wm)
+    assert res["gold_fact_sales"]["status"] == "success"
+    fs = {r["billing_document_number"]: r for r in spark.table("gold_fact_sales").collect()}
+    assert fs["inv5"]["sales_eur"] == pytest.approx(70.0 * 0.9)
+
+
 def test_precondition_gate(spark):
     spark.sql("CREATE DATABASE IF NOT EXISTS empty_db")
     spark.catalog.setCurrentDatabase("empty_db")
