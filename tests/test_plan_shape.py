@@ -86,6 +86,31 @@ def test_ivf_assignment_no_window_no_fanout_shuffle(spark, sf_oracle):
     assert assigned.count() == e.count()  # exactly one cell per vector
 
 
+def test_d11_aggs_are_combinable_and_never_shuffle_text(spark, sf_oracle):
+    """The repetition profile must run as two map-side-combinable
+    aggregations whose shuffle keys are (doc_id, token) then doc_id —
+    never a window, never whole-document text."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["d11_repetition_stats"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan and "partial_sum" in plan and "partial_max" in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(text" not in plan
+
+
+def test_d12_sample_filter_pushes_to_scan(spark, sf_oracle):
+    """Stratified sampling must stay a narrow pushed-down filter: no
+    shuffle, no join, hash predicate in the scan's data filters."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["d12_stratified_sample"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "md5" in plan
+
+
 def test_d01_shuffles_hash_not_text(spark, sf_oracle):
     """d01's window partition key must be md5(text), not the document."""
     from spaceparts_data_pipeline_spark.queries import llm
