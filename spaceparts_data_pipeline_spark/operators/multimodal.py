@@ -121,6 +121,85 @@ def byte_lengths(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.mapInPandas(fn, f"{id_col} long, n_bytes long")
 
 
+def resize_images(
+    assets: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "asset_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor resize of RAW interleaved-RGB payloads
+    (``meta_width * meta_height * 3`` bytes) — REAL pixel work, fully
+    vectorized (one reshape + two fancy-index gathers per image), with
+    no codec dependency: compressed formats must pass through the
+    ``real_decode`` boundary first. Output payloads are raw RGB at
+    (out_w, out_h). Malformed payloads (size ≠ w*h*3) yield a null
+    payload instead of poisoning the batch.
+    """
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, w, h in zip(pdf[bin_col], pdf["meta_width"], pdf["meta_height"]):
+                if p is None or w is None or h is None or len(p) != w * h * 3:
+                    out.append(None)
+                    continue
+                img = np.frombuffer(bytes(p), dtype=np.uint8).reshape(int(h), int(w), 3)
+                rows = (np.arange(out_h) * int(h)) // out_h
+                cols = (np.arange(out_w) * int(w)) // out_w
+                out.append(img[rows][:, cols].tobytes())
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": out,
+                "meta_width": np.int32(out_w),
+                "meta_height": np.int32(out_h),
+            })
+
+    return assets.mapInPandas(
+        fn, f"{id_col} long, payload binary, meta_width int, meta_height int"
+    )
+
+
+def audio_rms_windows(
+    assets: DataFrame,
+    window_samples: int = 1024,
+    id_col: str = "asset_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Per-window RMS energy over RAW little-endian PCM16 payloads —
+    the audio feature-extraction twin of :func:`resize_images`: real
+    sample math (reshape to (n_windows, window) + one vectorized
+    reduction), no codec. One output row per (asset, window). The
+    trailing partial window is dropped (deterministic framing).
+    """
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, rms = [], [], []
+            for a, p in zip(pdf[id_col], pdf[bin_col]):
+                if p is None or len(p) < 2:
+                    continue
+                pcm = np.frombuffer(bytes(p)[: len(p) - (len(p) % 2)], dtype="<i2")
+                n_win = len(pcm) // window_samples
+                if n_win == 0:
+                    continue
+                frames = pcm[: n_win * window_samples].astype(np.float64)
+                frames = frames.reshape(n_win, window_samples)
+                r = np.sqrt(np.mean(frames * frames, axis=1))
+                ids.extend([a] * n_win)
+                widx.extend(range(n_win))
+                rms.extend(r)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(widx, dtype="int64"),
+                "rms": pd.Series(rms, dtype="float64"),
+            })
+
+    return assets.mapInPandas(fn, f"{id_col} long, window_idx long, rms double")
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts) —
     distributes the decode work list without touching payload bytes.

@@ -43,6 +43,46 @@ class TestMultimodal:
         assert [(r["asset_id"], r["frame_idx"], r["frame_ts_ms"]) for r in plan] == \
             [(3, 0, 0), (3, 1, 1000), (3, 2, 2000)]
 
+    def test_resize_raw_rgb(self, spark):
+        # 2x2 image: R G / B W — upscale 2x2→4x4 nearest-neighbor
+        px = {"R": b"\xff\x00\x00", "G": b"\x00\xff\x00",
+              "B": b"\x00\x00\xff", "W": b"\xff\xff\xff"}
+        img = px["R"] + px["G"] + px["B"] + px["W"]
+        rows = [(1, "image", img, 2, 2, None),
+                (2, "image", b"\x00" * 5, 2, 2, None),      # malformed size
+                (3, "image", None, None, None, None)]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        out = {r["asset_id"]: r for r in
+               multimodal.resize_images(assets, out_w=4, out_h=4).collect()}
+        got = bytes(out[1]["payload"])
+        assert (out[1]["meta_width"], out[1]["meta_height"]) == (4, 4)
+        # each source pixel becomes a 2x2 block
+        top = (px["R"] * 2 + px["G"] * 2)
+        bot = (px["B"] * 2 + px["W"] * 2)
+        assert got == top * 2 + bot * 2
+        assert out[2]["payload"] is None and out[3]["payload"] is None
+        # identity property: resize to own size returns the same bytes
+        same = multimodal.resize_images(
+            spark.createDataFrame([rows[0]], multimodal.ASSET_SCHEMA), 2, 2).collect()[0]
+        assert bytes(same["payload"]) == img
+
+    def test_audio_rms_windows(self, spark):
+        import numpy as np
+
+        # two full windows of constant amplitude 1000 and 2000 + partial tail
+        pcm = np.concatenate([
+            np.full(4, 1000, dtype="<i2"), np.full(4, 2000, dtype="<i2"),
+            np.full(3, 9999, dtype="<i2"),
+        ]).tobytes()
+        rows = [(1, "audio", pcm, None, None, None),
+                (2, "audio", b"\x01", None, None, None)]    # sub-sample payload
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        out = multimodal.audio_rms_windows(assets, window_samples=4).collect()
+        got = {(r["asset_id"], r["window_idx"]): r["rms"] for r in out}
+        assert set(got) == {(1, 0), (1, 1)}                  # tail dropped, id 2 skipped
+        assert got[(1, 0)] == pytest.approx(1000.0)
+        assert got[(1, 1)] == pytest.approx(2000.0)
+
 
 class TestSimilarity:
     def test_lsh_pairs_subset_of_bruteforce(self, spark, sf_small):
