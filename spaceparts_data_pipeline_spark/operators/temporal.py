@@ -1,0 +1,98 @@
+"""Temporal joins Spark has no native operator for, composed from
+shuffle-friendly primitives (SURVEY.md §2.4 has no as-of/range join in
+the reference either — these are the training-data/timeseries
+extensions the engine adds).
+
+- :func:`asof_join` — "latest right row at or before each left row" per
+  key, via the union + ordered-window trick: ONE shuffle on (key), no
+  per-row probing, no nested-loop join. The right side's attributes
+  ride forward on a ``last(ignorenulls)`` running window.
+- :func:`range_pairs` — all same-key row pairs within a bounded time
+  gap, via gap-sized bucketing: each right row probes its own and the
+  previous bucket, so the join is a plain equi hash join on
+  (key, bucket) and the exact predicate filters inside the bucket.
+  Cost is Σ bucket² per key — never the all-pairs product, and never
+  a BroadcastNestedLoopJoin (asserted in tests/test_plan_shape.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward inclusive as-of join: for every left row, attach
+    ``value_cols`` from the latest right row with
+    ``right_ts <= left_ts`` and equal ``on`` keys (null when none).
+
+    Right rows are deduped to one per (key, ts) first — max value wins —
+    so ties are deterministic; at a tie timestamp the right row sorts
+    before the left row (inclusive semantics, matching DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """
+    r = (
+        right.groupBy(*on, F.col(right_ts).alias(left_ts))
+        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .withColumn("__src", F.lit(0))
+    )
+    l = left.withColumn("__src", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts).asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [F.last(F.when(F.col("__src") == 0, F.col(c)), ignorenulls=True)
+               .over(w).alias(c) for c in value_cols]
+    out_cols = [c for c in left.columns] + carried
+    return u.select(*out_cols, "__src").filter(F.col("__src") == 1).drop("__src")
+
+
+def range_pairs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """All ordered same-key pairs (a before-or-equal b, ``a != b`` by
+    (ts, id) order) whose timestamps are within ``max_gap_seconds``.
+    Output: (key, id_a, id_b, gap_us).
+
+    Bucketing makes this a pure equi join: with buckets of exactly the
+    gap width, any qualifying pair lands in the same or adjacent
+    buckets, so the b-side probes (bucket, bucket-1) and each pair
+    matches exactly once — no post-join dedup.
+    """
+    gap_us = max_gap_seconds * 1_000_000
+    base = df.select(
+        F.col(key), F.col(id_col), F.col(ts),
+        F.floor(F.unix_micros(F.col(ts)) / gap_us).alias("__b"),
+    ).filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+    a = base.select(
+        F.col(key), F.col(id_col).alias("id_a"),
+        F.col(ts).alias("__ts_a"), F.col("__b").alias("__ba"),
+    )
+    b = base.select(
+        F.col(key), F.col(id_col).alias("id_b"), F.col(ts).alias("__ts_b"),
+        F.explode(F.array(F.col("__b"), F.col("__b") - 1)).alias("__ba"),
+    )
+    ga = F.unix_micros(F.col("__ts_a"))
+    gb = F.unix_micros(F.col("__ts_b"))
+    return (
+        a.join(b, [key, "__ba"])
+        .filter(
+            (gb - ga >= 0) & (gb - ga <= gap_us)
+            & ((F.col("__ts_a") < F.col("__ts_b"))
+               | ((F.col("__ts_a") == F.col("__ts_b")) & (F.col("id_a") < F.col("id_b"))))
+        )
+        .select(key, "id_a", "id_b", (gb - ga).alias("gap_us"))
+    )

@@ -1227,6 +1227,58 @@ def x24_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x27 — as-of join (backward inclusive): each even-id event gets the value
+# of the latest odd-id event at-or-before it for the same user. Spark has
+# no ASOF operator; operators/temporal.py composes it as union + ordered
+# running window (one shuffle). DuckDB expresses it natively.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x27_asof_join",
+    """
+    WITH t AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+    q AS (SELECT user_id, ts, MAX(value) AS value
+          FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2)
+    SELECT t.event_id, t.user_id, t.ts, q.value AS last_quote_value
+    FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def x27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.operators.temporal import asof_join
+
+    e = T(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
+    quotes = e.filter(F.col("event_id") % 2 == 1).select("user_id", "ts", "value")
+    out = asof_join(trades, quotes, on=["user_id"], left_ts="ts",
+                    right_ts="ts", value_cols=["value"])
+    return out.withColumnRenamed("value", "last_quote_value")
+
+
+# ---------------------------------------------------------------------------
+# x28 — bounded range self-join: same-user event pairs within 30 minutes,
+# as an equi hash join on gap-width buckets (each pair matches exactly
+# once via the (bucket, bucket-1) probe) — never an all-pairs product.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x28_range_pairs",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 1800000000
+      AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    """,
+)
+def x28_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.operators.temporal import range_pairs
+
+    e = T(spark, sf_dir, "events")
+    return range_pairs(e, key="user_id", ts="ts", id_col="event_id",
+                       max_gap_seconds=1800)
+
+
+# ---------------------------------------------------------------------------
 # p01 — composite silver slice: standardize → keep-latest dedup → watermark
 # filter, the reference's silver pipeline shape end-to-end on events.
 # ---------------------------------------------------------------------------

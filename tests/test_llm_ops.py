@@ -147,6 +147,44 @@ class TestSimilarity:
         assert out_lsh[10] is False and out_lsh[20] is True
 
 
+class TestTemporal:
+    def test_asof_inclusive_tie_and_no_match(self, spark):
+        import datetime as dt
+
+        from spaceparts_data_pipeline_spark.operators.temporal import asof_join
+
+        t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, "u1", t(0)), (2, "u1", t(10)), (3, "u2", t(5))],
+            "id long, user_id string, ts timestamp")
+        right = spark.createDataFrame(
+            [("u1", t(0), 5.0), ("u1", t(7), 7.0), ("u1", t(11), 11.0)],
+            "user_id string, ts timestamp, value double")
+        out = {r["id"]: r["value"] for r in
+               asof_join(left, right, ["user_id"], "ts", "ts", ["value"]).collect()}
+        assert out == {1: 5.0,      # equal ts → inclusive
+                       2: 7.0,      # latest at-or-before, not the later 11.0
+                       3: None}     # u2 has no quotes
+
+    def test_range_pairs_boundaries(self, spark):
+        import datetime as dt
+
+        from spaceparts_data_pipeline_spark.operators.temporal import range_pairs
+
+        base = dt.datetime(2024, 1, 1, 10, 0, 0)
+        sec = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+        df = spark.createDataFrame(
+            [(1, "u", sec(0)), (2, "u", sec(60)), (3, "u", sec(61)),
+             (4, "u", sec(0)), (5, "v", sec(30))],
+            "event_id long, user_id string, ts timestamp")
+        out = {(r["id_a"], r["id_b"]): r["gap_us"]
+               for r in range_pairs(df, "user_id", "ts", "event_id", 60).collect()}
+        # (1,2) exactly at the gap bound: included; (1,3) just over: excluded;
+        # (1,4) same-ts tie ordered by id; cross-user never pairs
+        assert out == {(1, 2): 60_000_000, (4, 2): 60_000_000,
+                       (1, 4): 0, (2, 3): 1_000_000}
+
+
 class TestFuzzyDedup:
     DOCS = [
         (1, "the quick brown fox jumps over the lazy dog"),

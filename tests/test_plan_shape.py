@@ -111,6 +111,24 @@ def test_d12_sample_filter_pushes_to_scan(spark, sf_oracle):
     assert "md5" in plan
 
 
+def test_range_join_is_equi_hash_not_nested_loop(spark, sf_oracle):
+    """x28's bounded range join must execute as an equi join on the
+    gap-bucket key — a theta-only formulation degrades to
+    BroadcastNestedLoopJoin and dies at scale."""
+    plan = plan_of(spark, "x28_range_pairs", sf_oracle)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_asof_join_single_shuffle_window(spark, sf_oracle):
+    """x27's as-of join is the union+window composition: exactly one
+    Window over the union, no join operator at all."""
+    plan = plan_of(spark, "x27_asof_join", sf_oracle)
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
 def test_d01_shuffles_hash_not_text(spark, sf_oracle):
     """d01's window partition key must be md5(text), not the document."""
     from spaceparts_data_pipeline_spark.queries import llm
