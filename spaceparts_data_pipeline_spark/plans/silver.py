@@ -52,6 +52,36 @@ def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
     overwrite_via_staging(clean.sparkSession, target, out, partition_by=PARTITION_COL)
 
 
+def _append_quarantine_dedup(spark: SparkSession, sink: str, quarantined: DataFrame) -> None:
+    """Append quarantine rows the sink doesn't already hold.
+
+    Incremental runs re-scan a watermark overlap window, so the same bad
+    source row is re-derived on consecutive runs; without this anti-join
+    the side-sink accumulates one copy per run. Identity = every source
+    column + quarantine_reason (null-safe); the per-run stamp columns
+    (quarantine_date, silver audit ids) are excluded. The anti-join
+    shuffles the increment against the sink — the sink is the small
+    bad-rows side, orders of magnitude under the table.
+    """
+    from functools import reduce
+
+    if not spark.catalog.tableExists(sink):
+        quarantined.write.mode("append").option("mergeSchema", "true").saveAsTable(sink)
+        return
+    existing = spark.table(sink)
+    cmp_cols = [
+        c for c in quarantined.columns
+        if c in existing.columns and c not in ("quarantine_date",)
+    ]
+    cond = reduce(
+        lambda a, b: a & b,
+        [quarantined[c].eqNullSafe(existing[c]) for c in cmp_cols],
+    )
+    fresh = quarantined.join(existing, cond, "left_anti")
+    if fresh.isEmpty() is False:
+        fresh.write.mode("append").option("mergeSchema", "true").saveAsTable(sink)
+
+
 def transform(
     df: DataFrame,
     table: str,
@@ -154,9 +184,7 @@ def run_incremental(
         keys = infer_keys(clean.columns, order_col)
         _write_partitioned(clean, target, keys, n_buckets, sort_by=keys)
     if quarantined.isEmpty() is False:
-        quarantined.write.mode("append").option("mergeSchema", "true").saveAsTable(
-            f"silver_quarantine_{table}"
-        )
+        _append_quarantine_dedup(spark, f"silver_quarantine_{table}", quarantined)
     n = spark.table(target).count()
     wm = incoming.agg(F.max(order_col)).collect()[0][0] if order_col in incoming.columns else None
     logs.append_control(spark, control_table, table, execution_id, wm, "success", n)

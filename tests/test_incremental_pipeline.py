@@ -72,6 +72,22 @@ def test_overlap_reappend_is_idempotent_in_silver(spark, inc_db):
     assert spark.table("silver_fact_idem").count() == 2     # silver exactly-once
 
 
+def test_quarantine_does_not_reaccumulate_across_rounds(spark, inc_db):
+    """Regression (round-1 advice): silver must receive only the bronze
+    slice above its control watermark — otherwise every incremental run
+    re-derives quarantine rows from full history and the side-sink
+    grows without bound."""
+    qschema = "order_number string, order_value double, dwcreateddate timestamp"
+    src1 = spark.createDataFrame(
+        [("o1", 10.0, T0), ("oBAD", 9e9, T0)], qschema)  # extreme value → quarantined
+    run_incremental_pipeline(spark, {"fact_q": src1})
+    assert spark.table("silver_quarantine_fact_q").count() == 1
+    src2 = spark.createDataFrame([("o2", 20.0, T1)], qschema)
+    run_incremental_pipeline(spark, {"fact_q": src2})
+    assert spark.table("silver_quarantine_fact_q").count() == 1    # not re-derived
+    assert spark.table("silver_fact_q").count() == 2
+
+
 def test_bronze_schema_evolution(spark, inc_db):
     from spaceparts_data_pipeline_spark.plans import bronze
     src1 = spark.createDataFrame([("o1", 10.0, T0)], SCHEMA)
