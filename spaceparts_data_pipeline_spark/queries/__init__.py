@@ -44,7 +44,7 @@ _PRIORITY = [
     "x07_tfidf_topterms", "x19_array_stats", "x23_posexplode_tokens",
     # highest-value beyond-reference queries (distinct op families)
     "x18_approx_quantiles", "x16_string_kit", "s01_stream_windowed_counts",
-    "x01_event_sessions",
+    "s02_stream_stateful_profile",
 ]
 
 

@@ -61,6 +61,71 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s02_stream_stateful_profile",
+    """
+    SELECT user_id, COUNT(*) AS event_count,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def s02_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through the driver gate: per-user
+    (count, first_ts, last_ts) accumulated in applyInPandasWithState —
+    the escape hatch for stateful logic the built-in windowed operators
+    can't express. Drained availableNow; because counts/extrema only
+    grow, the final per-user emission (max event_count) equals the batch
+    aggregate even if the source splits into several micro-batches.
+    State sticks to integers and epoch-micros — exact in every engine —
+    rather than float accumulation, which would drift from the oracle's
+    summation order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+    out_schema = "user_id bigint, event_count bigint, first_us bigint, last_us bigint"
+    state_schema = "event_count bigint, first_us bigint, last_us bigint"
+
+    def update(key, pdfs, state: GroupState):
+        count, first, last = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            us = (pdf["ts"].astype("datetime64[us]").astype("int64"))
+            count += len(pdf)
+            first = int(us.min()) if first is None else min(first, int(us.min()))
+            last = int(us.max()) if last is None else max(last, int(us.max()))
+        state.update((count, first, last))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "event_count": [count],
+            "first_us": [first], "last_us": [last],
+        })
+
+    q = (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.format("memory").queryName("s02_mem")
+        .outputMode("update").trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_user = (
+        spark.table("s02_mem")
+        .groupBy("user_id")
+        .agg(
+            F.max("event_count").alias("event_count"),
+            F.min("first_us").alias("__f"), F.max("last_us").alias("__l"),
+        )
+    )
+    return per_user.select(
+        "user_id", "event_count",
+        F.timestamp_micros(F.col("__f")).alias("first_ts"),
+        F.timestamp_micros(F.col("__l")).alias("last_ts"),
+    )
+
+
+@register(
     "s01_stream_windowed_counts",
     """
     SELECT date_trunc('hour', ts) AS window_start,
