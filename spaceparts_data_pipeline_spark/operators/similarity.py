@@ -16,13 +16,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _ensure_parallel(df: DataFrame) -> DataFrame:
+def _ensure_parallel(df: DataFrame, n_hint: int | None = None) -> DataFrame:
     """Vector math via higher-order functions is CPU-heavy per row; a
     corpus that arrives in fewer partitions than cores (tiny file, single
     row group) serializes it. Spread it once — no-op when the scan is
-    already parallel (the 100 TB case)."""
+    already parallel (the 100 TB case). With ``n_hint`` the spread is
+    also capped at one partition per ~1k rows, so a small corpus doesn't
+    fan out to ``defaultParallelism`` near-empty Python workers."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    if n_hint is not None:
+        target = max(2, min(target, n_hint // 1000 + 1))
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
@@ -287,7 +291,9 @@ def knn_ivf(
 def _band_signature_fn(id_col: str, vec_col: str, dim: int, n_planes: int, n_bands: int):
     """mapInPandas kernel: per row, ``n_bands`` sign-bit signatures of
     ``n_planes`` bits each, via one NumPy projection against the same
-    deterministic hyperplanes :func:`signature` uses."""
+    deterministic hyperplanes :func:`signature` uses. The (float64)
+    vector rides along in the output so candidates can be verified
+    without joining vectors back by id."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -303,7 +309,9 @@ def _band_signature_fn(id_col: str, vec_col: str, dim: int, n_planes: int, n_ban
             V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             bits = (V @ P.T) >= 0                              # (n, B*p)
             sigs = bits.reshape(len(pdf), n_bands, n_planes).astype(np.int64) @ weights
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sigs": list(sigs)})
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(), vec_col: list(V), "sigs": list(sigs),
+            })
 
     return fn
 
@@ -332,6 +340,61 @@ def _pair_cosine_fn(a_id: str, b_id: str, a_vec: str, b_vec: str):
     return fn
 
 
+def _bucket_pairs_fn(id_col: str, vec_col: str, threshold: float, chunk: int = 2048):
+    """applyInPandas kernel over one COARSE group of (band, sig) buckets:
+    for every bucket inside the group, all within-bucket pairs at-or-above
+    ``threshold`` via a normalized gram matmul, emitted with
+    ``id_a < id_b``. Buckets are coarse-grouped (hash(band, sig) mod G)
+    because one applyInPandas call per ~16-row bucket drowns in per-group
+    overhead; one call per ~20k rows converts the group's vectors to a
+    float64 matrix ONCE and slices per bucket. Work is the inherent
+    Σ bucket² of LSH verification; memory is bounded by row-chunking the
+    gram product, so a skew bucket (thousands of copies of one document)
+    streams in ``chunk``-row slabs instead of materializing B² floats."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "__cos": pd.Series(dtype="float64")})
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.reset_index(drop=True)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        all_ids = pdf[id_col].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for _, grp in pdf.groupby(["band", "sig"], sort=False):
+            pos = grp.index.to_numpy()
+            m = len(pos)
+            if m < 2:
+                continue
+            B = Vn[pos]
+            ids = all_ids[pos]
+            for lo in range(0, m, chunk):
+                hi = min(lo + chunk, m)
+                G = B[lo:hi] @ B.T                     # (slab, m)
+                rows, cols = np.nonzero(G >= threshold)
+                keep = (rows + lo) < cols               # upper triangle only
+                rows, cols = rows[keep], cols[keep]
+                ia, ib = ids[rows + lo], ids[cols]
+                swap = ia > ib
+                out_a.append(np.where(swap, ib, ia))
+                out_b.append(np.where(swap, ia, ib))
+                out_c.append(G[rows, cols])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype("int64"),
+            "id_b": np.concatenate(out_b).astype("int64"),
+            "__cos": np.concatenate(out_c),
+        })
+
+    return fn
+
+
 def similar_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -340,6 +403,7 @@ def similar_pairs_lsh(
     n_planes: int | None = None,
     n_bands: int = 8,
     threshold: float = 0.35,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Approximate similar pairs via BANDED hyperplane LSH: ``n_bands``
     independent ``n_planes``-bit signatures; a pair is a candidate if it
@@ -358,7 +422,11 @@ def similar_pairs_lsh(
     per-band candidate cost is ~n·bucket/2, so ``n_planes=None``
     (default) sizes itself from the corpus count — enough bits that the
     average bucket holds ~16 vectors — keeping total candidates ~64·n
-    regardless of corpus size. With self-sized planes the recall profile
+    regardless of corpus size. Pass ``n_hint`` (an exact-or-upper-bound
+    row count, e.g. from parquet footer metadata or catalog stats) so
+    sizing costs nothing; only when both ``n_planes`` and ``n_hint``
+    are None does sizing fall back to a full ``count()`` — never do
+    that at corpus scale. With self-sized planes the recall profile
     is near-dup-oriented (cos ≥ 0.9 pairs ≈ 0.99 at 8 bands) while
     wide-angle pairs (cos ≈ threshold 0.35, ~70° apart) retain ~0.2 —
     the inherent hyperplane-LSH trade; for high recall on moderate
@@ -366,11 +434,13 @@ def similar_pairs_lsh(
     12 bands measures 0.91 on the test fixture) and pay the bigger
     buckets.
     """
-    df = _ensure_parallel(df)
+    n = n_hint if n_hint is not None else None
+    if n_planes is None and n is None:
+        n = df.select(id_col).count()
+    df = _ensure_parallel(df, n_hint=n)
     vecs = df.select(F.col(id_col), F.col(vec_col))
     if n_planes is None:
         import math
-        n = vecs.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / 16)))
     # All band signatures in ONE Arrow-batched matmul: n_bands×n_planes
     # separate aggregate/zip_with expressions build a Catalyst tree with
@@ -380,28 +450,28 @@ def similar_pairs_lsh(
     # trade the guide prescribes for heavy vector math.
     sig_df = vecs.mapInPandas(
         _band_signature_fn(id_col, vec_col, dim, n_planes, n_bands),
-        schema=f"{id_col} long, sigs array<long>",
+        schema=f"{id_col} long, {vec_col} array<double>, sigs array<long>",
     )
-    bands = sig_df.select(F.col(id_col), F.posexplode("sigs").alias("band", "sig"))
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
-    cands = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    paired = cands.join(va, "id_a").join(vb, "id_b")
-    # exact-cosine verification, Arrow-batched (row-wise numpy dot):
-    # candidate volume is ~64·n, and a per-row 64-element fold would
-    # serialize right where the funnel is narrowest
-    scored = paired.mapInPandas(
-        _pair_cosine_fn("id_a", "id_b", "__va", "__vb"),
+    # Vectors RIDE the band explode (n_bands × dim doubles per row) and
+    # verification happens INSIDE each (band, sig) bucket via
+    # applyInPandas: ONE vector shuffle keyed by bucket replaces the
+    # former band self-join + wide distinct + two id-keyed vector
+    # joins-back (four exchanges → one). Within a bucket the kernel does
+    # the inherent Σ bucket² work as a normalized gram matmul and emits
+    # only pairs ≥ threshold, so the only post-shuffle data is the
+    # (id_a, id_b, cos) survivors; pairs colliding in several bands are
+    # verified redundantly (cheap) and deduped on those narrow rows.
+    bands = sig_df.select(F.col(id_col), F.col(vec_col), F.posexplode("sigs").alias("band", "sig"))
+    # Coarse group count: ~20k band-rows per applyInPandas call, floor 64
+    # so small corpora still spread across cores and AQE can coalesce.
+    total_rows = (n * n_bands) if n is not None else None
+    G = max(64, total_rows // 20_000 + 1) if total_rows is not None else 4096
+    grouped = bands.withColumn("__g", F.pmod(F.hash("band", "sig"), F.lit(G)))
+    scored = grouped.groupBy("__g").applyInPandas(
+        _bucket_pairs_fn(id_col, vec_col, threshold),
         schema="id_a long, id_b long, __cos double",
     )
     return (
-        scored.filter(F.col("__cos") >= threshold)
+        scored.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine_sim"))
     )

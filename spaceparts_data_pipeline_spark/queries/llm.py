@@ -397,10 +397,16 @@ def e02_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("e03_similar_pairs_lsh")
 def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.sources.parquet import footer_row_count
+
     d = T(spark, sf_dir, "embeddings")
     # n_planes=None → self-sized from the corpus count: total candidate
-    # pairs stay ~64·n at any sf instead of n²/2^planes blowing up
-    return similarity.similar_pairs_lsh(d, n_planes=None, n_bands=8, threshold=0.35)
+    # pairs stay ~64·n at any sf instead of n²/2^planes blowing up.
+    # The count comes from parquet footers (n_hint) — no counting job.
+    return similarity.similar_pairs_lsh(
+        d, n_planes=None, n_bands=8, threshold=0.35,
+        n_hint=footer_row_count(sf_dir, "embeddings"),
+    )
 
 
 # ---------------------------------------------------------------------------

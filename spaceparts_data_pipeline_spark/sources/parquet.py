@@ -81,6 +81,26 @@ def load_all(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> dict[s
     return {t: load_table(spark, sf_dir, t) for t in tables}
 
 
+def footer_row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet footer metadata — O(files)
+    footer reads, no Spark job, no data scan. The cheap substitute for
+    a ``count()`` wherever an operator only needs the corpus size to
+    pick parameters (e.g. LSH plane self-sizing)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def sample_scan(df: DataFrame, n: int = 5) -> DataFrame:
     """Profiling sample (S7: `SELECT TOP n *`)."""
     return df.limit(n)
