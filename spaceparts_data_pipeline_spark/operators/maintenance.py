@@ -31,29 +31,103 @@ from spaceparts_data_pipeline_spark.operators.merge import physical_partition_co
 DEFAULT_TARGET_FILE_MB = 128
 
 
-def table_location(spark: SparkSession, table: str) -> str | None:
+def table_location(spark: SparkSession, table: str, raw: bool = False) -> str | None:
+    """The table's storage location. ``raw=True`` keeps the URI scheme
+    (for the Hadoop FileSystem API); default strips ``file:`` for
+    local-path consumers."""
     try:
         rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     except Exception:
         return None
     for r in rows:
         if r.col_name.strip() == "Location":
-            return r.data_type.replace("file:", "")
+            return r.data_type if raw else r.data_type.replace("file:", "")
     return None
 
 
 def file_stats(spark: SparkSession, table: str) -> dict:
     """(n_files, total_bytes) for a managed parquet table — the signal
-    deciding whether compaction is worth a rewrite."""
-    loc = table_location(spark, table)
+    deciding whether compaction is worth a rewrite. Listing goes through
+    the Hadoop FileSystem API so it works on any URI scheme (s3a://,
+    abfss://, hdfs://, file:), not just the local filesystem."""
+    loc = table_location(spark, table, raw=True)
     n, total = 0, 0
-    if loc and os.path.isdir(loc):
-        for root, _dirs, files in os.walk(loc):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n += 1
-                    total += os.path.getsize(os.path.join(root, f))
+    if loc:
+        try:
+            jvm = spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(loc)
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(path):
+                it = fs.listFiles(path, True)
+                while it.hasNext():
+                    f = it.next()
+                    if f.getPath().getName().endswith(".parquet"):
+                        n += 1
+                        total += f.getLen()
+        except Exception:
+            # fallback: plain local walk (e.g. a mocked session)
+            local = loc.replace("file:", "")
+            if os.path.isdir(local):
+                for root, _dirs, files in os.walk(local):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n += 1
+                            total += os.path.getsize(os.path.join(root, f))
     return {"n_files": n, "total_bytes": total}
+
+
+def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
+    """Repair any crash state a previous :func:`overwrite_via_staging`
+    left behind, restoring the invariant "``table`` exists and is
+    complete". Returns a short action tag (or None if nothing to do).
+
+    Possible crash states, by where the swap died:
+
+    - staging exists, live exists → crash during/after the staging write
+      but before the live table moved aside: the live table is current;
+      drop the (possibly incomplete) staging.
+    - staging exists, live missing → crash after ``live → __old``: the
+      staging write had completed (it only renames after), so FINISH the
+      swap: promote staging, repair partitions, drop ``__old``.
+    - only ``__old`` exists, live missing → cannot happen in order (the
+      promote precedes the drop of old), but restore old defensively.
+    - ``__old`` exists, live exists → crash before the final drop: the
+      promote (and any MSCK) may or may not have completed — MSCK is
+      idempotent, so repair partitions and drop old.
+    """
+    staging, old = f"{table}__staging", f"{table}__old"
+    has = spark.catalog.tableExists
+
+    def _msck(t):
+        # Also REQUIRED before dropping a renamed partitioned table: a
+        # rename moves the data directory but partition entries keep
+        # their pre-rename locations, so an un-repaired DROP would
+        # delete directories that now belong to the promoted table.
+        if physical_partition_cols(spark, t):
+            spark.sql(f"MSCK REPAIR TABLE {t}")
+
+    def _drop_old():
+        if has(old):
+            _msck(old)
+            spark.sql(f"DROP TABLE {old}")
+
+    if has(staging):
+        if has(table):
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            return "dropped_incomplete_staging"
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        _msck(table)
+        _drop_old()
+        return "promoted_staging"
+    if has(old):
+        if has(table):
+            _msck(table)
+            _drop_old()
+            return "dropped_old"
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        _msck(table)
+        return "restored_old"
+    return None
 
 
 def overwrite_via_staging(
@@ -63,31 +137,44 @@ def overwrite_via_staging(
     partition_by: str | list[str] | None = None,
 ) -> None:
     """Crash-safe full overwrite: materialize ``<table>__staging``
-    completely, then swap it in with a catalog drop+rename.
+    completely, then swap it in with rename ordering that leaves a
+    recoverable state at EVERY step:
 
-    A plain ``mode("overwrite").saveAsTable`` drops the live table before
-    writing — a mid-write crash loses it. Here a crash during the staging
-    write leaves the live table untouched (the orphan staging table is
-    simply re-created next run), shrinking the unprotected window to the
-    metadata-only drop+rename. This is the plain-Parquet stand-in for the
-    reference's Delta transaction log; it also removes the need to
-    localCheckpoint plans that read the table they replace — the staging
-    write IS the materialization.
+    1. recover any prior crash state (:func:`recover_staged_swap`);
+    2. write ``<table>__staging`` fully (crash → live table untouched);
+    3. rename live → ``<table>__old`` + MSCK it (crash → staging
+       complete, recovery promotes it);
+    4. rename staging → live (+ MSCK for partitioned tables — the rename
+       moves the data directory but the catalog's partition entries keep
+       their pre-rename locations; the same applies to ``__old`` in
+       step 3, and matters there because dropping a table whose entries
+       still point into the live directory would DELETE live data);
+    5. drop ``<table>__old`` (crash → recovery just drops it).
+
+    Unlike the previous drop+rename pair, no step ever leaves ZERO
+    complete copies of the data: a crash anywhere is repaired by
+    :func:`recover_staged_swap` on the next run. This is the
+    plain-Parquet stand-in for the reference's Delta transaction log; it
+    also removes the need to localCheckpoint plans that read the table
+    they replace — the staging write IS the materialization.
     """
-    staging = f"{table}__staging"
+    staging, old = f"{table}__staging", f"{table}__old"
     pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    recover_staged_swap(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     w = df.write.mode("overwrite")
     if pcols:
         w = w.partitionBy(*pcols)
     w.saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if spark.catalog.tableExists(table):
+        was_partitioned = bool(physical_partition_cols(spark, table))
+        spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+        if was_partitioned:
+            spark.sql(f"MSCK REPAIR TABLE {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     if pcols:
-        # the rename moves the data directory but the catalog's partition
-        # entries keep their pre-rename locations — re-register them, else
-        # the table reads empty
         spark.sql(f"MSCK REPAIR TABLE {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
 
 
 def compact_table(
@@ -107,6 +194,12 @@ def compact_table(
     pcols = physical_partition_cols(spark, table)
     df = spark.table(table)
 
+    if partition_values is not None and not pcols:
+        raise ValueError(
+            f"partition_values passed but table {table!r} is not partitioned —"
+            " a partition-scoped compaction cannot apply; call without"
+            " partition_values for a full-table rewrite"
+        )
     if pcols and partition_values is not None:
         # partition-scoped: rewrite only the listed partitions
         pcol = pcols[0]

@@ -135,24 +135,3 @@ def merge_into_table(
         # staged swap: materializes the merge before the old table drops,
         # so no executor-memory checkpoint and a crash can't lose the table
         overwrite_via_staging(spark, table, merged)
-
-
-def write_merged(
-    spark,
-    target_path: str,
-    source: DataFrame,
-    keys: list[str],
-    order_col: str | None = None,
-    fmt: str = "parquet",
-) -> None:
-    """MERGE into a stored Parquet table path (read → merge → atomic-ish
-    rewrite via staging dir rename is not available on object stores;
-    here we materialize the merged result then overwrite).
-
-    On Delta-capable clusters, swap for ``MERGE INTO`` — the plan shape
-    (broadcast/hash join on keys) is the same.
-    """
-    target = spark.read.format(fmt).load(target_path)
-    merged = merge_upsert(target, source, keys, order_col=order_col)
-    # Break lineage before overwriting the input path (self-overwrite guard).
-    merged.localCheckpoint(eager=True).write.mode("overwrite").format(fmt).save(target_path)

@@ -108,6 +108,94 @@ def test_staged_overwrite_swaps_and_cleans_up(spark, maint_db):
     assert not spark.catalog.tableExists("swap_t__staging")
 
 
+class TestStagedSwapCrashRecovery:
+    """Kill the swap between every pair of steps; assert no state loses
+    the table and recovery restores a complete copy (new data when the
+    staging write had finished, old data otherwise)."""
+
+    def _fresh(self, spark, name, vals):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__staging")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__old")
+        spark.createDataFrame([(v,) for v in vals], "id long") \
+            .write.mode("overwrite").saveAsTable(name)
+
+    def _ids(self, spark, name):
+        return sorted(r["id"] for r in spark.table(name).collect())
+
+    def test_crash_after_staging_write(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import recover_staged_swap
+
+        self._fresh(spark, "cr_t", [1, 2])
+        # crash state: staging written, live not yet moved aside
+        spark.createDataFrame([(10,), (20,)], "id long") \
+            .write.mode("overwrite").saveAsTable("cr_t__staging")
+        assert recover_staged_swap(spark, "cr_t") == "dropped_incomplete_staging"
+        assert self._ids(spark, "cr_t") == [1, 2]          # old data intact
+        assert not spark.catalog.tableExists("cr_t__staging")
+
+    def test_crash_after_live_moved_aside(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import recover_staged_swap
+
+        self._fresh(spark, "cr_t", [1, 2])
+        spark.createDataFrame([(10,), (20,)], "id long") \
+            .write.mode("overwrite").saveAsTable("cr_t__staging")
+        spark.sql("ALTER TABLE cr_t RENAME TO cr_t__old")
+        # crash state: live missing, staging complete → finish the swap
+        assert recover_staged_swap(spark, "cr_t") == "promoted_staging"
+        assert self._ids(spark, "cr_t") == [10, 20]        # new data promoted
+        assert not spark.catalog.tableExists("cr_t__old")
+        assert not spark.catalog.tableExists("cr_t__staging")
+
+    def test_crash_before_old_dropped(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import recover_staged_swap
+
+        self._fresh(spark, "cr_t", [1, 2])
+        spark.createDataFrame([(10,), (20,)], "id long") \
+            .write.mode("overwrite").saveAsTable("cr_t__staging")
+        spark.sql("ALTER TABLE cr_t RENAME TO cr_t__old")
+        spark.sql("ALTER TABLE cr_t__staging RENAME TO cr_t")
+        # crash state: swap done, orphan __old remains
+        assert recover_staged_swap(spark, "cr_t") == "dropped_old"
+        assert self._ids(spark, "cr_t") == [10, 20]
+        assert not spark.catalog.tableExists("cr_t__old")
+
+    def test_partitioned_promote_repairs_partitions(self, spark, maint_db):
+        """Promoting a PARTITIONED staging table re-registers partition
+        entries (MSCK) — without it the renamed table reads empty."""
+        from spaceparts_data_pipeline_spark.operators.maintenance import recover_staged_swap
+
+        spark.sql("DROP TABLE IF EXISTS cr_p")
+        spark.sql("DROP TABLE IF EXISTS cr_p__staging")
+        spark.sql("DROP TABLE IF EXISTS cr_p__old")
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string") \
+            .write.mode("overwrite").partitionBy("part").saveAsTable("cr_p")
+        spark.createDataFrame([(10, "a"), (20, "b")], "id long, part string") \
+            .write.mode("overwrite").partitionBy("part").saveAsTable("cr_p__staging")
+        spark.sql("ALTER TABLE cr_p RENAME TO cr_p__old")
+        assert recover_staged_swap(spark, "cr_p") == "promoted_staging"
+        assert sorted(r["id"] for r in spark.table("cr_p").collect()) == [10, 20]
+
+    def test_next_run_self_heals(self, spark, maint_db):
+        """A normal overwrite_via_staging after a crash state first runs
+        recovery, then completes its own swap."""
+        from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
+        self._fresh(spark, "cr_t", [1, 2])
+        spark.createDataFrame([(99,)], "id long") \
+            .write.mode("overwrite").saveAsTable("cr_t__staging")  # orphan
+        overwrite_via_staging(spark, "cr_t", spark.createDataFrame([(7,)], "id long"))
+        assert self._ids(spark, "cr_t") == [7]
+        assert not spark.catalog.tableExists("cr_t__staging")
+        assert not spark.catalog.tableExists("cr_t__old")
+
+
+def test_compact_partition_values_on_unpartitioned_raises(spark, maint_db):
+    spark.range(5).write.mode("overwrite").saveAsTable("flat_t")
+    with pytest.raises(ValueError, match="not partitioned"):
+        compact_table(spark, "flat_t", partition_values=["a"])
+
+
 def test_silver_write_is_sorted_for_data_skipping(spark, maint_db):
     """Silver writes sort rows by the inferred keys inside each file so
     parquet row-group min/max statistics can prune key lookups."""
