@@ -71,14 +71,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "layer_rows_per_hour": layer_rates,
-        "vs_prev": vs_previous_round(timings),
+        "vs_prev": vs_previous_round(timings, layer_rates),
     }))
 
 
-def vs_previous_round(timings: dict[str, float]) -> dict:
+def vs_previous_round(timings: dict[str, float], layer_rates: dict | None = None) -> dict:
     """Per-query delta (sec, negative = faster) vs the latest recorded
-    BENCH_r{N}.json, so a regression in any pinned headline query is
-    visible in the round-over-round record."""
+    BENCH_r{N}.json, plus layer-throughput deltas (rows/h, positive =
+    faster), so a physical-layout regression in the write path is as
+    visible round-over-round as a query regression."""
     import glob
     import re
 
@@ -96,10 +97,17 @@ def vs_previous_round(timings: dict[str, float]) -> dict:
         prev = doc.get("parsed", doc).get("queries", {})
     except Exception:
         return {}
+    parsed = doc.get("parsed", doc)
+    prev_rates = parsed.get("layer_rows_per_hour", {})
     return {
         "baseline": os.path.basename(rounds[-1]),
         "deltas": {q: round(t - prev[q], 3) for q, t in timings.items() if q in prev},
         "new": [q for q in timings if q not in prev],
+        "layer_rows_per_hour_deltas": {
+            k: round(v - prev_rates[k])
+            for k, v in (layer_rates or {}).items()
+            if k in prev_rates and k != "rows"
+        },
     }
 
 

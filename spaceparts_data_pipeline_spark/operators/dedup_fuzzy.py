@@ -168,7 +168,14 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
-    out = labels.select(F.col("src").alias(id_col), "component")
+    # Hand back a self-contained result and release the loop's cache:
+    # the final labels are already materialized (the convergence probe
+    # collected over them), so the localCheckpoint is a cheap copy-out
+    # of (id, component) pairs whose blocks the ContextCleaner frees
+    # once the caller drops the reference — unlike a CacheManager entry,
+    # which would pin executor storage until an explicit unpersist.
+    out = labels.select(F.col("src").alias(id_col), "component").localCheckpoint(eager=True)
+    labels.unpersist()
     return out
 
 

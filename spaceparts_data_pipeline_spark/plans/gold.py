@@ -266,10 +266,19 @@ def run_incremental(
             if m.partition:
                 pcol, pexpr = m.partition
                 delta = delta.withColumn(pcol, pexpr())
-                merge_into_table(spark, m.name, delta, m.merge_keys, partition_col=pcol)
-            else:
-                merge_into_table(spark, m.name, delta, m.merge_keys)
-            n = delta.count()
+            # The delta (bounded: changed keys only) is consumed twice —
+            # once by the merge, once by the record count. Persist +
+            # count FIRST so the merge reads the cache instead of
+            # re-executing the builder joins + semi-join a second time.
+            delta = delta.persist()
+            try:
+                n = delta.count()
+                if m.partition:
+                    merge_into_table(spark, m.name, delta, m.merge_keys, partition_col=m.partition[0])
+                else:
+                    merge_into_table(spark, m.name, delta, m.merge_keys)
+            finally:
+                delta.unpersist()
             logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
             results[m.name] = {"status": "success", "records": n, "mode": "incremental"}
         except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting

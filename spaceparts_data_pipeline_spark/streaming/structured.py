@@ -133,7 +133,14 @@ def stream_upsert(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not spark.catalog.tableExists(target_table):
-            batch_df.write.mode("overwrite").saveAsTable(target_table)
+            # Create the target with the physical partitioning the merge
+            # path expects — a plain saveAsTable here would leave the
+            # table unpartitioned and every later batch on the O(table)
+            # full-rewrite fallback instead of O(touched partitions).
+            w = batch_df.write.mode("overwrite")
+            if partition_col:
+                w = w.partitionBy(partition_col)
+            w.saveAsTable(target_table)
             return
         target = spark.table(target_table)
         merge_into_table(spark, target_table, batch_df.select(*target.columns), keys,

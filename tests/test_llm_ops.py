@@ -336,6 +336,23 @@ class TestClustering:
         kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
         assert kept == [1, 4, 6]
 
+    def test_connected_components_leaves_no_cache_entry(self, spark):
+        """Regression (round-2 advice): the final labels frame used to
+        stay persisted through the CacheManager, pinning executor
+        storage forever in long sessions. The result must be
+        self-contained (usable after clearCache) with no cache entry."""
+        from pyspark.sql.types import LongType, StructField, StructType
+        from spaceparts_data_pipeline_spark.operators.dedup_fuzzy import connected_components
+
+        sch = StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+        ids = spark.range(1, 5).withColumnRenamed("id", "doc_id")
+        pairs = spark.createDataFrame([(1, 2), (3, 4)], sch)
+        spark.catalog.clearCache()
+        out = connected_components(pairs, ids)
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        spark.catalog.clearCache()   # result survives a cache purge
+        assert {r["doc_id"]: r["component"] for r in out.collect()} == {1: 1, 2: 1, 3: 3, 4: 3}
+
     def test_deterministic_split_stability(self, spark, sf_small):
         from spaceparts_data_pipeline_spark.operators.text import deterministic_split
         d = spark.read.parquet(f"{sf_small}/documents.parquet")

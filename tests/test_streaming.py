@@ -116,6 +116,33 @@ def test_stream_upsert_partitioned_target(spark, tmp_path):
         spark.sql("DROP DATABASE stream_db2 CASCADE")
 
 
+def test_stream_upsert_creates_partitioned_target(spark, tmp_path):
+    """Regression (round-2 advice): when the stream itself creates the
+    target and partition_col is set, the first batch must create it
+    PHYSICALLY partitioned — otherwise every later batch silently falls
+    back to the O(table) full-rewrite path."""
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.operators.merge import physical_partition_cols
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_db3")
+    spark.catalog.setCurrentDatabase("stream_db3")
+    try:
+        src = str(tmp_path / "upsert_csrc")
+        t0 = dt.datetime(2024, 1, 1)
+        _write_batch(spark, src, [(1, t0, "click", 1.0), (2, t0, "view", 2.0)])
+        stream = structured.stream_events(spark, src, SCHEMA) \
+            .withColumn("p_bucket", F.pmod("event_id", F.lit(2)))
+        q = structured.stream_upsert(spark, stream, "events_cnew", ["event_id"], "ts",
+                                     str(tmp_path / "ckpt_c"), partition_col="p_bucket")
+        q.awaitTermination(120)
+        assert physical_partition_cols(spark, "events_cnew") == ["p_bucket"]
+        assert spark.table("events_cnew").count() == 2
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE stream_db3 CASCADE")
+
+
 def test_session_window_agg(spark, tmp_path):
     src = str(tmp_path / "sess_src")
     t = dt.datetime(2024, 1, 1, 10, 0)
