@@ -232,6 +232,77 @@ def assign_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def select_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    strategy: str = "hash_sample",
+) -> DataFrame:
+    """Deterministic IVF centroid seeds as (centroid_id, __cv).
+
+    ``hash_sample`` (default) takes the ``n_centroids`` rows with the
+    smallest ``md5(cast(id))`` — a uniform random-but-reproducible
+    sample (the d12 md5-bucket trick), robust to corpora whose ids
+    correlate with cluster structure. ``first_n`` is the legacy
+    first-``n`` by id: cheaper to reason about in an oracle, but if
+    low ids share one cluster every seed lands there and recall
+    collapses. Both are a single TakeOrdered pass (top-n by a
+    deterministic key) — no full sort materializes at 100 TB, and the
+    md5 ordering is expressible identically in ANSI SQL
+    (``ORDER BY md5(CAST(id AS VARCHAR))``) so the full oracle holds.
+    """
+    if strategy == "hash_sample":
+        ordered = corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    elif strategy == "first_n":
+        ordered = corpus.orderBy(id_col)
+    else:
+        raise ValueError(f"unknown centroid strategy: {strategy!r}")
+    return ordered.limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
+    )
+
+
+def refine_centroids(corpus: DataFrame, cents: DataFrame, iters: int = 1) -> DataFrame:
+    """Lloyd refinement passes over IVF seeds: assign every corpus
+    vector to its nearest centroid (:func:`assign_cells` — one
+    broadcast pass, map-side combinable), then recentre each cell on
+    its mean vector. Cosine is scale-invariant so the unnormalized
+    mean is the spherical-k-means update direction.
+
+    The mean is pure built-ins: posexplode the vector to
+    (cell, pos, val) — the ×dim fan-out collapses in the partial
+    aggregation, so the shuffle carries ≤ n_centroids×dim rows per
+    input partition — then reassemble with
+    array_sort(collect_list(struct(pos, avg))). Empty cells keep
+    their previous centroid (left-join coalesce). Note: float64
+    averaging order varies with partitioning, so refined centroids
+    are deterministic only up to summation order — keep
+    ``kmeans_iters=0`` on oracle-checked paths.
+
+    ``corpus`` must have columns (neighbor_id, __nv); ``cents``
+    (centroid_id, __cv).
+    """
+    for _ in range(iters):
+        assigned = assign_cells(corpus, cents)
+        means = (
+            assigned.select("centroid_id", F.posexplode("__nv").alias("__pos", "__val"))
+            .groupBy("centroid_id", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"))
+            .select("centroid_id", F.transform("__pm", lambda s: s["__m"]).alias("__mv"))
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("__mv", "__cv").alias("__cv"))
+        )
+        # n_centroids rows — collect to the driver so the next pass (and
+        # the two downstream broadcast uses) don't re-run the corpus agg.
+        cents = cents.sparkSession.createDataFrame(cents.collect(), schema=cents.schema)
+    return cents
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,12 +311,14 @@ def knn_ivf(
     k: int = 3,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroid_strategy: str = "hash_sample",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate kNN: coarse-quantize the corpus into
-    ``n_centroids`` cells (centroids = deterministic sample: the first
-    ``n_centroids`` vectors by id — swap in sampled / k-means|| centroids
-    for better recall on clustered corpora; the plan shape is identical),
-    then each query scans only its ``n_probe`` nearest cells.
+    ``n_centroids`` cells (seeds from :func:`select_centroids` —
+    deterministic md5-hash sample by default, optionally Lloyd-refined
+    with ``kmeans_iters`` passes of :func:`refine_centroids`), then
+    each query scans only its ``n_probe`` nearest cells.
 
     At 100 TB the corpus-side cell assignment is one broadcast-join
     pass whose ×n_centroids fan-out collapses in the map-side partial
@@ -257,10 +330,10 @@ def knn_ivf(
     """
     from pyspark.sql import Window
 
-    cents = (
-        corpus.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv"))
-    )
+    cents = select_centroids(corpus, id_col, vec_col, n_centroids, centroid_strategy)
+    if kmeans_iters:
+        seed_c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+        cents = refine_centroids(seed_c, cents, iters=kmeans_iters)
     # corpus → nearest centroid (by cosine), one broadcast pass
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)

@@ -500,11 +500,14 @@ def x07_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # e04 — IVF approximate kNN (coarse-quantize + probe; the partition-pruned
-# ANN scale path). Every step is deterministic — centroids are the first
-# 16 vectors by id, assignment/probing/top-k all have explicit tie-breaks
-# — so unlike the hash-based LSH paths it admits a FULL SQL oracle: the
-# same quantize→probe→rank pipeline in DuckDB, with the cosine written
-# as the identical left-fold so values hash-match bit-for-bit.
+# ANN scale path). Every step is deterministic — centroid seeds are a
+# deterministic md5-hash sample (smallest md5(cast(vec_id)) — Spark md5
+# and DuckDB md5 agree on the hex digest of the decimal string, so the
+# oracle reproduces the exact same seed set), assignment/probing/top-k
+# all have explicit tie-breaks — so unlike the hash-based LSH paths it
+# admits a FULL SQL oracle: the same quantize→probe→rank pipeline in
+# DuckDB, with the cosine written as the identical left-fold so values
+# hash-match bit-for-bit.
 # ---------------------------------------------------------------------------
 
 _COS = (
@@ -518,7 +521,8 @@ _COS = (
     "e04_knn_ivf",
     f"""
     WITH cents AS (
-      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
     ),
     assigned AS (
       SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
