@@ -105,6 +105,39 @@ def epoch_to_timestamp(col: Column | str) -> Column:
     ).otherwise(F.timestamp_seconds(c))
 
 
+#: Naive-epoch literal for TIMESTAMP_NTZ arithmetic (timezone-free).
+_NTZ_EPOCH_SQL = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def is_ntz(df, col: str) -> bool:
+    """True when ``df[col]`` is TIMESTAMP_NTZ. Parquet files whose
+    timestamps carry no timezone annotation read as NTZ under
+    ``spark.sql.timestampType=TIMESTAMP_NTZ`` (or inferTimestampNTZ), so
+    any epoch arithmetic must branch on the actual column type — a bare
+    ``unix_micros`` is an AnalysisException on NTZ input.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    return isinstance(df.schema[col].dataType, TimestampNTZType)
+
+
+def epoch_micros(col: Column | str, *, ntz: bool = False) -> Column:
+    """Microseconds since epoch for either timestamp flavor.
+
+    For TIMESTAMP this is ``unix_micros`` (UTC instant). For
+    TIMESTAMP_NTZ it is the timezone-free ``timestampdiff`` from the
+    naive epoch — NOT a cast to TIMESTAMP, which would re-interpret the
+    wall-clock in the session timezone (and under an NTZ-default session
+    ``cast("timestamp")`` resolves back to NTZ anyway). With a UTC
+    session both flavors of the same stored parquet value yield the
+    same integer, so downstream bucketing/gap math is type-agnostic.
+    """
+    c = _c(col)
+    if ntz:
+        return F.timestamp_diff("MICROSECOND", F.expr(_NTZ_EPOCH_SQL), c)
+    return F.unix_micros(c)
+
+
 def scrub_double(col: Column | str) -> Column:
     """NaN / ±Inf → NULL for double columns (silver_processor.py:180-181)."""
     c = _c(col)

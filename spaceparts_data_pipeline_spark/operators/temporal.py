@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_micros, is_ntz
+
 
 def asof_join(
     left: DataFrame,
@@ -81,26 +83,29 @@ def range_pairs(
     matches exactly once — no post-join dedup.
     """
     gap_us = max_gap_seconds * 1_000_000
+    # Micros are computed ONCE here and carried through the join, so the
+    # operator is agnostic to TIMESTAMP vs TIMESTAMP_NTZ input (the
+    # driver reads tz-less parquet as NTZ under
+    # spark.sql.timestampType=TIMESTAMP_NTZ, where unix_micros errors).
+    us = epoch_micros(F.col(ts), ntz=is_ntz(df, ts))
     base = df.select(
-        F.col(key), F.col(id_col), F.col(ts),
-        F.floor(F.unix_micros(F.col(ts)) / gap_us).alias("__b"),
+        F.col(key), F.col(id_col), us.alias("__us"),
+        F.floor(us / gap_us).alias("__b"),
     ).filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
     a = base.select(
         F.col(key), F.col(id_col).alias("id_a"),
-        F.col(ts).alias("__ts_a"), F.col("__b").alias("__ba"),
+        F.col("__us").alias("__us_a"), F.col("__b").alias("__ba"),
     )
     b = base.select(
-        F.col(key), F.col(id_col).alias("id_b"), F.col(ts).alias("__ts_b"),
+        F.col(key), F.col(id_col).alias("id_b"), F.col("__us").alias("__us_b"),
         F.explode(F.array(F.col("__b"), F.col("__b") - 1)).alias("__ba"),
     )
-    ga = F.unix_micros(F.col("__ts_a"))
-    gb = F.unix_micros(F.col("__ts_b"))
+    ga, gb = F.col("__us_a"), F.col("__us_b")
     return (
         a.join(b, [key, "__ba"])
         .filter(
             (gb - ga >= 0) & (gb - ga <= gap_us)
-            & ((F.col("__ts_a") < F.col("__ts_b"))
-               | ((F.col("__ts_a") == F.col("__ts_b")) & (F.col("id_a") < F.col("id_b"))))
+            & ((ga < gb) | ((ga == gb) & (F.col("id_a") < F.col("id_b"))))
         )
         .select(key, "id_a", "id_b", (gb - ga).alias("gap_us"))
     )

@@ -17,6 +17,8 @@ from spaceparts_data_pipeline_spark.functions.scalars import (
     davg,
     document_category,
     dsum,
+    epoch_micros,
+    is_ntz,
     safe_divide,
 )
 from spaceparts_data_pipeline_spark.functions import measures
@@ -719,12 +721,13 @@ def x01_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 30 * 60 * 1_000_000
+    ntz = is_ntz(e, "ts")
     with_prev = e.withColumn("prev_ts", F.lag("ts").over(w))
     flagged = with_prev.withColumn(
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
-            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > gap_us),
+            | ((epoch_micros("ts", ntz=ntz) - epoch_micros("prev_ts", ntz=ntz)) > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -1002,7 +1005,7 @@ def x14_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     # DuckDB's epoch(ts) yields fractional seconds; mirror it exactly so
     # the RANGE frame boundaries agree on sub-second timestamps.
-    sec = F.unix_micros("ts") / F.lit(1_000_000.0)
+    sec = epoch_micros("ts", ntz=is_ntz(e, "ts")) / F.lit(1_000_000.0)
     w = Window.partitionBy("user_id").orderBy(sec.alias("__sec")).rangeBetween(-3600, 0)
     return e.select(
         "event_id", "user_id", "ts",

@@ -5,6 +5,7 @@ behavior, then an incremental round with updates + inserts."""
 from __future__ import annotations
 
 import datetime as dt
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -17,13 +18,17 @@ HORIZON = "2027-01-01"
 
 @pytest.fixture(scope="module")
 def pipeline_result(spark):
-    spark.sql("CREATE DATABASE IF NOT EXISTS e2e")
-    spark.catalog.setCurrentDatabase("e2e")
+    # Unique per-run database: a crashed earlier process can orphan the
+    # fixed-name warehouse dir (LOCATION_ALREADY_EXISTS on the next CREATE),
+    # so the name must never repeat across runs.
+    db = f"e2e_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    spark.catalog.setCurrentDatabase(db)
     sources = build_fixtures(spark)
     result = runner.run_pipeline(spark, sources, horizon=HORIZON)
     yield result
     spark.catalog.setCurrentDatabase("default")
-    spark.sql("DROP DATABASE e2e CASCADE")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
 
 
 def test_full_pipeline_status(pipeline_result):
