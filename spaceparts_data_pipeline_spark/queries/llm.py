@@ -405,7 +405,7 @@ def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The count comes from parquet footers (n_hint) — no counting job.
     return similarity.similar_pairs_lsh(
         d, n_planes=None, n_bands=8, threshold=0.35,
-        n_hint=footer_row_count(sf_dir, "embeddings"),
+        n_hint=footer_row_count(sf_dir, "embeddings", spark=spark),
     )
 
 

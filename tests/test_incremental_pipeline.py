@@ -194,6 +194,57 @@ def test_gold_incremental_rewrites_only_touched_months(spark, inc_db):
     assert t.filter(F.col("k") == 5).collect()[0]["v"] == 555.0
 
 
+def test_silver_full_single_transform_execution(spark, inc_db, monkeypatch):
+    """Round-3 verdict #3: run_full used to execute the heavy
+    standardize→window-dedup plan three times (quarantine count,
+    quarantine append, clean write). Pin that the quarantine split now
+    consumes a PERSISTED parent (so downstream counts/writes are cache
+    scans, not recomputes) and that the cache is released afterwards."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spaceparts_data_pipeline_spark.plans import bronze, silver
+
+    seen = []
+    real = silver.quarantine_split
+
+    def spy(df, **kw):
+        seen.append(df.storageLevel != StorageLevel.NONE)
+        return real(df, **kw)
+
+    monkeypatch.setattr(silver, "quarantine_split", spy)
+    rows = [(f"o{i}", float(i), T0) for i in range(50)]
+    bronze.run_full(spark, spark.createDataFrame(rows, SCHEMA), "fact_once")
+    silver.run_full(spark, "fact_once")
+    assert seen and all(seen)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_silver_incremental_single_transform_execution(spark, inc_db, monkeypatch):
+    """run_incremental has four consumers of the transform (touched-bucket
+    collect, merge write, quarantine isEmpty, quarantine anti-join append)
+    — same persisted-parent contract as run_full."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spaceparts_data_pipeline_spark.plans import bronze, silver
+
+    bronze.run_full(spark, spark.createDataFrame([("o1", 1.0, T0)], SCHEMA), "fact_once2")
+    silver.run_full(spark, "fact_once2")
+
+    seen = []
+    real = silver.quarantine_split
+
+    def spy(df, **kw):
+        seen.append(df.storageLevel != StorageLevel.NONE)
+        return real(df, **kw)
+
+    monkeypatch.setattr(silver, "quarantine_split", spy)
+    inc = spark.createDataFrame([("o1", 2.0, T1), ("o2", 3.0, T1)], SCHEMA)
+    silver.run_incremental(spark, "fact_once2", inc)
+    assert seen and all(seen)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert spark.table("silver_fact_once2").count() == 2
+
+
 def test_silver_sorted_write(spark, inc_db):
     from spaceparts_data_pipeline_spark.plans import bronze, silver
     rows = [(f"o{i}", float(i), T0) for i in range(100)]

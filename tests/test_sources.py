@@ -141,3 +141,39 @@ class TestProfiling:
         assert h["seg"]["category"] is True
         assert h["amount"]["numeric_string"] is True
         assert "note" not in h or "numeric_string" not in h.get("note", {})
+
+
+class TestFooterRowCount:
+    def test_plain_path_and_file_uri_agree(self, spark, sf_small):
+        plain = parquet.footer_row_count(sf_small, "embeddings")
+        uri = parquet.footer_row_count(f"file://{sf_small}", "embeddings")
+        assert plain is not None and plain > 0
+        assert uri == plain
+
+    def test_missing_path_returns_none(self, sf_small):
+        assert parquet.footer_row_count(sf_small, "no_such_table") is None
+
+    def test_remote_scheme_without_session_returns_none(self):
+        # no SparkSession passed: a non-local URI can't be answered
+        # driver-side — must signal unknown, never a silent 0
+        assert parquet.footer_row_count("s3a://bucket/sf1", "embeddings") is None
+
+    def test_e03_build_runs_zero_counting_jobs(self, spark, sf_small, monkeypatch):
+        """The LSH self-sizing must come from footers, not a count() job
+        (round-3 verdict: at object-store scale a silently-broken hint
+        degraded e03 back to the sizing count it was built to avoid)."""
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+        from spaceparts_data_pipeline_spark.queries import all_queries
+
+        calls = []
+        real = ClassicDF.count
+
+        def spy(self):
+            calls.append(1)
+            return real(self)
+
+        monkeypatch.setattr(ClassicDF, "count", spy)
+        df = all_queries()["e03_similar_pairs_lsh"](spark, sf_small)
+        assert df.columns  # plan built
+        assert not calls, "e03 plan construction ran a counting job"
