@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -31,10 +32,65 @@ from spaceparts_data_pipeline_spark.operators.merge import physical_partition_co
 DEFAULT_TARGET_FILE_MB = 128
 
 
+def _split_db(table: str) -> tuple[str | None, str]:
+    if "." in table:
+        db, t = table.rsplit(".", 1)
+        return db, t
+    return None, table
+
+
+def list_versions(spark: SparkSession, table: str) -> list[int]:
+    """Sorted physical version numbers (``{table}__v{N}``) in the catalog."""
+    db, t = _split_db(table)
+    try:
+        tables = spark.catalog.listTables(db) if db else spark.catalog.listTables()
+    except Exception:
+        return []
+    pat = re.compile(re.escape(t) + r"__v(\d+)$")
+    out = []
+    for ti in tables:
+        m = pat.match(ti.name)
+        if m and (ti.tableType or "").upper() != "VIEW":
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, table: str) -> int | None:
+    """The version the ``table`` view points at, or None when ``table``
+    is absent or still a legacy real table. The view definition is the
+    single source of truth — never inferred from which ``__v{N}`` tables
+    happen to exist (a crash can leave a complete-but-unpromoted newer
+    version)."""
+    try:
+        ti = spark.catalog.getTable(table)
+    except Exception:
+        return None
+    if (ti.tableType or "").upper() != "VIEW":
+        return None
+    try:
+        ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+    except Exception:
+        return None
+    _, t = _split_db(table)
+    m = re.search(re.escape(t) + r"__v(\d+)", ddl)
+    return int(m.group(1)) if m else None
+
+
+def resolve_physical(spark: SparkSession, table: str) -> str:
+    """The real storage table behind a version-managed view (or
+    ``table`` itself for legacy/plain tables). Every write-path consumer
+    (append, dynamic-partition ``insertInto``, compaction, file stats)
+    must address the physical table — views accept none of those."""
+    v = current_version(spark, table)
+    return f"{table}__v{v}" if v is not None else table
+
+
 def table_location(spark: SparkSession, table: str, raw: bool = False) -> str | None:
-    """The table's storage location. ``raw=True`` keeps the URI scheme
-    (for the Hadoop FileSystem API); default strips ``file:`` for
-    local-path consumers."""
+    """The table's storage location — resolved through the version view
+    when ``table`` is version-managed (a view has no Location row).
+    ``raw=True`` keeps the URI scheme (for the Hadoop FileSystem API);
+    default strips ``file:`` for local-path consumers."""
+    table = resolve_physical(spark, table)
     try:
         rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     except Exception:
@@ -81,7 +137,20 @@ def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
     left behind, restoring the invariant "``table`` exists and is
     complete". Returns a short action tag (or None if nothing to do).
 
-    Possible crash states, by where the swap died:
+    Crash states of the VERSIONED layout (physical ``{table}__v{N}`` +
+    ``{table}`` view; see :func:`overwrite_via_staging`):
+
+    - version tables exist, view missing → crash mid-migration between
+      the legacy rename and the view create: recreate the view at the
+      max version (a ``__v{N}`` table only comes into existence by
+      renaming a COMPLETE staging write, so max is always safe).
+    - view behind the max version → crash between the version rename and
+      the view repoint: finish the promote.
+    - staging / ``__old`` / versions ≤ current−2 lying around → drop
+      (current−1 is retained deliberately — the in-flight-reader grace
+      copy).
+
+    Crash states of the legacy real-table layout, by where the swap died:
 
     - staging exists, live exists → crash during/after the staging write
       but before the live table moved aside: the live table is current;
@@ -111,6 +180,39 @@ def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
             _msck(old)
             spark.sql(f"DROP TABLE {old}")
 
+    versions = list_versions(spark, table)
+    if versions:
+        cur = current_version(spark, table)
+        if cur is None and not has(table):
+            vmax = versions[-1]
+            _msck(f"{table}__v{vmax}")
+            spark.sql(f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {table}__v{vmax}")
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            _drop_old()
+            for v in versions[:-2]:  # keep vmax and its predecessor
+                spark.sql(f"DROP TABLE IF EXISTS {table}__v{v}")
+            return "recreated_view"
+        if cur is not None:
+            acted = None
+            vmax = versions[-1]
+            if vmax > cur:
+                _msck(f"{table}__v{vmax}")
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {table}__v{vmax}"
+                )
+                cur, acted = vmax, "promoted_version"
+            if has(staging):
+                spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                acted = acted or "dropped_incomplete_staging"
+            _drop_old()
+            stale = [v for v in versions if v <= cur - 2]
+            for v in stale:
+                spark.sql(f"DROP TABLE IF EXISTS {table}__v{v}")
+            return acted or ("pruned_versions" if stale else None)
+        # cur is None but a legacy real table coexists with version
+        # tables: fall through to the legacy logic (the versions are
+        # unreferenced leftovers; the next successful swap prunes them).
+
     if has(staging):
         if has(table):
             spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -136,27 +238,37 @@ def overwrite_via_staging(
     df,
     partition_by: str | list[str] | None = None,
 ) -> None:
-    """Crash-safe full overwrite: materialize ``<table>__staging``
-    completely, then swap it in with rename ordering that leaves a
-    recoverable state at EVERY step:
+    """Crash-safe full overwrite with READER ISOLATION: physical data
+    lives in ``{table}__v{N}`` and ``{table}`` is a view over the
+    current version, so a swap is one atomic catalog operation
+    (``CREATE OR REPLACE VIEW``) — a concurrent reader resolves either
+    the old or the new version, never a missing table (the reference
+    gets the same property from Delta snapshot isolation,
+    Gold_incremental_load.ipynb:1 cell 10 MERGE INTO; this is the
+    view-indirection stand-in for plain Parquet). Steps:
 
     1. recover any prior crash state (:func:`recover_staged_swap`);
-    2. write ``<table>__staging`` fully (crash → live table untouched);
-    3. rename live → ``<table>__old`` + MSCK it (crash → staging
-       complete, recovery promotes it);
-    4. rename staging → live (+ MSCK for partitioned tables — the rename
-       moves the data directory but the catalog's partition entries keep
-       their pre-rename locations; the same applies to ``__old`` in
-       step 3, and matters there because dropping a table whose entries
-       still point into the live directory would DELETE live data);
-    5. drop ``<table>__old`` (crash → recovery just drops it).
+    2. write ``{table}__staging`` fully (crash → current version
+       untouched; a ``__v{N}`` table can only come into existence by
+       renaming a COMPLETE staging write, so "version exists" always
+       implies "version complete");
+    3. rename staging → ``{table}__v{N+1}`` + MSCK if partitioned (the
+       rename moves the data directory but the catalog's partition
+       entries keep their pre-rename locations);
+    4. ``CREATE OR REPLACE VIEW {table} AS SELECT * FROM {table}__v{N+1}``
+       — the atomic promote;
+    5. drop versions ≤ N−1. Version N is RETAINED one extra generation
+       as the grace copy for readers that resolved the view just before
+       the repoint; only a reader spanning two full swap cycles can
+       lose its snapshot.
 
-    Unlike the previous drop+rename pair, no step ever leaves ZERO
-    complete copies of the data: a crash anywhere is repaired by
-    :func:`recover_staged_swap` on the next run. This is the
-    plain-Parquet stand-in for the reference's Delta transaction log; it
-    also removes the need to localCheckpoint plans that read the table
-    they replace — the staging write IS the materialization.
+    No step ever leaves zero complete copies, and (unlike the previous
+    rename-pair layout) no step ever makes ``{table}`` unresolvable. A
+    crash anywhere is repaired by :func:`recover_staged_swap` on the
+    next run. Legacy real tables migrate on their first overwrite: the
+    pre-versioned rename window occurs once, at migration, never again.
+    Write paths must address :func:`resolve_physical` — appends,
+    ``insertInto`` and compaction don't work against a view.
     """
     staging, old = f"{table}__staging", f"{table}__old"
     pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
@@ -166,15 +278,26 @@ def overwrite_via_staging(
     if pcols:
         w = w.partitionBy(*pcols)
     w.saveAsTable(staging)
-    if spark.catalog.tableExists(table):
+    cur = current_version(spark, table)
+    if cur is None and spark.catalog.tableExists(table):
+        # one-time migration from the legacy real-table layout: move the
+        # old table aside so the view can take its name. A crash in here
+        # lands in a legacy recovery state (staging is complete, so the
+        # worst case re-promotes it as a real table; the next overwrite
+        # migrates again).
         was_partitioned = bool(physical_partition_cols(spark, table))
         spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
         if was_partitioned:
             spark.sql(f"MSCK REPAIR TABLE {old}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    nxt = (cur or 0) + 1
+    vt = f"{table}__v{nxt}"
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {vt}")
     if pcols:
-        spark.sql(f"MSCK REPAIR TABLE {table}")
+        spark.sql(f"MSCK REPAIR TABLE {vt}")
+    spark.sql(f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {vt}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
+    for v in [v for v in list_versions(spark, table) if v <= nxt - 2]:
+        spark.sql(f"DROP TABLE IF EXISTS {table}__v{v}")
 
 
 def compact_table(
@@ -191,8 +314,9 @@ def compact_table(
     """
     stats = file_stats(spark, table)
     target_files = max(1, math.ceil(stats["total_bytes"] / (target_file_mb * 1024 * 1024)))
-    pcols = physical_partition_cols(spark, table)
-    df = spark.table(table)
+    phys = resolve_physical(spark, table)
+    pcols = physical_partition_cols(spark, phys)
+    df = spark.table(phys)
 
     if partition_values is not None and not pcols:
         raise ValueError(
@@ -210,7 +334,7 @@ def compact_table(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            out.write.mode("overwrite").insertInto(table)
+            out.write.mode("overwrite").insertInto(phys)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     elif stats["n_files"] > target_files:

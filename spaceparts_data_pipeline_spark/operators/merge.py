@@ -113,10 +113,16 @@ def merge_into_table(
 
     Fallback (no/unknown partitioning): full-table merge + rewrite.
     """
-    target = spark.table(table)
+    from spaceparts_data_pipeline_spark.operators.maintenance import resolve_physical
+
+    # Version-managed tables (reader-isolated staged swap) store data in
+    # `{table}__v{N}` behind a view — the partition-metadata probe and
+    # the insertInto must address the physical table.
+    phys = resolve_physical(spark, table)
+    target = spark.table(phys)
     if (
         partition_col
-        and partition_col in physical_partition_cols(spark, table)
+        and partition_col in physical_partition_cols(spark, phys)
         and partition_col in source.columns
     ):
         cond = _touched_partition_filter(source, partition_col)
@@ -125,7 +131,7 @@ def merge_into_table(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.localCheckpoint(eager=True).write.mode("overwrite").insertInto(table)
+            merged.localCheckpoint(eager=True).write.mode("overwrite").insertInto(phys)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:

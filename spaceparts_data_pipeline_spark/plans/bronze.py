@@ -32,13 +32,17 @@ def _append_with_evolution(spark: SparkSession, incoming: DataFrame, target: str
       rewrite. On Delta-capable clusters this whole helper collapses to
       `option("mergeSchema", "true")`.
     """
-    from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        overwrite_via_staging, resolve_physical,
+    )
 
     existing = spark.table(target)
     new_cols = [c for c in incoming.columns if c not in existing.columns]
     if not new_cols:
+        # append to the PHYSICAL table — version-managed targets front a
+        # view, and views accept no appends
         incoming.unionByName(existing.limit(0), allowMissingColumns=True) \
-            .write.mode("append").saveAsTable(target)
+            .write.mode("append").saveAsTable(resolve_physical(spark, target))
         return
     merged = existing.unionByName(incoming, allowMissingColumns=True)
     # staged swap materializes the union-schema rewrite before the old

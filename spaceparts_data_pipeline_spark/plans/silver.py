@@ -47,7 +47,11 @@ def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
     # (AQE coalesces); without it every task writes a file per bucket.
     out = out.repartition(F.col(PARTITION_COL))
     if sort_by:
-        out = out.sortWithinPartitions(*sort_by)
+        # PARTITION_COL leads the sort: the partitioned file writer
+        # requires task rows ordered by the partition columns and injects
+        # its OWN sort (destroying this one) unless the incoming ordering
+        # already satisfies that requirement as a prefix.
+        out = out.sortWithinPartitions(PARTITION_COL, *sort_by)
     # staged swap: a crash mid-write leaves the previous table intact
     overwrite_via_staging(clean.sparkSession, target, out, partition_by=PARTITION_COL)
 
@@ -199,13 +203,18 @@ def _run_incremental_inner(
     control_table: str,
     log_table: str,
 ) -> dict:
+    from spaceparts_data_pipeline_spark.operators.maintenance import resolve_physical
+
     target = f"silver_{table}"
     n_buckets = DEFAULT_N_BUCKETS
     if spark.catalog.tableExists(target):
-        existing = spark.table(target)
+        # version-managed targets front a view; the partition probe and
+        # the insertInto need the physical table behind it
+        phys = resolve_physical(spark, target)
+        existing = spark.table(phys)
         keys = infer_keys(existing.columns, order_col)
         partitioned = (
-            PARTITION_COL in physical_partition_cols(spark, target)
+            PARTITION_COL in physical_partition_cols(spark, phys)
             and all(c in existing.columns for c in clean.columns)
         )
         if partitioned:
@@ -218,7 +227,7 @@ def _run_incremental_inner(
             try:
                 # checkpoint materializes only the touched buckets
                 merged.select(*existing.columns).localCheckpoint(eager=True) \
-                    .write.mode("overwrite").insertInto(target)
+                    .write.mode("overwrite").insertInto(phys)
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:

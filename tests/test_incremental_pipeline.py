@@ -108,9 +108,10 @@ def test_bronze_schema_evolution(spark, inc_db):
 
 
 def _table_location(spark, table: str) -> str:
-    loc = [r.data_type for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-           if r.col_name.strip() == "Location"][0]
-    return loc.replace("file:", "")
+    # resolves through the version view to the physical table's dir
+    from spaceparts_data_pipeline_spark.operators.maintenance import table_location
+
+    return table_location(spark, table)
 
 
 def _parquet_files(table_dir: str) -> dict[str, float]:

