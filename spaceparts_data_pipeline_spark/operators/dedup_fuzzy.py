@@ -237,3 +237,67 @@ def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def canonical_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-duplicate REMOVAL: one canonical document per connected
+    component of the near-dup pair graph (the min-id member), returned
+    with the input's full schema — the "deduplicated corpus" a training
+    pipeline actually feeds downstream, vs d09's per-doc labeling.
+
+    Shape: :func:`connected_components` (iterative min-label, bounded
+    rounds) → filter label==id → LEFT SEMI join back to the corpus. The
+    semi join ships only ids, never text; at 100 TB the components table
+    is ids-only and the semi join broadcasts when the survivor set of a
+    bucketed slice is small.
+    """
+    comp = connected_components(pairs, df.select(id_col), id_col=id_col, max_iter=max_iter)
+    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, [id_col], "left_semi")
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus document, how many
+    of its distinct word-``k``-gram shingles appear in ANY benchmark
+    document (the n-gram-overlap decontamination check run before
+    training on a corpus that might contain eval data).
+
+    Output: (id, n_shared_shingles, contaminated). Every corpus doc
+    appears — zero-overlap docs with 0/false.
+
+    Scale shape: both sides reduce to DISTINCT md5(shingle) — the join
+    and shuffle never carry text, and md5 is reproducible in ANSI SQL so
+    the whole check admits a full value-hash oracle (unlike xxhash). The
+    benchmark side (eval sets — thousands of docs, not billions) dedups
+    to a narrow hash set that broadcasts; the corpus side is one
+    explode + one semi-ish join + one groupBy, linear in corpus size.
+    """
+    c_sh = word_shingles(corpus, id_col, text_col, k).select(
+        F.col(id_col), F.md5(F.col("shingle")).alias("__h")
+    )
+    b_sh = word_shingles(benchmark, id_col, text_col, k).select(
+        F.md5(F.col("shingle")).alias("__h")
+    ).distinct()
+    shared = c_sh.join(b_sh, ["__h"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )
+    return (
+        corpus.select(id_col)
+        .join(shared, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+        )
+        .withColumn("contaminated", F.col("n_shared_shingles") > 0)
+    )

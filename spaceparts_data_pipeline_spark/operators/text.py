@@ -187,3 +187,45 @@ def fingerprint_rolling(text: Column | str, window: int = 8) -> Column:
     n = F.greatest(F.length(t) - window + 1, F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(window))))
     return F.array_min(grams)
+
+
+def sequence_packing(
+    df: DataFrame,
+    capacity: int,
+    shard_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    in id order are conceptually concatenated token-by-token and cut
+    into fixed-``capacity`` training sequences (the GPT-style pretrain
+    shaping — documents straddle sequence boundaries; nothing is padded
+    or dropped). Output per non-empty doc: its shard-local placement
+    (start_seq, start_offset, end_seq, n_tokens) — what a loader needs
+    to materialize any given sequence.
+
+    One running-sum window per shard is the whole computation.
+    Sequences never cross shards, so the window partitions by
+    ``shard_col`` and DISTRIBUTES — the global-order variant (one giant
+    window partition) is exactly the scale bug to avoid at 100 TB;
+    shard by source/date/bucket so one shard fits one task.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+    )
+    start = F.col("__cum") - F.col("n_tokens")
+    return out.select(
+        id_col, shard_col, "n_tokens",
+        F.floor(start / capacity).alias("start_seq"),
+        (start % capacity).alias("start_offset"),
+        F.floor((F.col("__cum") - 1) / capacity).alias("end_seq"),
+    )

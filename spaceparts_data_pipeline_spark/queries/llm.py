@@ -230,6 +230,129 @@ def d09_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d13 — near-dup REMOVAL: the deduplicated corpus itself (one canonical
+# min-id doc per d09 component, full document schema). The step training
+# pipelines actually consume; oracle = d09's recursive-CTE closure + a
+# keep-canonical filter + join back to the documents.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d13_canonical_corpus",
+    r"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    docs AS (SELECT * FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM docs
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE inter / (ca.n + cb.n - inter) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sim
+      UNION ALL
+      SELECT id_b, id_a FROM sim
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN comp USING (doc_id)
+    WHERE comp.component = comp.doc_id
+    """,
+)
+def d13_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup_fuzzy.jaccard_pairs(d, threshold=0.05)
+    return dedup_fuzzy.canonical_corpus(d, pairs)
+
+
+# ---------------------------------------------------------------------------
+# x29 — benchmark-contamination check: corpus docs sharing word-3-gram
+# shingles with a held-out "benchmark" slice (deterministic doc_id%20
+# split stands in for the eval set). Shingles travel as md5 hashes —
+# reproducible in ANSI SQL, so unlike the xxhash LSH paths this check
+# has a FULL value-hash oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x29_contamination_check",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    docs AS (SELECT * FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM docs
+      )
+    ),
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 != 0),
+    shared AS (
+      SELECT doc_id, COUNT(*) AS n FROM csh JOIN bsh USING (shingle) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared_shingles,
+           COALESCE(shared.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN shared USING (doc_id)
+    WHERE d.doc_id % 20 != 0
+    """,
+)
+def x29_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    benchmark = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return dedup_fuzzy.contamination_check(corpus, benchmark)
+
+
+# ---------------------------------------------------------------------------
+# x30 — concat-and-chunk sequence packing (GPT-style pretrain shaping):
+# per-source shards, docs in id order, fixed 64-token sequences, docs
+# straddle boundaries. One distributed running-sum window; full SQL
+# oracle with the identical window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x30_sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE n_tokens > 0),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM nz
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 64.0) AS BIGINT) AS start_seq,
+           CAST((cum - n_tokens) % 64 AS BIGINT) AS start_offset,
+           CAST(FLOOR((cum - 1) / 64.0) AS BIGINT) AS end_seq
+    FROM c
+    """,
+)
+def x30_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.sequence_packing(d, capacity=64, shard_col="source")
+
+
+# ---------------------------------------------------------------------------
 # d10 — embedding-cosine near-dup dedup decision: each document marked
 # duplicate of the lowest-id doc whose embedding cosine ≥ threshold.
 # Exact pair generator here (oracle-able); at corpus scale swap in the

@@ -154,3 +154,45 @@ def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.end").alias("window_end"),
         "event_type", "n", "total_value",
     )
+
+
+@register(
+    "s03_stream_dedup",
+    """
+    SELECT event_id % 100 AS bucket, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup — the training-pipeline op (d01's streaming
+    twin): ``dropDuplicates`` on the event key holds the seen-key set in
+    state and emits each key's first arrival only. Drained availableNow
+    into an append memory sink, then batch-bucketed so the result is
+    invariant to which duplicate copy arrived first (only the key and a
+    key-derived bucket survive the projection) — making the REAL
+    streaming state path value-hash-checkable against batch
+    COUNT(DISTINCT). Unbounded-state caveat: a continuous deployment
+    bounds the seen-key set with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` (exercised in
+    tests/test_streaming.py); the exact variant here is the one whose
+    final state is batch-equivalent and oracle-checkable.
+    """
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.select(
+            F.col("event_id"), (F.col("event_id") % 100).alias("bucket")
+        )
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("s03_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("s03_mem")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -401,3 +401,55 @@ class TestPngHeader:
         df = spark.createDataFrame(rows, ASSET_SCHEMA)
         out = {r["asset_id"]: (r["png_width"], r["png_height"]) for r in extract_image_dims(df).collect()}
         assert out == {1: (320, 200), 2: (None, None), 3: (None, None)}
+
+
+class TestCorpusOps:
+    """Round-5 additions: near-dup removal, contamination check,
+    sequence packing — the remaining training-data corpus ops."""
+
+    DOCS = "doc_id long, text string"
+
+    def test_canonical_corpus_keeps_min_per_cluster(self, spark):
+        from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),      # dup of 1
+            (3, "totally different words entirely here"),
+            (4, "alpha beta gamma delta zeta"),         # near-dup of 1/2
+        ]
+        d = spark.createDataFrame(rows, self.DOCS)
+        pairs = dedup_fuzzy.jaccard_pairs(d, threshold=0.3)
+        out = dedup_fuzzy.canonical_corpus(d, pairs)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+        assert out.columns == d.columns                 # full schema survives
+
+    def test_contamination_counts_shared_shingles(self, spark):
+        from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
+
+        corpus = spark.createDataFrame(
+            [(10, "one two three four"),       # shares shingles with bench
+             (11, "five six seven eight")],    # no overlap
+            self.DOCS)
+        bench = spark.createDataFrame([(1, "zero one two three four five")], self.DOCS)
+        out = {r["doc_id"]: (r["n_shared_shingles"], r["contaminated"])
+               for r in dedup_fuzzy.contamination_check(corpus, bench).collect()}
+        # doc 10 shingles: {one two three, two three four}; both in bench
+        assert out[10] == (2, True)
+        assert out[11] == (0, False)
+
+    def test_sequence_packing_placement(self, spark):
+        from spaceparts_data_pipeline_spark.operators.text import sequence_packing
+
+        rows = [(1, "a", "w " * 3), (2, "a", "w " * 4), (3, "a", "w " * 6),
+                (4, "b", "w " * 10)]
+        d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r["doc_id"]: r for r in
+               sequence_packing(d, capacity=5, shard_col="source").collect()}
+        # shard a: cum 3,7,13 → doc1 [seq0 off0..2], doc2 starts seq0 off3
+        # straddles into seq1 (end token idx 6), doc3 starts seq1 off2 ends seq2
+        assert (out[1]["start_seq"], out[1]["start_offset"], out[1]["end_seq"]) == (0, 0, 0)
+        assert (out[2]["start_seq"], out[2]["start_offset"], out[2]["end_seq"]) == (0, 3, 1)
+        assert (out[3]["start_seq"], out[3]["start_offset"], out[3]["end_seq"]) == (1, 2, 2)
+        # shard b numbers independently
+        assert (out[4]["start_seq"], out[4]["start_offset"], out[4]["end_seq"]) == (0, 0, 1)
