@@ -289,7 +289,10 @@ def contamination_check(
     b_sh = word_shingles(benchmark, id_col, text_col, k).select(
         F.md5(F.col("shingle")).alias("__h")
     ).distinct()
-    shared = c_sh.join(b_sh, ["__h"]).groupBy(id_col).agg(
+    # benchmark side is small BY CONTRACT (eval sets, not corpora) —
+    # broadcast explicitly so the corpus side never shuffles for this
+    # join at any scale, rather than relying on AQE to discover it
+    shared = c_sh.join(F.broadcast(b_sh), ["__h"]).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shared_shingles")
     )
     return (

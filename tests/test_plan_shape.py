@@ -140,3 +140,42 @@ def test_d01_shuffles_hash_not_text(spark, sf_oracle):
     assert "hashpartitioning(text" not in plan
     exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exch and all("text#" not in l for l in exch), exch
+
+
+def test_x29_benchmark_broadcasts_and_text_never_shuffles(spark, sf_oracle):
+    """Contamination check: the benchmark hash-set side must broadcast
+    (it is small by contract), and no exchange may carry document text —
+    both sides reduce to md5 hashes before any shuffle."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["x29_contamination_check"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("text#" not in l for l in exch), exch
+
+
+def test_x30_packing_is_one_window_one_exchange(spark, sf_oracle):
+    """Sequence packing must stay one shard-partitioned running-sum
+    window — a second exchange or window means the shard distribution
+    broke and the op degenerated toward a global sort."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["x30_sequence_packing"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan   # no global sort
+    assert "Join" not in plan
+
+
+def test_d13_semi_join_ships_ids_not_text(spark, sf_oracle):
+    """Canonical-corpus keep-set joins back by id only: the survivor-id
+    side of the semi join must not carry text columns."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["d13_canonical_corpus"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -78,3 +78,77 @@ def test_salted_join_matches_plain(spark, sf_small):
     salted = salted_join(l, o, ["l_orderkey"], salt_buckets=8)
     assert salted.count() == plain.count()
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def _clustered_corpus(spark, n_clusters=4, per_cluster=25, dim=8):
+    """Deterministic clustered fixture whose ids are GROUPED by cluster —
+    the adversarial layout for first-n centroid seeding (every low id
+    lives in cluster 0)."""
+    rows, vid = [], 0
+    for c_idx in range(n_clusters):
+        base = [1.0 if j == c_idx else 0.0 for j in range(dim)]
+        for _ in range(per_cluster):
+            rows.append((vid, [x + 0.02 * ((vid * 7 + j) % 5)
+                               for j, x in enumerate(base)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_hash_sample_seeds_spread_across_clusters(spark):
+    """Round-3 verdict top task (landed round 4, tests landed round 5):
+    'first n by id' seeding puts EVERY centroid in one cluster on
+    id-clustered corpora; the md5 hash-sample must spread seeds across
+    clusters. Deterministic (md5 of ids), so exact counts are pinned."""
+    corpus = _clustered_corpus(spark)
+    covered = {}
+    for strat in ("first_n", "hash_sample"):
+        cents = similarity.select_centroids(corpus, n_centroids=8, strategy=strat).collect()
+        covered[strat] = {r["centroid_id"] // 25 for r in cents}
+    assert covered["first_n"] == {0}                  # the failure mode
+    assert len(covered["hash_sample"]) >= 3           # measured: {0,1,2}
+    # determinism: same seeds on a second call
+    again = {r["centroid_id"] for r in
+             similarity.select_centroids(corpus, n_centroids=8, strategy="hash_sample").collect()}
+    assert again == {r["centroid_id"] for r in
+                     similarity.select_centroids(corpus, n_centroids=8, strategy="hash_sample").collect()}
+
+
+def test_ivf_lloyd_refinement_aligns_centroids(spark):
+    """One refine_centroids pass must pull a centroid to ≥0.99 cosine of
+    every SEEDED cluster's direction (spherical k-means update)."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    corpus = _clustered_corpus(spark)
+    seed_c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"))
+    cents = similarity.select_centroids(corpus, n_centroids=8, strategy="hash_sample")
+    seeded_clusters = {r["centroid_id"] // 25 for r in cents.collect()}
+    refined = similarity.refine_centroids(seed_c, cents, iters=1).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for c_idx in seeded_clusters:
+        direction = [1.0 if j == c_idx else 0.0 for j in range(8)]
+        assert max(cos(r["__cv"], direction) for r in refined) >= 0.99, c_idx
+
+
+def test_ivf_clustered_recall_with_sampled_seeds(spark):
+    """End-to-end on the clustered fixture: hash-sampled seeds hold full
+    recall at n_probe=2 of 8 cells and never fall below first-n."""
+    corpus = _clustered_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 25 == 7)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.knn_bruteforce(corpus, queries, k=3).collect()}
+
+    def recall(strategy):
+        got = {(r["query_id"], r["neighbor_id"]) for r in similarity.knn_ivf(
+            corpus, queries, k=3, n_centroids=8, n_probe=2,
+            centroid_strategy=strategy).collect()}
+        return len(got & exact) / len(exact)
+
+    r_hash, r_first = recall("hash_sample"), recall("first_n")
+    assert r_hash >= 0.9
+    assert r_hash >= r_first
