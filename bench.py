@@ -88,6 +88,16 @@ def main() -> None:
         "sf": float(sf),
         "layer_rows_per_hour": layer_rates,
         "vs_prev": vs_previous_round(timings, layer_rates),
+        # the round-3 q03/d07 drift question, answered in round 5: five
+        # same-code runs spread up to ±0.4s per query and ~2× on layer
+        # rates (cold JVM/committer warmup + GC debt from earlier
+        # queries), with no plan change — hence the per-query isolation
+        # (clearCache+GC), min-of-3, worker-pool warmup, and best-of-2
+        # layer passes above.
+        "notes": "per-query spread up to ±0.4s and ~2x on layer rates across "
+                 "same-code runs (JVM/GC + cold-start variance, plans unchanged); "
+                 "bench isolates queries via cache-clear+GC, min-of-3, Arrow-pool "
+                 "warmup, best-of-2 layer passes",
     }))
 
 
