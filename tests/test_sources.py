@@ -177,3 +177,63 @@ class TestFooterRowCount:
         df = all_queries()["e03_similar_pairs_lsh"](spark, sf_small)
         assert df.columns  # plan built
         assert not calls, "e03 plan construction ran a counting job"
+
+
+class TestFileSources:
+    """JSONL/CSV landing-directory readers with corrupt-record
+    quarantine (training corpora arrive as JSONL; bad lines must be
+    preserved, not silently dropped or nulled)."""
+
+    def test_jsonl_clean_and_corrupt_split(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.sources import files
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "hello world"}\n'
+            '{"doc_id": 2, "text": "ok"}\n'
+            'this line is not json at all\n'
+            '{"doc_id": 3, "text": "fine", }\n'   # trailing comma → malformed
+        )
+        clean, corrupt, parent = files.read_jsonl(
+            spark, str(p), schema="doc_id long, text string")
+        try:
+            got = {r["doc_id"]: r["text"] for r in clean.collect()}
+            assert got == {1: "hello world", 2: "ok"}
+            bad = [r["raw_record"] for r in corrupt.collect()]
+            assert len(bad) == 2
+            assert any("not json" in b for b in bad)      # raw line preserved
+            assert clean.columns == ["doc_id", "text"]    # capture col dropped
+        finally:
+            parent.unpersist()
+
+    def test_jsonl_schema_inference_bounded_sample(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.sources import files
+
+        p = tmp_path / "infer.jsonl"
+        p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+        clean, corrupt, parent = files.read_jsonl(spark, str(p))
+        try:
+            assert {f.name for f in clean.schema.fields} == {"a", "b"}
+            assert clean.count() == 2 and corrupt.count() == 0
+        finally:
+            parent.unpersist()
+
+    def test_csv_split_and_types(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.sources import files
+
+        p = tmp_path / "t.csv"
+        p.write_text(
+            "id,amount,name\n"
+            "1,10.5,alpha\n"
+            "2,notanumber,beta\n"       # type error → corrupt
+            "3,30.25,gamma\n"
+        )
+        clean, corrupt, parent = files.read_csv(
+            spark, str(p), schema="id long, amount double, name string")
+        try:
+            got = {r["id"]: r["amount"] for r in clean.collect()}
+            assert got == {1: 10.5, 3: 30.25}
+            bad = [r["raw_record"] for r in corrupt.collect()]
+            assert bad == ["2,notanumber,beta"]
+        finally:
+            parent.unpersist()
