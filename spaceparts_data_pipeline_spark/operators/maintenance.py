@@ -351,3 +351,40 @@ def compact_table(
         "n_files_after": after["n_files"],
         "total_bytes": after["total_bytes"],
     }
+
+
+def recover_all(spark: SparkSession, db: str | None = None) -> dict[str, str]:
+    """Catalog-wide crash-state sweep: find every base table with swap
+    leftovers (``__staging`` / ``__old`` / ``__v{N}`` entries) and run
+    :func:`recover_staged_swap` on it. Returns {table: action} for the
+    tables where recovery acted.
+
+    The write path self-heals each table on its NEXT overwrite, but a
+    table that is only READ after a crash (e.g. gold consumers of a
+    silver table whose loader is paused) would otherwise wait
+    indefinitely — most visibly in the mid-migration "view missing"
+    state, where the table name doesn't resolve at all until recovery
+    recreates it. Pipeline entrypoints call this once at startup:
+    O(catalog listing) + O(1) catalog ops per crashed table, no data
+    reads.
+    """
+    try:
+        tables = spark.catalog.listTables(db) if db else spark.catalog.listTables()
+    except Exception:
+        return {}
+    names = {t.name for t in tables}
+    suspects = set()
+    pat = re.compile(r"^(?P<base>.+?)(?:__staging|__old|__v\d+)$")
+    for n in names:
+        m = pat.match(n)
+        if m:
+            suspects.add(m.group("base"))
+    actions = {}
+    for base in sorted(suspects):
+        try:
+            act = recover_staged_swap(spark, base)
+        except Exception as exc:  # noqa: BLE001 — sweep must not block the run
+            act = f"recovery_error: {str(exc)[:120]}"
+        if act:
+            actions[base] = act
+    return actions

@@ -71,7 +71,13 @@ def run_pipeline(spark: SparkSession, sources: dict[str, DataFrame], horizon=Non
                  models: list[gold.GoldModel] | None = None) -> dict:
     """Full medallion run. Layer failures don't halt the pipeline —
     downstream layers run on whatever landed (the reference's DAG
-    continues and reports per-stage status)."""
+    continues and reports per-stage status). Starts with a catalog-wide
+    swap-recovery sweep so crash states on tables this run only READS
+    (not rewrites) are repaired too — the write path alone self-heals
+    only what it overwrites."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import recover_all
+
+    recovered = recover_all(spark)
     b = run_bronze_layer(spark, sources)
     s = run_silver_layer(spark, horizon=horizon)
     g = run_gold_layer(spark, models=models)
@@ -81,4 +87,7 @@ def run_pipeline(spark: SparkSession, sources: dict[str, DataFrame], horizon=Non
     status = "success" if overall == {"success"} else (
         "failed" if "success" not in {b["status"], s["status"], g["status"]} else "completed_with_errors"
     )
-    return {"status": status, "bronze": b, "silver": s, "gold": g}
+    out = {"status": status, "bronze": b, "silver": s, "gold": g}
+    if recovered:
+        out["recovered"] = recovered
+    return out

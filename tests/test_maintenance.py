@@ -335,3 +335,39 @@ class TestVersionedSwap:
         assert recover_staged_swap(spark, "crs_t") == "dropped_incomplete_staging"
         assert [r["id"] for r in spark.table("crs_t").collect()] == [1]
         assert not spark.catalog.tableExists("crs_t__staging")
+
+
+class TestRecoverAll:
+    """Catalog-wide startup sweep: crash states on tables a run only
+    READS are repaired without waiting for that table's next write."""
+
+    def test_sweep_repairs_view_missing_and_prunes(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            overwrite_via_staging, recover_all,
+        )
+
+        # table A: mid-migration crash — versions exist, view missing
+        spark.createDataFrame([(1,)], "id long") \
+            .write.mode("overwrite").saveAsTable("sw_a__v1")
+        # table B: healthy versioned table with an orphan staging
+        spark.sql("DROP VIEW IF EXISTS sw_b")
+        overwrite_via_staging(spark, "sw_b", spark.createDataFrame([(2,)], "id long"))
+        spark.createDataFrame([(99,)], "id long") \
+            .write.mode("overwrite").saveAsTable("sw_b__staging")
+
+        actions = recover_all(spark)
+        assert actions.get("sw_a") == "recreated_view"
+        assert actions.get("sw_b") == "dropped_incomplete_staging"
+        assert [r["id"] for r in spark.table("sw_a").collect()] == [1]
+        assert [r["id"] for r in spark.table("sw_b").collect()] == [2]
+        assert not spark.catalog.tableExists("sw_b__staging")
+
+    def test_pipeline_entry_runs_the_sweep(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.plans import runner
+
+        # leave a view-missing crash state, then start a pipeline run
+        spark.createDataFrame([(7,)], "id long") \
+            .write.mode("overwrite").saveAsTable("sw_c__v3")
+        res = runner.run_pipeline(spark, sources={})
+        assert res.get("recovered", {}).get("sw_c") == "recreated_view"
+        assert [r["id"] for r in spark.table("sw_c").collect()] == [7]
