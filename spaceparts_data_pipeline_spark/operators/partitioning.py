@@ -104,3 +104,75 @@ def salted_sum(
         *[F.sum(f"__s_{c}").cast("double").alias(f"{c}_sum") for c in sum_cols],
         F.sum("__n").alias("row_count"),
     )
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) curve value over 2+ numeric/timestamp columns —
+    the plain-Parquet analog of Delta ``OPTIMIZE ZORDER BY``. Sorting by
+    this single value clusters rows so EVERY participating column has
+    narrow per-file min/max ranges, and parquet row-group stats prune
+    multi-dimensional predicates — a single-column sort can only serve
+    one dimension.
+
+    Each column is min-max scaled to ``bits``-bit ints (bounds from one
+    cheap aggregate over the input — at production scale feed catalog
+    stats instead) and the bit planes are interleaved with pure bitwise
+    expressions: whole-stage-codegen'd JVM arithmetic, no UDF, ~2·bits
+    Column nodes per column (same scale as the SimHash tree). NULLs and
+    constant columns scale to 0 and sort first.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns; use a plain sort for one")
+    from spaceparts_data_pipeline_spark.functions.scalars import epoch_micros, is_ntz
+
+    numeric = {}
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if dt.startswith("timestamp"):
+            numeric[c] = epoch_micros(c, ntz=is_ntz(df, c)).cast("double")
+        else:
+            numeric[c] = F.col(c).cast("double")
+    bounds = df.agg(*[F.min(numeric[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
+                    *[F.max(numeric[c]).alias(f"hi_{i}") for i, c in enumerate(cols)]).collect()[0]
+    z = F.lit(0).cast("long")
+    max_scaled = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+        if lo is None or hi is None or hi == lo:
+            scaled = F.lit(0).cast("long")
+        else:
+            frac = (numeric[c] - F.lit(float(lo))) / F.lit(float(hi - lo))
+            scaled = F.coalesce(
+                F.floor(frac * max_scaled).cast("long"), F.lit(0).cast("long"))
+        for b in range(bits):
+            bit = F.shiftrightunsigned(scaled, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    table: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Rewrite ``df`` as ``table`` clustered on the z-curve: RANGE
+    partition by the z-value (each output file owns a contiguous curve
+    segment) and sort within files, so row-group stats are tight on all
+    ``cols`` at once. Goes through the reader-isolated versioned swap.
+    """
+    from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
+    z = zorder_value(df, cols, bits=bits)
+    out = df.withColumn("__z", z)
+    out = (out.repartitionByRange(n_files, "__z") if n_files
+           else out.repartitionByRange("__z"))
+    out = out.sortWithinPartitions("__z").drop("__z")
+    # NOTE: drop after sort — the sort key must exist through the sort,
+    # and the written schema must not carry the helper column.
+    overwrite_via_staging(df.sparkSession, table, out)

@@ -152,3 +152,57 @@ def test_ivf_clustered_recall_with_sampled_seeds(spark):
     r_hash, r_first = recall("hash_sample"), recall("first_n")
     assert r_hash >= 0.9
     assert r_hash >= r_first
+
+
+def test_zorder_write_tightens_stats_on_both_columns(spark, sf_small):
+    """OPTIMIZE ZORDER analog: range-partition+sort by the Morton value
+    must give NARROW per-file min/max on EVERY clustered column (a
+    one-column sort serves one dimension only) — measured via parquet
+    row-group stats, the thing that actually prunes scans. Probed on
+    this fixture: user_id 1.0→0.38, value 0.73→0.35 avg range fraction."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spaceparts_data_pipeline_spark.operators.maintenance import table_location
+    from spaceparts_data_pipeline_spark.operators.partitioning import zorder_write
+    from spaceparts_data_pipeline_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_small, "events").select("event_id", "user_id", "value", "ts")
+
+    def spans(table, cols):
+        loc = table_location(spark, table)
+        files = [os.path.join(r, f) for r, _, fs in os.walk(loc)
+                 for f in fs if f.endswith(".parquet")]
+        out = {}
+        for c in cols:
+            ranges = []
+            for f in files:
+                pf = pq.ParquetFile(f)
+                idx = pf.schema_arrow.get_field_index(c)
+                st = [pf.metadata.row_group(rg).column(idx).statistics
+                      for rg in range(pf.metadata.num_row_groups)]
+                ranges.append((min(s.min for s in st), max(s.max for s in st)))
+            g_lo, g_hi = min(lo for lo, _ in ranges), max(hi for _, hi in ranges)
+            width = (g_hi - g_lo) or 1
+            out[c] = sum((hi - lo) / width for lo, hi in ranges) / len(ranges)
+        return out
+
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    t_base, t_z = f"z_base_{tag}", f"z_ev_{tag}"
+    e.repartition(8).write.mode("overwrite").saveAsTable(t_base)
+    base = spans(t_base, ["user_id", "value"])
+    zorder_write(e, t_z, ["user_id", "value"], n_files=8)
+    z = spans(t_z, ["user_id", "value"])
+    for c in ("user_id", "value"):
+        assert z[c] < 0.5, (c, z)
+        assert z[c] < 0.6 * base[c], (c, z, base)
+    # content preserved through the clustered rewrite
+    assert sorted(r["event_id"] for r in spark.table(t_z).collect()) == \
+           sorted(r["event_id"] for r in e.collect())
+    spark.sql(f"DROP TABLE IF EXISTS {t_base}")
+    spark.sql(f"DROP VIEW IF EXISTS {t_z}")
+    for v in (1, 2):
+        spark.sql(f"DROP TABLE IF EXISTS {t_z}__v{v}")
