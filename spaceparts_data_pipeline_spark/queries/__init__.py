@@ -44,13 +44,19 @@ _PRIORITY = [
     "q19_distinct_ratio", "q20_date_domain_union",
     "q22_dim_product_enrich", "q24_customers_without_orders",
     "p01_silver_events_pipeline",
-    # LLM data ops: dedup + corpus-quality family (all of d01-d12)
+    # LLM data ops: dedup + corpus-quality family. Round-5 rotation:
+    # d13 (canonical dedup corpus) and x29 (contamination check) take
+    # the slots of d06 (its shingle/edge layer is replicated INSIDE the
+    # d09+d13 oracles, so the op stays driver-evidenced transitively)
+    # and e02 (exact cosine pairs — the identical pair computation is
+    # the body of d10's full oracle).
     "d01_dedup_exact", "d02_fingerprint", "d03_token_stats", "d04_text_quality",
-    "d05_lang_id", "d06_jaccard_pairs", "d07_minhash_lsh_pairs", "d08_simhash",
+    "d05_lang_id", "d07_minhash_lsh_pairs", "d08_simhash",
     "d09_near_dup_components", "d10_embed_near_dup",
-    "d11_repetition_stats", "d12_stratified_sample",
+    "d11_repetition_stats", "d12_stratified_sample", "d13_canonical_corpus",
+    "x29_contamination_check",
     # LLM data ops: similarity / ANN family
-    "e01_knn_topk", "e02_similar_pairs", "e03_similar_pairs_lsh",
+    "e01_knn_topk", "e03_similar_pairs_lsh",
     "e04_knn_ivf", "e05_knn_topk_vectorized",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes", "x05_train_val_split",
