@@ -159,3 +159,103 @@ class TestProperties:
             assert dedup_latest(out).count() == len(per_key)  # idempotent
 
         check()
+
+
+class TestTemporalProperties:
+    """Property tests vs brute-force Python models (SURVEY §5 style):
+    the temporal joins just moved to type-agnostic epoch arithmetic, so
+    pin their semantics against an oracle that can't share the bug."""
+
+    def test_range_pairs_equals_bruteforce(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from spaceparts_data_pipeline_spark.operators.temporal import range_pairs
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (key, minute)
+            min_size=1, max_size=14, unique=True))
+        def check(rows):
+            data = [(i, k, dt.datetime(2025, 1, 1) + dt.timedelta(minutes=m))
+                    for i, (k, m) in enumerate(rows)]
+            df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+            got = {(r["user_id"], r["id_a"], r["id_b"], r["gap_us"]) for r in
+                   range_pairs(df, key="user_id", ts="ts", id_col="event_id",
+                               max_gap_seconds=600).collect()}
+            want = set()
+            for ia, ka, ta in [(i, k, t) for i, k, t in data]:
+                for ib, kb, tb in [(i, k, t) for i, k, t in data]:
+                    gap = (tb - ta).total_seconds() * 1_000_000
+                    if ka == kb and 0 <= gap <= 600e6 and (ta, ia) < (tb, ib):
+                        want.add((ka, ia, ib, int(gap)))
+            assert got == want
+
+        check()
+
+    def test_asof_join_equals_bruteforce(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from spaceparts_data_pipeline_spark.operators.temporal import asof_join
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            st.lists(st.tuples(st.integers(0, 1), st.integers(0, 30)),
+                     min_size=1, max_size=8),                       # left (key, minute)
+            st.lists(st.tuples(st.integers(0, 1), st.integers(0, 30),
+                               st.floats(0, 9, allow_nan=False)),
+                     min_size=1, max_size=8),                       # right (key, minute, px)
+        )
+        def check(lrows, rrows):
+            base = dt.datetime(2025, 1, 1)
+            left = spark.createDataFrame(
+                [(i, k, base + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(lrows)],
+                "lid long, k long, ts timestamp")
+            right = spark.createDataFrame(
+                [(k, base + dt.timedelta(minutes=m), v) for k, m, v in rrows],
+                "k long, rts timestamp, px double")
+            got = {r["lid"]: r["px"] for r in
+                   asof_join(left, right, on=["k"], left_ts="ts",
+                             right_ts="rts", value_cols=["px"]).collect()}
+            for i, (k, m) in enumerate(lrows):
+                lts = base + dt.timedelta(minutes=m)
+                cands = [(base + dt.timedelta(minutes=rm), v)
+                         for rk, rm, v in rrows
+                         if rk == k and base + dt.timedelta(minutes=rm) <= lts]
+                # dedup to one row per (key, ts) keep-max value, like the op
+                want = None
+                if cands:
+                    best_ts = max(t for t, _ in cands)
+                    want = max(v for t, v in cands if t == best_ts)
+                assert got[i] == want, (i, got[i], want)
+
+        check()
+
+    def test_sequence_packing_invariants(self, spark):
+        """Placements tile the per-shard token stream exactly: starts
+        chain (each doc starts where the previous ended), spans cover
+        n_tokens, and every offset < capacity."""
+        from hypothesis import given, settings, strategies as st
+
+        from spaceparts_data_pipeline_spark.operators.text import sequence_packing
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 1), st.integers(1, 12)),
+                        min_size=1, max_size=10))
+        def check(rows):
+            cap = 5
+            data = [(i, str(s), "w " * n) for i, (s, n) in enumerate(rows)]
+            df = spark.createDataFrame(data, "doc_id long, source string, text string")
+            out = sorted(
+                sequence_packing(df, capacity=cap, shard_col="source").collect(),
+                key=lambda r: (r["source"], r["doc_id"]))
+            pos = {}
+            for r in out:
+                start = pos.get(r["source"], 0)
+                assert r["start_seq"] == start // cap
+                assert r["start_offset"] == start % cap
+                end = start + r["n_tokens"] - 1
+                assert r["end_seq"] == end // cap
+                assert 0 <= r["start_offset"] < cap
+                pos[r["source"]] = start + r["n_tokens"]
+
+        check()
