@@ -201,7 +201,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN group_col IS NULL THEN 'Unclassified'
                   ELSE group_col END AS document_category,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * eur_rate AS DECIMAL(27,6))) AS DOUBLE) AS sales_eur,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 * eur_rate AS DECIMAL(27,6))) AS DOUBLE) AS cogs_eur,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 * eur_rate AS DECIMAL(27,8))) AS DOUBLE) AS cogs_eur,
              COUNT(*) AS line_count
       FROM fact GROUP BY 1
     )
@@ -235,7 +235,7 @@ def q04_flagship_sales_eur(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         fact.withColumn("document_category", document_category("group_col"))
         .groupBy("document_category")
-        .agg(dsum(sales, "sales_eur"), dsum(cogs, "cogs_eur"), F.count(F.lit(1)).alias("line_count"))
+        .agg(dsum(sales, "sales_eur"), dsum(cogs, "cogs_eur", scale=8), F.count(F.lit(1)).alias("line_count"))
     )
     return agg.select(
         "document_category", "sales_eur", "cogs_eur",
@@ -642,7 +642,7 @@ def q22_dim_product_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT
         CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS sales_only,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 AS DECIMAL(27,6))) AS DOUBLE) AS total_cogs
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 AS DECIMAL(27,8))) AS DOUBLE) AS total_cogs
       FROM lineitem
     ),
     b AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_budget FROM orders)
@@ -660,7 +660,7 @@ def q18_sales_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = l.agg(
         F.sum(F.when(F.col("l_returnflag") == "A", rev).cast("decimal(27,6)"))
         .cast("double").alias("sales_only"),
-        dsum(rev * F.lit(0.8), "total_cogs"),
+        dsum(rev * F.lit(0.8), "total_cogs", scale=8),
     )
     b = o.agg(dsum("o_totalprice", "total_budget"))
     return s.crossJoin(b).select(
