@@ -57,13 +57,21 @@ def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
 
 
 def dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
-    """DuckDB-SQL twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
+    """DuckDB-SQL twin of :func:`dsum`.
+
+    The decimal total goes DOUBLE via a VARCHAR round-trip: DuckDB's
+    direct decimal→double divides the int128 by 10^scale in double
+    space and can land 1 ulp off the correctly-rounded value on 17+
+    significant digits, while its string parse (and the JVM's
+    BigDecimal.doubleValue on the Spark side) is correctly rounded —
+    the round-trip makes both engines bit-identical at any scale
+    factor (observed on q04 at sf0.1)."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS VARCHAR) AS DOUBLE) AS {alias}"
 
 
 def davg_sql(expr: str, alias: str, scale: int = 6) -> str:
-    """DuckDB-SQL twin of :func:`davg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE) / COUNT(*) AS {alias}"
+    """DuckDB-SQL twin of :func:`davg` (same VARCHAR round-trip)."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS {alias}"
 
 
 def null_token_to_null(col: Column | str) -> Column:

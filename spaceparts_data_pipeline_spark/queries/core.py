@@ -57,13 +57,13 @@ _Q01_CUTOFF = dt.datetime(1998, 9, 2)
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -144,7 +144,7 @@ _Q03_DATE = dt.datetime(1998, 1, 1)
     "q03_top_revenue_orders",
     """
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -200,8 +200,8 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN group_col = 'Adjustment' THEN 'Adjustment'
                   WHEN group_col IS NULL THEN 'Unclassified'
                   ELSE group_col END AS document_category,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * eur_rate AS DECIMAL(27,6))) AS DOUBLE) AS sales_eur,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 * eur_rate AS DECIMAL(27,8))) AS DOUBLE) AS cogs_eur,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * eur_rate AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sales_eur,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 * eur_rate AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE) AS cogs_eur,
              COUNT(*) AS line_count
       FROM fact GROUP BY 1
     )
@@ -419,7 +419,7 @@ def q12_union_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH src AS (
       SELECT user_id + 1400 AS c_custkey,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS c_acctbal
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS c_acctbal
       FROM events GROUP BY user_id
     )
     SELECT t.c_custkey, t.c_acctbal
@@ -477,7 +477,7 @@ def q14_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT c_mktsegment) AS segment_distinct,
            MIN(c_acctbal) AS min_acctbal,
            MAX(c_acctbal) AS max_acctbal,
-           CAST(SUM(CAST(length(c_name) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_name_len
+           CAST(CAST(SUM(CAST(length(c_name) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_name_len
     FROM customer
     """,
 )
@@ -503,12 +503,12 @@ def q15_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT strftime(l_shipdate, '%Y-%m') AS year_month,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sales_total
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sales_total
       FROM lineitem GROUP BY 1
     ),
     b AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS budget_total
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS budget_total
       FROM orders GROUP BY 1
     )
     SELECT COALESCE(s.year_month, b.year_month) AS year_month,
@@ -641,11 +641,11 @@ def q22_dim_product_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT
-        CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS sales_only,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 AS DECIMAL(27,8))) AS DOUBLE) AS total_cogs
+        CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sales_only,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 0.8 AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE) AS total_cogs
       FROM lineitem
     ),
-    b AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_budget FROM orders)
+    b AS (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS total_budget FROM orders)
     SELECT sales_only, total_cogs,
            sales_only - total_cogs AS gross_margin,
            (CASE WHEN total_budget IS NULL OR total_budget = 0 THEN 0.0
@@ -777,7 +777,7 @@ def x02_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x03_rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -825,9 +825,9 @@ def x04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x08_pivot_revenue",
     """
     SELECT l_linestatus,
-           CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS A,
-           CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS N,
-           CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS DOUBLE) AS R
+           CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS A,
+           CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS N,
+           CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS R
     FROM lineitem GROUP BY l_linestatus
     """,
 )
@@ -851,7 +851,7 @@ def x08_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
            CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bucket_low,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -960,8 +960,8 @@ def x12_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sxx,
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag
     )
@@ -1140,7 +1140,7 @@ def x18_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x20_having_filter",
     """
     SELECT o_custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_spend
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS total_spend
     FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
     """,
 )
@@ -1193,7 +1193,7 @@ def x21_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE o_totalprice > (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) FROM orders
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) FROM orders
     )
     """,
 )

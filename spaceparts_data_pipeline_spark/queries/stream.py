@@ -132,7 +132,7 @@ def s02_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2, 3
     """,
 )
