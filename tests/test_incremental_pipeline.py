@@ -311,3 +311,44 @@ def test_silver_sorted_write(spark, inc_db):
     t = spark.table("silver_fact_sorted")
     assert t.count() == 100
     assert t.filter(F.col("order_number") == "o42").count() == 1
+
+
+def test_five_round_incremental_soak(spark, inc_db):
+    """Lifecycle soak: five incremental rounds with overlapping
+    re-sends, updates, and a recurring bad row. Invariants held across
+    ALL rounds: silver keeps exactly one latest version per key, the
+    quarantine sink holds exactly one copy of each distinct bad fact,
+    the control watermark is monotone non-decreasing, and version
+    pruning never retains more than current+grace physical tables."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import list_versions
+    from spaceparts_data_pipeline_spark.plans import logs
+
+    qschema = "order_number string, order_value double, dwcreateddate timestamp"
+    base = dt.datetime(2025, 1, 1, 8, 0)
+    wms = []
+    for rnd in range(5):
+        t_now = base + dt.timedelta(hours=rnd)
+        rows = [
+            # re-sent every round with a growing amount (same key)
+            ("o_upd", float(100 + rnd), t_now),
+            # fresh key per round
+            (f"o_new{rnd}", float(rnd), t_now),
+            # the SAME bad fact re-derived every round (same source values)
+            ("o_bad", 9e9, base),
+        ]
+        run_incremental_pipeline(
+            spark, {"fact_soak": spark.createDataFrame(rows, qschema)}, skip_gold=True
+        )
+        sil = {r["order_number"]: r["order_value"]
+               for r in spark.table("silver_fact_soak").collect()}
+        assert sil["o_upd"] == 100 + rnd              # keep-latest won
+        assert f"o_new{rnd}" in sil
+        assert spark.table("silver_quarantine_fact_soak").count() == 1
+        wm = logs.last_watermark(spark, "silver_incremental_control", "fact_soak")
+        wms.append(wm)
+        versions = list_versions(spark, "silver_fact_soak")
+        assert len(versions) <= 2, versions            # current + grace only
+    assert wms == sorted(wms)                          # monotone watermarks
+    # all five fresh keys + the updated key survived; the bad key never landed
+    sil = {r["order_number"] for r in spark.table("silver_fact_soak").collect()}
+    assert sil == {"o_upd"} | {f"o_new{i}" for i in range(5)}
