@@ -108,8 +108,18 @@ def _append_quarantine_dedup(spark: SparkSession, sink: str, quarantined: DataFr
         existing = spark.table(sink)
     fresh = out.join(existing.select("identity_hash"), ["identity_hash"], "left_anti")
     if fresh.isEmpty() is False:
-        fresh.write.mode("append").option("mergeSchema", "true") \
-            .saveAsTable(resolve_physical(spark, sink))
+        new_cols = [c for c in fresh.columns if c not in existing.columns]
+        if new_cols:
+            # schema drift (source grew a column): one-time union-schema
+            # rewrite, same as bronze's append-with-evolution — a plain
+            # append would fail on the physical table's narrower schema
+            from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+
+            merged = existing.unionByName(fresh, allowMissingColumns=True)
+            overwrite_via_staging(spark, sink, merged)
+        else:
+            fresh.unionByName(existing.limit(0), allowMissingColumns=True) \
+                .write.mode("append").saveAsTable(resolve_physical(spark, sink))
 
 
 def transform(

