@@ -58,9 +58,9 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
-        best = float("inf")
         # Isolate queries from each other: drop any cache blocks a prior
         # query left and let the JVM collect its garbage debt, so query N
         # isn't taxed for query N-1's allocations (observed: later
@@ -71,11 +71,27 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+        reps: list[float] = []
         for _ in range(3):  # min of 3: steady-state, amortizes codegen + GC noise
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - start)
+        # Sub-second queries sit inside the ±0.4s same-code JVM noise
+        # band, where min-of-3 can't tell real drift from variance —
+        # extend those to min-of-5 and report median+spread so a future
+        # regression is separable from noise (round-5 verdict #5).
+        if min(reps) < 1.0:
+            for _ in range(2):
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(time.perf_counter() - start)
+        reps.sort()
+        timings[name] = round(reps[0], 3)
+        dispersion[name] = {
+            "n": len(reps),
+            "median": round(reps[len(reps) // 2], 3),
+            "spread": round(reps[-1] - reps[0], 3),
+        }
 
     layer_rates = layer_throughput(spark, sf_dir)
 
@@ -85,6 +101,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_dispersion": dispersion,
         "sf": float(sf),
         "layer_rows_per_hour": layer_rates,
         "vs_prev": vs_previous_round(timings, layer_rates),
@@ -96,8 +113,10 @@ def main() -> None:
         # layer passes above.
         "notes": "per-query spread up to ±0.4s and ~2x on layer rates across "
                  "same-code runs (JVM/GC + cold-start variance, plans unchanged); "
-                 "bench isolates queries via cache-clear+GC, min-of-3, Arrow-pool "
-                 "warmup, best-of-2 layer passes",
+                 "bench isolates queries via cache-clear+GC, min-of-3 (min-of-5 + "
+                 "median/spread under 1s — see query_dispersion; deltas inside a "
+                 "query's spread are noise, not drift), Arrow-pool warmup, "
+                 "best-single-run layer pair",
     }))
 
 
@@ -143,7 +162,11 @@ def layer_throughput(spark, sf_dir: str) -> dict:
     reference's recorded rates in BASELINE.md (bronze ≈61M rows/h,
     silver ≈78M rows/h on Fabric Spark).
 
-    Best of 2 full pipeline runs: a single cold pass understates
+    2 full pipeline passes, reporting the bronze+silver PAIR from the
+    single pass with the lower combined wall time — per-layer maxima
+    taken independently across runs would publish an internally
+    inconsistent, best-case-biased pair no single run achieved. The
+    second pass exists because a cold first pass understates
     steady-state by ~2× (first-run JVM/codegen/committer warmup —
     measured 336M vs 628M rows/h bronze back-to-back in one process),
     and steady-state is the number that predicts long-running cluster
@@ -154,6 +177,7 @@ def layer_throughput(spark, sf_dir: str) -> dict:
     from spaceparts_data_pipeline_spark.sources.parquet import load_table
 
     best = {"rows": 0, "bronze": 0, "silver": 0}
+    best_wall = float("inf")
     for attempt in range(2):
         spark.catalog.clearCache()
         try:
@@ -179,11 +203,13 @@ def layer_throughput(spark, sf_dir: str) -> dict:
             for t in tables:
                 silver_plan.run_full(spark, t)
             silver_sec = time.perf_counter() - start
-            best = {
-                "rows": n_rows,
-                "bronze": max(best["bronze"], round(n_rows / bronze_sec * 3600)),
-                "silver": max(best["silver"], round(n_rows / silver_sec * 3600)),
-            }
+            if bronze_sec + silver_sec < best_wall:
+                best_wall = bronze_sec + silver_sec
+                best = {
+                    "rows": n_rows,
+                    "bronze": round(n_rows / bronze_sec * 3600),
+                    "silver": round(n_rows / silver_sec * 3600),
+                }
         finally:
             spark.catalog.setCurrentDatabase(prev)
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -31,6 +31,48 @@ from spaceparts_data_pipeline_spark.operators.merge import physical_partition_co
 
 DEFAULT_TARGET_FILE_MB = 128
 
+#: TBLPROPERTIES marker stamped on every physical artifact the versioned
+#: swap creates (``__staging``, ``__old``, ``__v{N}``). The catalog-wide
+#: recovery sweep acts ONLY on bases showing this marker (or a live
+#: version view), so a user's legitimately-named ``report__old`` or
+#: ``foo__staging`` is never renamed/dropped by a pipeline it doesn't
+#: belong to.
+MANAGED_PROP = "spaceparts.pipeline.managed"
+
+
+def _mark_managed(spark: SparkSession, table: str) -> None:
+    try:
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{MANAGED_PROP}'='true')")
+    except Exception:
+        pass  # marker is advisory; the write itself must not fail on it
+
+
+def is_managed(spark: SparkSession, table: str) -> bool:
+    """True when ``table`` carries the swap-machinery marker."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}('{MANAGED_PROP}')").collect()
+    except Exception:
+        return False
+    return bool(rows) and str(rows[0][-1]).lower() == "true"
+
+
+#: How many complete generations (current + predecessors) the versioned
+#: swap retains. 2 = current + one grace copy for in-flight readers; a
+#: slow consumer (BI extract spanning several refreshes) raises it via
+#: the ``spark.spaceparts.retainVersions`` conf or the explicit
+#: ``retain_versions=`` argument. Depth N means a reader can span N−1
+#: full swap cycles and still resolve its snapshot.
+DEFAULT_RETAIN_VERSIONS = 2
+
+
+def _retain_versions(spark: SparkSession, retain_versions: int | None) -> int:
+    if retain_versions is None:
+        try:
+            retain_versions = int(spark.conf.get("spark.spaceparts.retainVersions", str(DEFAULT_RETAIN_VERSIONS)))
+        except Exception:
+            retain_versions = DEFAULT_RETAIN_VERSIONS
+    return max(1, retain_versions)
+
 
 def _split_db(table: str) -> tuple[str | None, str]:
     if "." in table:
@@ -132,7 +174,9 @@ def file_stats(spark: SparkSession, table: str) -> dict:
     return {"n_files": n, "total_bytes": total}
 
 
-def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
+def recover_staged_swap(
+    spark: SparkSession, table: str, retain_versions: int | None = None
+) -> str | None:
     """Repair any crash state a previous :func:`overwrite_via_staging`
     left behind, restoring the invariant "``table`` exists and is
     complete". Returns a short action tag (or None if nothing to do).
@@ -146,9 +190,10 @@ def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
       renaming a COMPLETE staging write, so max is always safe).
     - view behind the max version → crash between the version rename and
       the view repoint: finish the promote.
-    - staging / ``__old`` / versions ≤ current−2 lying around → drop
-      (current−1 is retained deliberately — the in-flight-reader grace
-      copy).
+    - staging / ``__old`` / versions ≤ current−``retain_versions``
+      lying around → drop (the most recent ``retain_versions``
+      generations are retained deliberately — grace copies for
+      in-flight readers; see :data:`DEFAULT_RETAIN_VERSIONS`).
 
     Crash states of the legacy real-table layout, by where the swap died:
 
@@ -165,6 +210,7 @@ def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
       idempotent, so repair partitions and drop old.
     """
     staging, old = f"{table}__staging", f"{table}__old"
+    keep = _retain_versions(spark, retain_versions)
     has = spark.catalog.tableExists
 
     def _msck(t):
@@ -189,7 +235,7 @@ def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
             spark.sql(f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {table}__v{vmax}")
             spark.sql(f"DROP TABLE IF EXISTS {staging}")
             _drop_old()
-            for v in versions[:-2]:  # keep vmax and its predecessor
+            for v in versions[:-keep]:  # keep the newest ``keep`` generations
                 spark.sql(f"DROP TABLE IF EXISTS {table}__v{v}")
             return "recreated_view"
         if cur is not None:
@@ -205,7 +251,7 @@ def recover_staged_swap(spark: SparkSession, table: str) -> str | None:
                 spark.sql(f"DROP TABLE IF EXISTS {staging}")
                 acted = acted or "dropped_incomplete_staging"
             _drop_old()
-            stale = [v for v in versions if v <= cur - 2]
+            stale = [v for v in versions if v <= cur - keep]
             for v in stale:
                 spark.sql(f"DROP TABLE IF EXISTS {table}__v{v}")
             return acted or ("pruned_versions" if stale else None)
@@ -237,6 +283,7 @@ def overwrite_via_staging(
     table: str,
     df,
     partition_by: str | list[str] | None = None,
+    retain_versions: int | None = None,
 ) -> None:
     """Crash-safe full overwrite with READER ISOLATION: physical data
     lives in ``{table}__v{N}`` and ``{table}`` is a view over the
@@ -257,10 +304,13 @@ def overwrite_via_staging(
        entries keep their pre-rename locations);
     4. ``CREATE OR REPLACE VIEW {table} AS SELECT * FROM {table}__v{N+1}``
        — the atomic promote;
-    5. drop versions ≤ N−1. Version N is RETAINED one extra generation
-       as the grace copy for readers that resolved the view just before
-       the repoint; only a reader spanning two full swap cycles can
-       lose its snapshot.
+    5. drop versions ≤ N+1−``retain_versions``. The most recent
+       ``retain_versions`` generations (default 2: the new version plus
+       one grace copy) are RETAINED for readers that resolved the view
+       before the repoint; a reader can span ``retain_versions − 1``
+       full swap cycles and still resolve its snapshot. Raise the depth
+       per-call or via ``spark.spaceparts.retainVersions`` for slow
+       consumers (BI extracts mid-refresh).
 
     No step ever leaves zero complete copies, and (unlike the previous
     rename-pair layout) no step ever makes ``{table}`` unresolvable. A
@@ -271,13 +321,15 @@ def overwrite_via_staging(
     ``insertInto`` and compaction don't work against a view.
     """
     staging, old = f"{table}__staging", f"{table}__old"
+    keep = _retain_versions(spark, retain_versions)
     pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
-    recover_staged_swap(spark, table)
+    recover_staged_swap(spark, table, retain_versions=retain_versions)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     w = df.write.mode("overwrite")
     if pcols:
         w = w.partitionBy(*pcols)
     w.saveAsTable(staging)
+    _mark_managed(spark, staging)
     cur = current_version(spark, table)
     if cur is None and spark.catalog.tableExists(table):
         # one-time migration from the legacy real-table layout: move the
@@ -287,6 +339,7 @@ def overwrite_via_staging(
         # migrates again).
         was_partitioned = bool(physical_partition_cols(spark, table))
         spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+        _mark_managed(spark, old)
         if was_partitioned:
             spark.sql(f"MSCK REPAIR TABLE {old}")
     nxt = (cur or 0) + 1
@@ -296,7 +349,7 @@ def overwrite_via_staging(
         spark.sql(f"MSCK REPAIR TABLE {vt}")
     spark.sql(f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {vt}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
-    for v in [v for v in list_versions(spark, table) if v <= nxt - 2]:
+    for v in [v for v in list_versions(spark, table) if v <= nxt - keep]:
         spark.sql(f"DROP TABLE IF EXISTS {table}__v{v}")
 
 
@@ -367,20 +420,33 @@ def recover_all(spark: SparkSession, db: str | None = None) -> dict[str, str]:
     recreates it. Pipeline entrypoints call this once at startup:
     O(catalog listing) + O(1) catalog ops per crashed table, no data
     reads.
+
+    The sweep acts only on bases whose artifacts the pipeline provably
+    created: at least one suffix table carries :data:`MANAGED_PROP`
+    (stamped by :func:`overwrite_via_staging`), or the base resolves as
+    a live ``__v{N}`` version view. A user table that merely *matches*
+    the naming convention is left alone — renaming it or dropping its
+    neighbor would be destructive.
     """
     try:
         tables = spark.catalog.listTables(db) if db else spark.catalog.listTables()
     except Exception:
         return {}
     names = {t.name for t in tables}
-    suspects = set()
+    suspects: dict[str, list[str]] = {}
     pat = re.compile(r"^(?P<base>.+?)(?:__staging|__old|__v\d+)$")
     for n in names:
         m = pat.match(n)
         if m:
-            suspects.add(m.group("base"))
+            suspects.setdefault(m.group("base"), []).append(n)
     actions = {}
     for base in sorted(suspects):
+        qualify = (lambda t: f"{db}.{t}") if db else (lambda t: t)
+        owned = current_version(spark, qualify(base)) is not None or any(
+            is_managed(spark, qualify(a)) for a in suspects[base]
+        )
+        if not owned:
+            continue
         try:
             act = recover_staged_swap(spark, base)
         except Exception as exc:  # noqa: BLE001 — sweep must not block the run

@@ -127,6 +127,13 @@ def zorder_value(
     """
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns; use a plain sort for one")
+    # The interleave places column i's bit b at position b*len(cols)+i.
+    # Position 63 is the long sign bit (rows would sort first, inverting
+    # the curve) and the JVM shiftleft wraps mod 64 beyond that — so cap
+    # the per-column resolution at what fits in the 63 value bits.
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"zorder over {len(cols)} columns exceeds 63 usable bits")
     from spaceparts_data_pipeline_spark.functions.scalars import epoch_micros, is_ntz
 
     numeric = {}

@@ -63,10 +63,25 @@ def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
 _QUARANTINE_STAMPS = ("quarantine_date", "load_date")
 
 
+#: Sentinel that stands in for NULL inside the identity hash. Spark's
+#: ``xxhash64`` SKIPS null arguments entirely, so without it two rows
+#: that differ only in WHICH column is null — (null,'x') vs ('x',null) —
+#: hash identically and the exactly-once anti-join would silently drop
+#: one of them from the audit sink. Quarantine rows are precisely the
+#: null-heavy population, so this is a real hazard, not a 2⁻⁶⁴ one.
+#: NUL bytes make an accidental collision with genuine data practically
+#: impossible.
+_NULL_SENTINEL = "\x00\x00null\x00\x00"
+
+
 def _identity_hash(cols: list[str]):
     """64-bit row identity over the SORTED column list — sorted so the
-    hash is invariant to projection order across runs."""
-    return F.xxhash64(*[F.col(c) for c in sorted(cols)])
+    hash is invariant to projection order across runs. Every column is
+    cast to string and null-coalesced to a sentinel so nulls contribute
+    *positionally* (see ``_NULL_SENTINEL``)."""
+    return F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in sorted(cols)]
+    )
 
 
 def _append_quarantine_dedup(spark: SparkSession, sink: str, quarantined: DataFrame) -> None:

@@ -117,6 +117,31 @@ def test_quarantine_anti_join_is_single_column(spark, inc_db, monkeypatch):
     assert "identity_hash" in spark.table("silver_quarantine_fact_qj").columns
 
 
+def test_quarantine_identity_distinguishes_null_positions(spark, inc_db):
+    """Spark's xxhash64 SKIPS null arguments, so without per-position
+    null encoding (null,'x') and ('x',null) across same-typed columns
+    collide and the anti-join silently drops one distinct bad row from
+    the audit sink. Quarantine rows are exactly the null-heavy
+    population — pin that both rows survive."""
+    from spaceparts_data_pipeline_spark.plans.silver import (
+        _append_quarantine_dedup, _identity_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x", "r"), ("x", None, "r")], "a string, b string, quarantine_reason string"
+    )
+    hashes = [r["h"] for r in df.select(_identity_hash(df.columns).alias("h")).collect()]
+    assert hashes[0] != hashes[1]
+
+    sink = "silver_quarantine_nullpos"
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    _append_quarantine_dedup(spark, sink, df)
+    assert spark.table(sink).count() == 2
+    # idempotent on re-derivation, still
+    _append_quarantine_dedup(spark, sink, df)
+    assert spark.table(sink).count() == 2
+
+
 def test_quarantine_legacy_sink_migrates_to_identity_hash(spark, inc_db):
     """A pre-identity sink (no identity_hash column) is backfilled once,
     then stays exactly-once."""

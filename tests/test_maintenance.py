@@ -295,6 +295,50 @@ class TestVersionedSwap:
         assert not failures, failures[:3]
         assert counts and set(counts) <= {100 + i for i in range(6)}
 
+    def test_retain_versions_depth_keeps_older_generations(self, spark, maint_db):
+        """retain_versions=3: a reader that resolved version N keeps its
+        snapshot across TWO subsequent overwrites (the verdict's
+        slow-consumer scenario — a BI extract spanning two refreshes),
+        and the swap prunes to exactly the configured depth."""
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            list_versions, overwrite_via_staging,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS ret_t")
+        overwrite_via_staging(spark, "ret_t", spark.range(10), retain_versions=3)
+        # a slow reader resolves the view NOW (physical v1) ...
+        snapshot = spark.table("ret_t__v1")
+        # ... then two full swap cycles complete underneath it
+        overwrite_via_staging(spark, "ret_t", spark.range(20), retain_versions=3)
+        overwrite_via_staging(spark, "ret_t", spark.range(30), retain_versions=3)
+        # depth 3: v1 (the reader's snapshot) is still resolvable
+        assert list_versions(spark, "ret_t") == [1, 2, 3]
+        assert snapshot.count() == 10
+        assert spark.table("ret_t").count() == 30
+        # a third swap finally rotates v1 out
+        overwrite_via_staging(spark, "ret_t", spark.range(40), retain_versions=3)
+        assert list_versions(spark, "ret_t") == [2, 3, 4]
+
+    def test_retain_versions_via_session_conf(self, spark, maint_db):
+        """The conf knob configures depth without threading a parameter
+        through every plan call; the recovery sweep honors it too."""
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            list_versions, overwrite_via_staging, recover_staged_swap,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS retc_t")
+        spark.conf.set("spark.spaceparts.retainVersions", "3")
+        try:
+            for i in range(1, 5):
+                overwrite_via_staging(spark, "retc_t", spark.range(i * 10))
+            assert list_versions(spark, "retc_t") == [2, 3, 4]
+            # dropping the conf back to 2 prunes on the next recovery pass
+            spark.conf.set("spark.spaceparts.retainVersions", "2")
+            assert recover_staged_swap(spark, "retc_t") == "pruned_versions"
+            assert list_versions(spark, "retc_t") == [3, 4]
+        finally:
+            spark.conf.unset("spark.spaceparts.retainVersions")
+
     def test_crash_between_rename_and_repoint_promotes(self, spark, maint_db):
         from spaceparts_data_pipeline_spark.operators.maintenance import (
             current_version, overwrite_via_staging, recover_staged_swap,
@@ -343,12 +387,15 @@ class TestRecoverAll:
 
     def test_sweep_repairs_view_missing_and_prunes(self, spark, maint_db):
         from spaceparts_data_pipeline_spark.operators.maintenance import (
-            overwrite_via_staging, recover_all,
+            _mark_managed, overwrite_via_staging, recover_all,
         )
 
-        # table A: mid-migration crash — versions exist, view missing
+        # table A: mid-migration crash — versions exist, view missing.
+        # A real __v{N} always comes from renaming a marked staging
+        # table, so the marker travels with it — stamp it here too.
         spark.createDataFrame([(1,)], "id long") \
             .write.mode("overwrite").saveAsTable("sw_a__v1")
+        _mark_managed(spark, "sw_a__v1")
         # table B: healthy versioned table with an orphan staging
         spark.sql("DROP VIEW IF EXISTS sw_b")
         overwrite_via_staging(spark, "sw_b", spark.createDataFrame([(2,)], "id long"))
@@ -363,11 +410,50 @@ class TestRecoverAll:
         assert not spark.catalog.tableExists("sw_b__staging")
 
     def test_pipeline_entry_runs_the_sweep(self, spark, maint_db):
+        from spaceparts_data_pipeline_spark.operators.maintenance import _mark_managed
         from spaceparts_data_pipeline_spark.plans import runner
 
         # leave a view-missing crash state, then start a pipeline run
         spark.createDataFrame([(7,)], "id long") \
             .write.mode("overwrite").saveAsTable("sw_c__v3")
+        _mark_managed(spark, "sw_c__v3")
         res = runner.run_pipeline(spark, sources={})
         assert res.get("recovered", {}).get("sw_c") == "recreated_view"
         assert [r["id"] for r in spark.table("sw_c").collect()] == [7]
+
+    def test_sweep_never_touches_user_tables_matching_the_convention(self, spark, maint_db):
+        """A user table that merely LOOKS like a swap artifact — no
+        managed marker, no version view — must survive the sweep intact:
+        renaming report__old to report or dropping foo__staging would be
+        destructive actions on tables the pipeline never managed."""
+        from spaceparts_data_pipeline_spark.operators.maintenance import recover_all
+
+        # user table named like an orphan grace copy, with no base table
+        spark.createDataFrame([(1,)], "id long") \
+            .write.mode("overwrite").saveAsTable("report__old")
+        # user staging-convention table next to a real user table
+        spark.range(3).write.mode("overwrite").saveAsTable("foo")
+        spark.createDataFrame([(9,)], "id long") \
+            .write.mode("overwrite").saveAsTable("foo__staging")
+
+        actions = recover_all(spark)
+        assert "report" not in actions and "foo" not in actions
+        assert spark.catalog.tableExists("report__old")
+        assert not spark.catalog.tableExists("report")
+        assert spark.catalog.tableExists("foo__staging")
+        assert [r["id"] for r in spark.table("foo__staging").collect()] == [9]
+
+    def test_sweep_still_acts_on_marked_artifacts(self, spark, maint_db):
+        """The inverse guard: the same crash shapes ARE repaired when the
+        artifacts carry the pipeline marker."""
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            _mark_managed, recover_all,
+        )
+
+        spark.range(4).write.mode("overwrite").saveAsTable("mk")
+        spark.createDataFrame([(9,)], "id long") \
+            .write.mode("overwrite").saveAsTable("mk__staging")
+        _mark_managed(spark, "mk__staging")
+        actions = recover_all(spark)
+        assert actions.get("mk") == "dropped_incomplete_staging"
+        assert not spark.catalog.tableExists("mk__staging")
