@@ -1,20 +1,21 @@
-"""CLI: run the medallion pipeline over a directory of parquet tables.
+"""CLI: run the medallion pipeline over a landing directory.
 
 Usage:
     python -m spaceparts_data_pipeline_spark --source-dir DIR [--mode full|incremental]
         [--ts-col dwcreateddate] [--database spaceparts] [--horizon YYYY-MM-DD]
 
-Each ``<table>.parquet`` in --source-dir becomes a source table; the
-pipeline lands bronze_/silver_/gold_ tables in the session catalog and
-prints a one-line JSON status report to stdout.
+Each ``<table>.parquet`` / ``.jsonl`` / ``.json`` / ``.csv`` in
+--source-dir becomes a source table; JSONL/CSV go through the
+corrupt-capture readers, with malformed lines preserved raw in
+``landing_quarantine_<table>`` instead of poisoning bronze. The pipeline
+lands bronze_/silver_/gold_ tables in the session catalog and prints a
+one-line JSON status report to stdout.
 """
 
 from __future__ import annotations
 
 import argparse
-import glob
 import json
-import os
 import sys
 
 
@@ -40,22 +41,28 @@ def main(argv: list[str] | None = None) -> int:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.database}")
     spark.catalog.setCurrentDatabase(args.database)
 
-    sources = {}
-    for path in sorted(glob.glob(os.path.join(args.source_dir, "*.parquet"))):
-        table = os.path.splitext(os.path.basename(path))[0]
-        sources[table] = spark.read.parquet(path)
+    from spaceparts_data_pipeline_spark.sources.files import load_landing_dir
+
+    sources, landing_quarantined, parents = load_landing_dir(spark, args.source_dir)
     if not sources:
-        print(json.dumps({"status": "failed", "error": f"no *.parquet in {args.source_dir}"}))
+        print(json.dumps({
+            "status": "failed",
+            "error": f"no *.parquet/*.jsonl/*.csv in {args.source_dir}",
+        }))
         return 2
 
     if args.mode == "incremental":
         result = run_incremental_pipeline(spark, sources, ts_col=args.ts_col, skip_gold=args.skip_gold)
+        for p in parents:
+            p.unpersist()
         statuses = [t.get("status") for layer in ("bronze", "silver") for t in result[layer].values()]
         statuses += [t.get("status") for t in result["gold"].values()]
         status = "success" if all(x == "success" for x in statuses) else (
             "failed" if all(x != "success" for x in statuses) else "completed_with_errors")
     else:
         b = runner.run_bronze_layer(spark, sources)
+        for p in parents:
+            p.unpersist()
         s = runner.run_silver_layer(spark, horizon=args.horizon)
         g = {"status": "skipped"} if args.skip_gold else runner.run_gold_layer(spark)
         result = {"bronze": b, "silver": s, "gold": g}
@@ -66,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     summary = {
         "status": status,
         "database": args.database,
+        **({"landing_quarantined": landing_quarantined} if landing_quarantined else {}),
         "tables": {
             layer: {
                 t: r.get("records") for t, r in info.get("tables", {}).items()

@@ -87,6 +87,78 @@ def read_jsonl(
     return _split_corrupt(df)
 
 
+def _sink_corrupt(
+    spark: SparkSession, sink: str, corrupt: DataFrame, landing_file: str, fmt: str
+) -> int:
+    """Append corrupt raw lines to the landing quarantine table, stamped
+    with their file of origin — idempotent on re-ingestion of the same
+    file (anti-join on (raw_record, landing_file), mirroring the silver
+    quarantine's exactly-once contract at landing granularity)."""
+    out = (
+        corrupt.withColumn("landing_file", F.lit(landing_file))
+        .withColumn("source_format", F.lit(fmt))
+    )
+    if spark.catalog.tableExists(sink):
+        seen = spark.table(sink).select("raw_record", "landing_file")
+        out = out.join(seen, ["raw_record", "landing_file"], "left_anti")
+    out = out.withColumn("quarantine_date", F.current_timestamp())
+    if out.isEmpty():
+        return 0
+    out.write.mode("append").saveAsTable(sink)
+    return spark.table(sink).where(F.col("landing_file") == landing_file).count()
+
+
+def load_landing_dir(
+    spark: SparkSession,
+    source_dir: str,
+    quarantine_prefix: str = "landing_quarantine_",
+    schemas: dict[str, T.StructType | str] | None = None,
+) -> tuple[dict[str, DataFrame], dict[str, int], list[DataFrame]]:
+    """Discover every ``<table>.parquet`` / ``.jsonl`` / ``.json`` /
+    ``.csv`` in a landing directory and return
+    ``(sources, quarantined_counts, parents)``:
+
+    - ``sources``: table → clean DataFrame, ready for the bronze layer.
+      Parquet loads directly (its schema is self-describing); JSONL/CSV
+      go through the corrupt-capture readers, and malformed lines land
+      in ``{quarantine_prefix}{table}`` instead of poisoning bronze.
+    - ``quarantined_counts``: table → corrupt-line count sunk this call.
+    - ``parents``: persisted parse parents — the caller unpersists them
+      after the bronze layer has consumed the clean sides (the same
+      owner contract as :func:`_split_corrupt`).
+
+    ``schemas`` pins per-table read schemas (production: always — a
+    100 TB landing dir must not be inference-scanned twice).
+    """
+    import glob
+    import os
+
+    sources: dict[str, DataFrame] = {}
+    quarantined: dict[str, int] = {}
+    parents: list[DataFrame] = []
+    for path in sorted(glob.glob(os.path.join(source_dir, "*"))):
+        name, ext = os.path.splitext(os.path.basename(path))
+        ext = ext.lower()
+        schema = (schemas or {}).get(name)
+        if ext == ".parquet":
+            sources[name] = spark.read.parquet(path)
+        elif ext in (".jsonl", ".json"):
+            clean, corrupt, parent = read_jsonl(spark, path, schema=schema)
+            n = _sink_corrupt(spark, quarantine_prefix + name, corrupt, path, "jsonl")
+            if n:
+                quarantined[name] = n
+            sources[name] = clean
+            parents.append(parent)
+        elif ext == ".csv":
+            clean, corrupt, parent = read_csv(spark, path, schema=schema)
+            n = _sink_corrupt(spark, quarantine_prefix + name, corrupt, path, "csv")
+            if n:
+                quarantined[name] = n
+            sources[name] = clean
+            parents.append(parent)
+    return sources, quarantined, parents
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

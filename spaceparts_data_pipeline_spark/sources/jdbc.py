@@ -57,6 +57,43 @@ def jdbc_reader(
     return reader
 
 
+def write_jdbc(
+    df,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    batchsize: int = DEFAULT_FETCHSIZE,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """Cross-store copy (K7): ship a gold table to a warehouse over JDBC
+    — the reference's per-run serving hop (ETL_FABRIC.json:1 activities
+    "Copy_gold_*"; Lakehouse_to_Warehouse.json:1).
+
+    ``batchsize`` batches executor-side inserts (the write twin of the
+    reader's ``fetchsize``); ``num_partitions`` CAPS the writer's
+    parallelism — each task opens its own connection, and a 1000-task
+    gold table would otherwise open 1000 simultaneous warehouse
+    connections. Serving copies are aggregates (small); the cap is the
+    scale control, not a throughput lever.
+    """
+    w = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if driver is not None:
+        w = w.option("driver", driver)
+    if num_partitions is not None:
+        w = w.option("numPartitions", str(num_partitions))
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
+
+
 def discovery_query(schemas: tuple[str, ...] = ("dim", "fact")) -> str:
     """INFORMATION_SCHEMA discovery subquery (S3), deterministic order (O1)."""
     in_list = ", ".join(f"'{s}'" for s in schemas)

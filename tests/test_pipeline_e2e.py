@@ -186,3 +186,64 @@ def test_failed_table_isolates(spark):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql("DROP DATABASE failing CASCADE")
+
+
+def test_cli_landing_dir_with_corrupt_lines(spark, sf_small, tmp_path, capsys):
+    """Round-5 verdict next-round #7: a landing directory holding parquet
+    AND a JSONL drop with corrupt lines flows landing → bronze → silver
+    through the CLI entrypoint, with the corrupt lines preserved raw in
+    landing_quarantine_<table> — never silently dropped, never poisoning
+    bronze."""
+    import shutil
+    import uuid as _uuid
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # parquet source straight from testdata
+    shutil.copy(f"{sf_small}/region.parquet", landing / "regions.parquet")
+    # JSONL drop: 3 good lines, 2 corrupt
+    (landing / "docs.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        'not json at all\n'
+        '{"doc_id": 3, "text": "gamma"}\n'
+        '{"doc_id": 4, "text": "broken", }\n'
+    )
+    # CSV drop: 2 good rows, 1 structurally malformed (extra column)
+    (landing / "rates.csv").write_text(
+        "rate_id,fx\n1,1.25\n2,0.8\n3,0.9,unexpected_extra\n"
+    )
+
+    db = f"cli_{_uuid.uuid4().hex[:8]}"
+    prev_db = spark.catalog.currentDatabase()
+    try:
+        rc = main([
+            "--source-dir", str(landing), "--database", db, "--skip-gold",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        import json as _json
+
+        summary = _json.loads(out)
+        assert rc == 0 and summary["status"] == "success"
+        spark.catalog.setCurrentDatabase(db)
+        # clean sides flowed to bronze and silver
+        assert spark.table("bronze_docs").count() == 3
+        assert spark.table("silver_docs").count() == 3
+        assert spark.table("silver_regions").count() == 5
+        assert spark.table("bronze_rates").count() == 2
+        # corrupt lines preserved raw, stamped with their file of origin
+        q = spark.table("landing_quarantine_docs").collect()
+        assert {r["raw_record"] for r in q} >= {"not json at all"}
+        assert len(q) == 2 and all(r["landing_file"].endswith("docs.jsonl") for r in q)
+        assert spark.table("landing_quarantine_rates").count() == 1
+        assert summary["landing_quarantined"] == {"docs": 2, "rates": 1}
+        # idempotent on re-ingestion of the same landing files
+        rc2 = main(["--source-dir", str(landing), "--database", db, "--skip-gold"])
+        assert rc2 == 0
+        assert spark.table("landing_quarantine_docs").count() == 2
+        assert spark.table("landing_quarantine_rates").count() == 1
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
