@@ -702,6 +702,88 @@ def e04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# e04b — IVF kNN with one Lloyd refinement pass over the seed quantizer.
+# The refinement mean uses the engine's decimal-sum pattern (exact,
+# order-independent), so the REFINED centroids — the quantizer you'd
+# actually run at 100 TB — are bit-identical under any partitioning and
+# the whole pipeline admits the same FULL SQL oracle as e04: seeds →
+# assign → per-position decimal mean (VARCHAR round-trip to double, the
+# dsum_sql route) → reassign against refined centroids → probe → rank.
+# ---------------------------------------------------------------------------
+
+@register(
+    "e04b_knn_ivf_refined",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assigned0 AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    vals AS (
+      SELECT centroid_id, i AS pos, CAST(nv[i] AS DOUBLE) AS val
+      FROM assigned0 CROSS JOIN range(1, 65) t(i)
+    ),
+    means AS (
+      SELECT centroid_id, pos,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      FROM vals GROUP BY centroid_id, pos
+    ),
+    refined AS (
+      SELECT c.centroid_id, COALESCE(mv.cv, c.cv) AS cv
+      FROM cents c LEFT JOIN (
+        SELECT centroid_id, list(m ORDER BY pos) AS cv FROM means GROUP BY centroid_id
+      ) mv USING (centroid_id)
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN refined c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings q CROSS JOIN refined c WHERE q.vec_id < 20
+      ) WHERE r <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {_COS.format(a='p.qv', b='a.nv')} AS cos
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE p.query_id <> a.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS knn_rank, round(cos, 6) AS cosine_sim
+    FROM r WHERE rnk <= 3
+    """,
+)
+def e04b_knn_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return similarity.knn_ivf(e, q, k=3, n_centroids=16, n_probe=4, kmeans_iters=1)
+
+
+# ---------------------------------------------------------------------------
 # x19 — array-column functions over embeddings (size/min/max/slice).
 # ---------------------------------------------------------------------------
 

@@ -154,6 +154,35 @@ def test_ivf_clustered_recall_with_sampled_seeds(spark):
     assert r_hash >= r_first
 
 
+def test_ivf_refined_recall_at_least_seed_recall(spark):
+    """The round-5 done-criterion for order-independent refinement: with
+    kmeans_iters=1 the refined quantizer's recall on the clustered
+    fixture is >= the hash-sample seed quantizer's, and the refined
+    pipeline is deterministic under repartitioning (decimal-sum means —
+    the same result from a differently-partitioned corpus)."""
+    corpus = _clustered_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 25 == 7)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.knn_bruteforce(corpus, queries, k=3).collect()}
+
+    def run(c, iters):
+        return {(r["query_id"], r["neighbor_id"], r["knn_rank"], r["cosine_sim"])
+                for r in similarity.knn_ivf(
+                    c, queries, k=3, n_centroids=8, n_probe=2,
+                    centroid_strategy="hash_sample", kmeans_iters=iters).collect()}
+
+    seed_pairs = {(q, n) for q, n, _, _ in run(corpus, 0)}
+    refined = run(corpus, 1)
+    refined_pairs = {(q, n) for q, n, _, _ in refined}
+    r_seed = len(seed_pairs & exact) / len(exact)
+    r_refined = len(refined_pairs & exact) / len(exact)
+    assert r_refined >= r_seed
+    assert r_refined >= 0.9
+    # order-independence: a different physical partitioning of the same
+    # corpus yields the bit-identical refined result set
+    assert run(corpus.repartition(13), 1) == refined
+
+
 def test_zorder_write_tightens_stats_on_both_columns(spark, sf_small):
     """OPTIMIZE ZORDER analog: range-partition+sort by the Morton value
     must give NARROW per-file min/max on EVERY clustered column (a
