@@ -136,17 +136,30 @@ def connected_components(
     Each iteration is two shuffles (join + groupBy). Labels only ever
     DECREASE, so convergence is detected by an exact decimal label-sum
     staying flat — one map-side-combinable agg per round instead of an
-    anti-join — and each round's labels are persisted (previous round
-    unpersisted) so the convergence probe and the next join share one
-    materialization and lineage stays one round deep instead of
-    accumulating ``max_iter`` nested joins.
+    anti-join.
+
+    Lineage MUST be cut, not just cached, every round: each iteration's
+    plan references the previous labels twice (union + join), so the
+    *analyzed* plan doubles per round — ``persist`` alone leaves 2^k
+    copies of the upstream pair-generator plan in the logical tree and
+    OOMs the driver during CacheManager plan normalization long before
+    any data is large (observed at 5k docs / 590 edges with a
+    shingle-self-join upstream). ``localCheckpoint`` materializes the
+    round AND replaces the plan with a LogicalRDD, keeping plan size
+    O(1) in iterations; ``edges`` is likewise materialized once instead
+    of re-deriving the pair generator every round. On a long-lived
+    cluster job, swap localCheckpoint for ``df.checkpoint()`` against a
+    reliable checkpoint dir to survive executor loss; the algorithm is
+    unchanged.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-    )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("component"))
+    ).localCheckpoint(eager=True)
+    labels = ids.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
     # exact (overflow-free) sum: strictly decreases while any label moves
     _sig = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
@@ -160,23 +173,15 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("src")
             .agg(F.min("component").alias("component"))
-        ).persist()
+        ).localCheckpoint(eager=True)
         sig = _sig(new_labels)
-        if labels.is_cached:
-            labels.unpersist()
         labels = new_labels
         if sig == prev_sig:
             break
         prev_sig = sig
-    # Hand back a self-contained result and release the loop's cache:
-    # the final labels are already materialized (the convergence probe
-    # collected over them), so the localCheckpoint is a cheap copy-out
-    # of (id, component) pairs whose blocks the ContextCleaner frees
-    # once the caller drops the reference — unlike a CacheManager entry,
-    # which would pin executor storage until an explicit unpersist.
-    out = labels.select(F.col("src").alias(id_col), "component").localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    # Labels are already a self-contained LogicalRDD; the ContextCleaner
+    # frees each round's blocks once the last reference drops.
+    return labels.select(F.col("src").alias(id_col), "component")
 
 
 def dedup_corpus(
