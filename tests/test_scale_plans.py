@@ -1,0 +1,95 @@
+"""Plan-shape pins for the LLM-ops scale paths on the MULTI-FILE layout
+(the realistic production lake shape, unlike the driver fixtures'
+single-row-group files): the shuffle structure must be CONSTANT in data
+size — the same exchange count at 1x and 2x — and the native multi-file
+path must never take the `_ensure_parallel` repartition shim.
+
+These pin the plan shapes whose wall-clock behavior scale_harness.py
+measures (results recorded in SCALING.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from scale_harness import TABLES, _shard
+
+#: the five LLM-ops scale paths from the round-5 verdict's top task
+SCALE_OPS = [
+    "d07_minhash_lsh_pairs",
+    "d13_canonical_corpus",
+    "x29_contamination_check",
+    "e03_similar_pairs_lsh",
+    "e04_knn_ivf",
+]
+
+QUERIES = entry_mod.queries()
+
+
+@pytest.fixture(scope="module")
+def scale_dirs(spark, sf_small, tmp_path_factory):
+    """1x and 2x multi-file layouts synthesized exactly like
+    scale_harness.py (shared `_shard` transforms), 4 files per table."""
+    base = tmp_path_factory.mktemp("scale_plans")
+    dirs = {}
+    for scale, n_shards in (("x1", 1), ("x2", 2)):
+        out = str(base / scale)
+        for t in TABLES:
+            src = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+            df = _shard(src, t, 0)
+            for s in range(1, n_shards):
+                df = df.unionByName(_shard(src, t, s))
+            df.repartition(4).write.mode("overwrite").parquet(
+                os.path.join(out, f"{t}.parquet"))
+        dirs[scale] = out
+    return dirs
+
+
+def _exchanges(spark, name, sf_dir):
+    plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning"), plan
+
+
+@pytest.mark.parametrize("name", SCALE_OPS)
+def test_exchange_count_constant_in_data_size(spark, scale_dirs, name):
+    n1, p1 = _exchanges(spark, name, scale_dirs["x1"])
+    n2, p2 = _exchanges(spark, name, scale_dirs["x2"])
+    assert n1 == n2, f"{name}: shuffle structure grew with data ({n1} -> {n2})"
+    # cost must grow with data, never with plan depth: no range-partition
+    # global sorts hiding in either plan
+    for p in (p1, p2):
+        assert "Exchange rangepartitioning" not in p
+
+
+@pytest.mark.parametrize("name", SCALE_OPS)
+def test_multifile_layout_never_takes_parallelize_shim(spark, scale_dirs, name):
+    """On a >=2-file layout the `_maybe_parallelize`/`_ensure_parallel`
+    shim (a Repartition fix-up for single-row-group test files) must
+    no-op: the scan parallelism comes from the files themselves."""
+    df = QUERIES[name](spark, scale_dirs["x2"])
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" not in analyzed, name
+
+
+def test_shard_transforms_preserve_within_shard_structure(spark, sf_small):
+    """The harness's embedding shard transform is an orthogonal ±1
+    diagonal — within-shard cosines must be EXACTLY the 1x cosines, so
+    measured per-shard work is the 1x work (the fixture scales the
+    corpus, not the similarity structure)."""
+    e = spark.read.parquet(os.path.join(sf_small, "embeddings.parquet")).limit(10)
+    s1 = _shard(e, "embeddings", 1)
+    dot = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    def pair_dots(df):
+        a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("a"))
+        b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("b"))
+        rows = (a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+                .select((F.col("ia") % 1000).alias("ia"), (F.col("ib") % 1000).alias("ib"),
+                        F.round(dot, 4).alias("d")).collect())
+        return {(r["ia"], r["ib"]): r["d"] for r in rows}
+    assert pair_dots(s1) == pair_dots(e.select("vec_id", "embedding"))
