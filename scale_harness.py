@@ -57,6 +57,7 @@ OPS = [
     "p01_silver_events_pipeline",
     "d07_minhash_lsh_pairs",
     "d13_canonical_corpus",
+    "d14_canonical_corpus_lsh",
     "x29_contamination_check",
     "e03_similar_pairs_lsh",
     "e04_knn_ivf",

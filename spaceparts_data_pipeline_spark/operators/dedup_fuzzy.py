@@ -266,6 +266,88 @@ def canonical_corpus(
     return df.join(keep, [id_col], "left_semi")
 
 
+def verified_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard similar pairs computed over LSH CANDIDATES only —
+    the verify step of a production MinHash dedup pipeline.
+
+    :func:`jaccard_pairs` is exact but all-pairs within shingle
+    buckets (quadratic per hot shingle); :func:`minhash_lsh_pairs` is
+    linear but approximate. This composes them: LSH proposes a
+    candidate set that is ~linear in corpus size, then each candidate
+    pair's TRUE Jaccard is computed by intersecting the two documents'
+    shingle-hash sets, and pairs below ``threshold`` are discarded.
+    False positives cost only the verify; false negatives are governed
+    by the banding profile — at the defaults (16 perms × 2 rows = 8
+    bands) a true pair at j=0.8 is missed with probability
+    (1−0.8²)⁸ ≈ 3·10⁻⁴, and ``rows_per_band=1`` drives j=0.5 misses
+    below 1e-4. MinHash seeds are fixed, so the output is
+    deterministic run-to-run (just not expressible in ANSI SQL —
+    xxhash64 — hence rows-only at the driver gate).
+
+    Scale shape: shingle-hash sets ship ONLY for candidate pairs
+    (O(candidates × avg shingles), not O(n²)); text never shuffles;
+    the set intersection is a codegen'd ``array_intersect`` on bigint
+    arrays.
+
+    Output: (id_a, id_b, inter, jaccard) — the same schema as
+    :func:`jaccard_pairs`, so every downstream consumer
+    (:func:`connected_components`, :func:`canonical_corpus`) is
+    generator-agnostic.
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, k, num_perm, rows_per_band)
+    sets = (
+        word_shingles(df, id_col, text_col, k)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__hs"))
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
+    inter = F.size(F.array_intersect("__hs_a", "__hs_b"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", inter.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("__hs_a") + F.size("__hs_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+def canonical_corpus_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_iter: int = 10,
+) -> DataFrame:
+    """The dedup pipeline a training corpus actually runs at 100 TB:
+    MinHash-LSH candidates → exact-Jaccard verify on candidates only
+    (:func:`verified_lsh_pairs`) → connected components → keep the
+    min-id canonical per component. Same output contract as
+    :func:`canonical_corpus` (full input schema, one survivor per
+    near-dup cluster); the only difference is the pair generator —
+    bounded-input exact self-join there, linear LSH here. Equality of
+    the two survivor sets on the test fixtures is pinned in
+    tests/test_llm_ops.py.
+    """
+    pairs = verified_lsh_pairs(df, id_col, text_col, k, num_perm, rows_per_band, threshold)
+    return canonical_corpus(df, pairs, id_col=id_col, max_iter=max_iter)
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -281,6 +281,22 @@ def d13_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d14 — the LSH-routed canonical corpus: MinHash-LSH candidates →
+# exact-Jaccard verify on candidates only → components → min-id
+# canonical. Same contract as d13 with the linear-scale pair generator
+# swapped in — the pipeline a 100 TB corpus actually runs. xxhash64
+# MinHash → rows-only at the driver; survivor-set equality with d13's
+# exact path is pinned locally (tests/test_llm_ops.py) at threshold
+# 0.5, where the banding profile's miss probability is <1e-3.
+# ---------------------------------------------------------------------------
+
+@register("d14_canonical_corpus_lsh")
+def d14_canonical_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return dedup_fuzzy.canonical_corpus_lsh(d, threshold=0.5, rows_per_band=1)
+
+
+# ---------------------------------------------------------------------------
 # x29 — benchmark-contamination check: corpus docs sharing word-3-gram
 # shingles with a held-out "benchmark" slice (deterministic doc_id%20
 # split stands in for the eval set). Shingles travel as md5 hashes —

@@ -424,6 +424,36 @@ class TestCorpusOps:
         assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
         assert out.columns == d.columns                 # full schema survives
 
+    def test_verified_lsh_pairs_match_exact_on_candidates(self, spark, sf_oracle):
+        """The verify step must return TRUE Jaccard values: every
+        verified-LSH pair at threshold 0.5 is an exact-path pair with
+        the identical (inter, jaccard), and at the rows_per_band=1
+        profile (miss prob < 1e-4 at j=0.5) the two sets are EQUAL on
+        the fixture (deterministic — fixed MinHash seeds)."""
+        from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
+
+        d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        exact = {(r["id_a"], r["id_b"]): (r["inter"], round(r["jaccard"], 9))
+                 for r in dedup_fuzzy.jaccard_pairs(d, threshold=0.5).collect()}
+        lsh = {(r["id_a"], r["id_b"]): (r["inter"], round(r["jaccard"], 9))
+               for r in dedup_fuzzy.verified_lsh_pairs(
+                   d, threshold=0.5, rows_per_band=1).collect()}
+        assert lsh == exact
+        assert len(exact) > 0          # the fixture actually has near-dups
+
+    def test_canonical_corpus_lsh_equals_exact_path(self, spark, sf_oracle):
+        """End-to-end: the LSH-routed dedup pipeline (d14) must keep the
+        SAME survivor set as the bounded exact path (d13's shape) at the
+        same threshold — full rows, not just ids."""
+        from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
+
+        d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        exact = dedup_fuzzy.canonical_corpus(
+            d, dedup_fuzzy.jaccard_pairs(d, threshold=0.5))
+        lsh = dedup_fuzzy.canonical_corpus_lsh(d, threshold=0.5, rows_per_band=1)
+        assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
+        assert lsh.count() < d.count()  # it actually removed near-dups
+
     def test_contamination_counts_shared_shingles(self, spark):
         from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
 
