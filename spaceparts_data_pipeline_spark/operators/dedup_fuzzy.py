@@ -126,6 +126,7 @@ def connected_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 10,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Cluster near-dup pairs into components by iterative min-label
     propagation: each node takes the min label among itself and its
@@ -147,19 +148,30 @@ def connected_components(
     shingle-self-join upstream). ``localCheckpoint`` materializes the
     round AND replaces the plan with a LogicalRDD, keeping plan size
     O(1) in iterations; ``edges`` is likewise materialized once instead
-    of re-deriving the pair generator every round. On a long-lived
-    cluster job, swap localCheckpoint for ``df.checkpoint()`` against a
-    reliable checkpoint dir to survive executor loss; the algorithm is
-    unchanged.
+    of re-deriving the pair generator every round.
+
+    ``checkpoint``: ``"local"`` (default) stores round snapshots on
+    executor block managers — fastest, but a lost executor makes them
+    unrecoverable, aborting the job. On a long multi-hour cluster run
+    pass ``"reliable"`` to write rounds through the SparkContext
+    checkpoint dir (``sc.setCheckpointDir`` — HDFS/object store), which
+    survives executor loss at the cost of one fs round-trip per
+    iteration; the algorithm and its results are identical.
     """
-    edges = (
+    if checkpoint == "reliable":
+        _cut = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    elif checkpoint == "local":
+        _cut = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    else:
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    edges = _cut(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-    ).localCheckpoint(eager=True)
-    labels = ids.select(
+    )
+    labels = _cut(ids.select(
         F.col(id_col).alias("src"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    ))
     # exact (overflow-free) sum: strictly decreases while any label moves
     _sig = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
@@ -169,11 +181,11 @@ def connected_components(
             edges.join(labels, "src")
             .select(F.col("dst").alias("src"), "component")
         )
-        new_labels = (
+        new_labels = _cut(
             labels.unionByName(neighbor_labels)
             .groupBy("src")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=True)
+        )
         sig = _sig(new_labels)
         labels = new_labels
         if sig == prev_sig:
@@ -188,10 +200,11 @@ def dedup_corpus(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Drop near-duplicates: keep only the canonical (min-id) document of
     each connected component of the pair graph."""
-    comps = connected_components(pairs, df.select(id_col), id_col)
+    comps = connected_components(pairs, df.select(id_col), id_col, checkpoint=checkpoint)
     keep = comps.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
@@ -249,6 +262,7 @@ def canonical_corpus(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 10,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Near-duplicate REMOVAL: one canonical document per connected
     component of the near-dup pair graph (the min-id member), returned
@@ -261,7 +275,8 @@ def canonical_corpus(
     is ids-only and the semi join broadcasts when the survivor set of a
     bucketed slice is small.
     """
-    comp = connected_components(pairs, df.select(id_col), id_col=id_col, max_iter=max_iter)
+    comp = connected_components(pairs, df.select(id_col), id_col=id_col,
+                                max_iter=max_iter, checkpoint=checkpoint)
     keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, [id_col], "left_semi")
 
@@ -333,6 +348,7 @@ def canonical_corpus_lsh(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_iter: int = 10,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """The dedup pipeline a training corpus actually runs at 100 TB:
     MinHash-LSH candidates → exact-Jaccard verify on candidates only
@@ -345,7 +361,8 @@ def canonical_corpus_lsh(
     tests/test_llm_ops.py.
     """
     pairs = verified_lsh_pairs(df, id_col, text_col, k, num_perm, rows_per_band, threshold)
-    return canonical_corpus(df, pairs, id_col=id_col, max_iter=max_iter)
+    return canonical_corpus(df, pairs, id_col=id_col, max_iter=max_iter,
+                            checkpoint=checkpoint)
 
 
 def contamination_check(

@@ -371,6 +371,30 @@ class TestClustering:
         spark.catalog.clearCache()   # result survives a cache purge
         assert {r["doc_id"]: r["component"] for r in out.collect()} == {1: 1, 2: 1, 3: 3, 4: 3}
 
+    def test_connected_components_reliable_checkpoint(self, spark, tmp_path):
+        """checkpoint='reliable' must write round snapshots through the
+        SparkContext checkpoint dir (survives executor loss on a real
+        cluster) and produce the identical labeling; a bogus mode
+        raises instead of silently running unprotected."""
+        import os
+
+        import pytest
+        from pyspark.sql.types import LongType, StructField, StructType
+        from spaceparts_data_pipeline_spark.operators.dedup_fuzzy import connected_components
+
+        sch = StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+        ids = spark.range(1, 6).withColumnRenamed("id", "doc_id")
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], sch)
+        ckpt = str(tmp_path / "ckpt")
+        spark.sparkContext.setCheckpointDir(ckpt)
+        out = {r["doc_id"]: r["component"] for r in
+               connected_components(pairs, ids, checkpoint="reliable").collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+        written = [f for root, _, fs in os.walk(ckpt) for f in fs]
+        assert written, "reliable mode wrote nothing to the checkpoint dir"
+        with pytest.raises(ValueError, match="local.*reliable|reliable.*local"):
+            connected_components(pairs, ids, checkpoint="fastest")
+
     def test_deterministic_split_stability(self, spark, sf_small):
         from spaceparts_data_pipeline_spark.operators.text import deterministic_split
         d = spark.read.parquet(f"{sf_small}/documents.parquet")
