@@ -27,14 +27,26 @@ def tokens_col(text_col: str = "text"):
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per document: (id, shingle)."""
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Dedup happens BEFORE the explode via ``array_distinct`` on the
+    per-document shingle array: duplicate shingles only ever occur
+    within one document, so this is exactly equivalent to a global
+    ``.distinct()`` on (id, shingle) — but it is pure map-side codegen,
+    where the post-explode distinct was a full shuffle of raw shingle
+    strings paid by EVERY shingle consumer (exact Jaccard, MinHash,
+    contamination, canonical corpus). Measured at 8× sf0.1: x29's
+    shuffle dropped 46.5 → 4.2 MB and its wall 1.8 → 1.3 s; d07 loses
+    the exchange but its bytes were already dominated by the
+    (incompressible) signature shuffle (SCALING.md).
+    """
     toks = tokens_col(text_col)
     with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
     shingle = F.transform(
         F.sequence(F.lit(0), F.size("__t") - k),
         lambda i: F.concat_ws(" ", *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)]),
     )
-    return with_t.select(F.col(id_col), F.explode(shingle).alias("shingle")).distinct()
+    return with_t.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
 
 
 def jaccard_pairs(
