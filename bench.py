@@ -36,6 +36,16 @@ HEADLINE = [
     "e03_similar_pairs_lsh",
 ]
 
+#: corpus-pipeline ops timed separately: NOT part of the headline total
+#: (kept at the same 11 queries since round 1 for round-over-round
+#: comparability) but recorded per round so drift in the LLM-data
+#: family is visible without re-deriving it from scale_harness runs.
+CORPUS = [
+    "d13_canonical_corpus",
+    "d14_canonical_corpus_lsh",
+    "x29_contamination_check",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,10 +67,20 @@ def main() -> None:
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    dispersion: dict[str, dict] = {}
-    for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
+    def time_query(name: str, rebuild: bool = False) -> tuple[float, dict]:
+        # rebuild=True: build INSIDE the timed region — the
+        # connected-components family (CORPUS list) runs its iterative
+        # jobs eagerly at construction via localCheckpoint, so building
+        # once outside the timer would exclude that work. The HEADLINE
+        # set stays build-once (lazy plans; construction is driver-side
+        # schema probing) to keep its total comparable with rounds 1-5.
+        if rebuild:
+            def df():
+                return queries[name](spark, sf_dir)
+        else:
+            built = queries[name](spark, sf_dir)
+            def df():
+                return built
         # Isolate queries from each other: drop any cache blocks a prior
         # query left and let the JVM collect its garbage debt, so query N
         # isn't taxed for query N-1's allocations (observed: later
@@ -74,7 +94,7 @@ def main() -> None:
         reps: list[float] = []
         for _ in range(3):  # min of 3: steady-state, amortizes codegen + GC noise
             start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            df().write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - start)
         # Sub-second queries sit inside the ±0.4s same-code JVM noise
         # band, where min-of-3 can't tell real drift from variance —
@@ -83,15 +103,22 @@ def main() -> None:
         if min(reps) < 1.0:
             for _ in range(2):
                 start = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                df().write.format("noop").mode("overwrite").save()
                 reps.append(time.perf_counter() - start)
         reps.sort()
-        timings[name] = round(reps[0], 3)
-        dispersion[name] = {
+        return round(reps[0], 3), {
             "n": len(reps),
             "median": round(reps[len(reps) // 2], 3),
             "spread": round(reps[-1] - reps[0], 3),
         }
+
+    timings: dict[str, float] = {}
+    dispersion: dict[str, dict] = {}
+    for name in HEADLINE:
+        timings[name], dispersion[name] = time_query(name)
+    corpus_timings: dict[str, float] = {}
+    for name in CORPUS:
+        corpus_timings[name], dispersion[name] = time_query(name, rebuild=True)
 
     layer_rates = layer_throughput(spark, sf_dir)
 
@@ -101,10 +128,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_corpus": corpus_timings,
         "query_dispersion": dispersion,
         "sf": float(sf),
         "layer_rows_per_hour": layer_rates,
-        "vs_prev": vs_previous_round(timings, layer_rates),
+        "vs_prev": vs_previous_round({**timings, **corpus_timings}, layer_rates),
         # the round-3 q03/d07 drift question, answered in round 5: five
         # same-code runs spread up to ±0.4s per query and ~2× on layer
         # rates (cold JVM/committer warmup + GC debt from earlier
@@ -139,7 +167,9 @@ def vs_previous_round(timings: dict[str, float], layer_rates: dict | None = None
         with open(rounds[-1]) as fh:
             doc = json.load(fh)
         # the round driver wraps bench stdout under "parsed"
-        prev = doc.get("parsed", doc).get("queries", {})
+        parsed_prev = doc.get("parsed", doc)
+        prev = {**parsed_prev.get("queries", {}),
+                **parsed_prev.get("queries_corpus", {})}
     except Exception:
         return {}
     parsed = doc.get("parsed", doc)

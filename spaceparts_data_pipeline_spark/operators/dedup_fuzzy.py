@@ -36,9 +36,9 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     where the post-explode distinct was a full shuffle of raw shingle
     strings paid by EVERY shingle consumer (exact Jaccard, MinHash,
     contamination, canonical corpus). Measured at 8× sf0.1: x29's
-    shuffle dropped 46.5 → 4.2 MB and its wall 1.8 → 1.3 s; d07 loses
-    the exchange but its bytes were already dominated by the
-    (incompressible) signature shuffle (SCALING.md).
+    shuffle dropped 46.5 → 4.2 MB (11×); d07 loses the exchange but
+    its bytes were already dominated by the (incompressible) signature
+    shuffle (SCALING.md).
     """
     toks = tokens_col(text_col)
     with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)

@@ -49,6 +49,11 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # Prior rotations: r5 brought in d13/x29/x01/x14 (out: d06 ⊂ d09/d13
 # oracles, e02 = d10's oracle body, x06 ⊂ x07, x19 held by x23 +
 # vector math); those transitive arguments still hold.
+#
+# Round-7 rotation candidate: d14_canonical_corpus_lsh (added round 6,
+# registered below the window; rows-only — xxhash MinHash — but its
+# survivor set is pinned EQUAL to in-window d13's exact path in
+# tests/test_llm_ops.py, so its driver evidence rides d13's oracle).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
