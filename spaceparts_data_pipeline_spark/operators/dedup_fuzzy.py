@@ -151,6 +151,15 @@ def connected_components(
     staying flat — one map-side-combinable agg per round instead of an
     anti-join.
 
+    The loop runs over EDGE-TOUCHING nodes only: an isolated node (no
+    incident pair) can neither give nor receive a label, so its
+    component is itself, finally, before the first round. Near-dup
+    graphs are sparse — in a 100 TB corpus the overwhelming majority
+    of documents are isolated — so this turns per-round cost from
+    O(corpus) to O(nodes-in-pairs) and the isolated identity labels
+    are attached once at the end with no shuffle beyond the semi/anti
+    split.
+
     Lineage MUST be cut, not just cached, every round: each iteration's
     plan references the previous labels twice (union + join), so the
     *analyzed* plan doubles per round — ``persist`` alone leaves 2^k
@@ -181,9 +190,11 @@ def connected_components(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    labels = _cut(ids.select(
-        F.col(id_col).alias("src"), F.col(id_col).alias("component")
-    ))
+    all_ids = ids.select(F.col(id_col).alias("src"))
+    labels = _cut(
+        all_ids.join(edges.select("src").distinct(), "src", "left_semi")
+        .select("src", F.col("src").alias("component"))
+    )
     # exact (overflow-free) sum: strictly decreases while any label moves
     _sig = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
@@ -203,9 +214,18 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
-    # Labels are already a self-contained LogicalRDD; the ContextCleaner
-    # frees each round's blocks once the last reference drops.
-    return labels.select(F.col("src").alias(id_col), "component")
+    # Isolated nodes (never touched a pair) are their own component —
+    # attached once, after the loop. Labels are a self-contained
+    # LogicalRDD; the ContextCleaner frees each round's blocks once the
+    # last reference drops.
+    isolated = (
+        all_ids.join(edges.select("src").distinct(), "src", "left_anti")
+        .select("src", F.col("src").alias("component"))
+    )
+    return (
+        labels.unionByName(isolated)
+        .select(F.col("src").alias(id_col), "component")
+    )
 
 
 def dedup_corpus(
