@@ -141,9 +141,13 @@ def connected_components(
     checkpoint: str = "local",
 ) -> DataFrame:
     """Cluster near-dup pairs into components by iterative min-label
-    propagation: each node takes the min label among itself and its
-    neighbors; converges in graph-diameter iterations (near-dup
-    clusters are shallow — ``max_iter`` bounds pathological chains).
+    propagation with pointer jumping: each round every node takes the
+    min label among itself and its neighbors, then follows the new
+    label one step (label := label-of-label). The jump doubles the
+    distance a min label covers per round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — a 2^max_iter-long
+    chain still resolves within ``max_iter`` rounds (pinned by the
+    union-find property test in tests/test_llm_ops.py).
 
     Output: (id, component) where component = min id in the component.
     Each iteration is two shuffles (join + groupBy). Labels only ever
@@ -204,10 +208,20 @@ def connected_components(
             edges.join(labels, "src")
             .select(F.col("dst").alias("src"), "component")
         )
-        new_labels = _cut(
+        gathered = (
             labels.unionByName(neighbor_labels)
             .groupBy("src")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component := gathered label OF the component.
+        # Every component id is itself an active node (labels start as
+        # identity over the active set and only take values from it),
+        # so the lookup always resolves; coalesce guards the self-row.
+        jump = gathered.select(
+            F.col("src").alias("__c"), F.col("component").alias("__cc"))
+        new_labels = _cut(
+            gathered.join(jump, gathered["component"] == jump["__c"], "left")
+            .select("src", F.coalesce("__cc", "component").alias("component"))
         )
         sig = _sig(new_labels)
         labels = new_labels

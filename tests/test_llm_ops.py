@@ -371,6 +371,50 @@ class TestClustering:
         spark.catalog.clearCache()   # result survives a cache purge
         assert {r["doc_id"]: r["component"] for r in out.collect()} == {1: 1, 2: 1, 3: 3, 4: 3}
 
+    def test_connected_components_property_vs_union_find(self, spark):
+        """Property test vs a brute-force Python union-find (SURVEY §5
+        style): random edge sets over a small id universe — including
+        self-loops, duplicate edges, reversed duplicates, and ids with
+        no edges — must produce exactly the min-id component labeling.
+        Guards the round-6 active-set rewrite (isolated nodes split out
+        of the loop)."""
+        from hypothesis import given, settings, strategies as st
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from spaceparts_data_pipeline_spark.operators.dedup_fuzzy import connected_components
+
+        sch = StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                        min_size=0, max_size=25))
+        def check(edges):
+            n = 13
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            expected = {}
+            for i in range(n):
+                expected.setdefault(find(i), []).append(i)
+            model = {i: min(members) for members in expected.values() for i in members}
+
+            ids = spark.range(n).withColumnRenamed("id", "doc_id")
+            pairs = spark.createDataFrame([(a, b) for a, b in edges], sch)
+            got = {r["doc_id"]: r["component"] for r in
+                   connected_components(pairs, ids).collect()}
+            assert got == model
+
+        check()
+
     def test_connected_components_reliable_checkpoint(self, spark, tmp_path):
         """checkpoint='reliable' must write round snapshots through the
         SparkContext checkpoint dir (survives executor loss on a real
