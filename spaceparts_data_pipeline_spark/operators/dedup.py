@@ -68,3 +68,61 @@ def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     if subset is None:
         return df.distinct()
     return df.dropDuplicates(subset)
+
+
+# -- cross-run incremental dedup --------------------------------------------
+
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Deduplicate a NEW batch against everything already ingested: the
+    production shape of corpus ingestion, where each run sees only a
+    delta but must never re-admit a document any prior run kept.
+
+    Two steps, both on 16-byte md5 fingerprints (the raw text never
+    enters a shuffle):
+
+    1. within-batch canonicalization — keep min(id) per fingerprint
+       (map-side-combinable groupBy, same guarantee as ``d01``);
+    2. cross-run screen — left-anti join against the fingerprint store.
+
+    The store side carries ONLY fingerprints: at 100 TB of corpus the
+    store is ~16 B/doc, so it broadcasts while small and degrades to a
+    shuffled-hash anti join (on already-tiny keys) when it outgrows the
+    broadcast threshold — Spark/AQE picks per run; no plan change needed.
+
+    Returns surviving (id, fingerprint) pairs; join back on id for the
+    payload (ids-only pattern, as in ``dedup_fuzzy.canonical_corpus``).
+    """
+    fps = batch.select(
+        F.col(id_col), F.md5(text_col).alias(fp_col)
+    ).groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    if store is not None:
+        fps = fps.join(
+            store.select(F.col(fp_col)).distinct(), on=fp_col, how="left_anti"
+        )
+    return fps.select(id_col, fp_col)
+
+
+def update_fingerprint_store(
+    spark,
+    survivors: DataFrame,
+    store_path: str,
+    fp_col: str = "fingerprint",
+) -> None:
+    """Append the survivors' fingerprints to the parquet store.
+
+    Append-only is sufficient for exactness: ``incremental_dedup``
+    screens with an anti join over DISTINCT store fingerprints, so a
+    fingerprint appearing twice (e.g. a retried run that appended before
+    failing) changes nothing — re-running the same batch is idempotent
+    by construction (its fingerprints are all in the store, so zero
+    survivors, so zero new appends). No MERGE/compaction needed on the
+    hot path; compact with a periodic distinct-rewrite if file count
+    grows.
+    """
+    survivors.select(fp_col).write.mode("append").parquet(store_path)

@@ -229,3 +229,87 @@ def sequence_packing(
         (start % capacity).alias("start_offset"),
         F.floor((F.col("__cum") - 1) / capacity).alias("end_seq"),
     )
+
+
+# -- PII / pattern redaction -------------------------------------------------
+
+#: Redaction chain (ordered: structured patterns before the bare digit
+#: run, so an IPv4 octet is consumed as <IP>, not four <NUM>s). Each
+#: pattern stays inside the Java-regex ∩ RE2 common subset (no
+#: lookaround, no backrefs) so a SQL oracle can replay it exactly.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b\+?[0-9][0-9 ()-]{6,}[0-9]\b", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def redact_pii(text: Column | str, patterns=PII_PATTERNS) -> Column:
+    """Chained ``regexp_replace`` redaction — the standard PII scrub of a
+    training-corpus pipeline (emails, IPs, phone-ish digit runs, then any
+    remaining number). Pure codegen projection: zero shuffle, scales as
+    a map over the scan.
+    """
+    out = F.col(text) if isinstance(text, str) else text
+    for pat, tag in patterns:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def redaction_count(text: Column | str, patterns=PII_PATTERNS) -> Column:
+    """How many spans the redaction chain would replace (audit metric).
+    Counts on the partially-redacted intermediate exactly as the chain
+    sees it, so the sum matches what ``redact_pii`` actually rewrote."""
+    t = F.col(text) if isinstance(text, str) else text
+    total = F.lit(0)
+    for pat, tag in patterns:
+        total = total + F.regexp_count(t, F.lit(pat))
+        t = F.regexp_replace(t, pat, tag)
+    return total
+
+
+# -- BPE-ish regex tokenizer -------------------------------------------------
+
+#: GPT-2-style pretokenizer, restricted to the Java-regex ∩ RE2 common
+#: subset (the original uses lookahead for trailing-space handling;
+#: this variant folds the optional leading space into each class, the
+#: standard lookahead-free approximation). Contractions first so
+#: "don't" → ["don", "'t"], then letter runs, digit runs, punct runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Array of BPE-ish pretokens (regexp_extract_all, whole match)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Pretoken count net of pure-whitespace matches — the usual
+    "how many BPE merges will the real tokenizer start from" budget
+    metric, cheap enough to run over the whole corpus per ingest.
+
+    Whitespace-only matches are filtered out of the extracted array
+    (they can't be subtracted as a standalone ``\\s+`` count: the
+    `` ?\\p{L}+`` branch consumes single leading spaces, so the two
+    tallies of whitespace disagree)."""
+    t = F.col(text) if isinstance(text, str) else text
+    nonws = F.filter(bpe_tokens(t), lambda m: F.length(F.trim(m)) > 0)
+    return F.size(nonws).cast("int")
+
+
+# -- word n-grams ------------------------------------------------------------
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Array of word ``n``-grams (space-joined) from whitespace tokens.
+    Built-in lambda over the token array — per-row codegen, no shuffle;
+    the downstream count is a map-side-combinable groupBy of short
+    n-gram strings (vocab-bounded, not corpus-bounded)."""
+    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    toks = F.split(t, r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.slice(toks, F.lit(1), count),
+        lambda _, i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )

@@ -50,10 +50,15 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # oracles, e02 = d10's oracle body, x06 ⊂ x07, x19 held by x23 +
 # vector math); those transitive arguments still hold.
 #
-# Round-7 rotation candidate: d14_canonical_corpus_lsh (added round 6,
-# registered below the window; rows-only — xxhash MinHash — but its
-# survivor set is pinned EQUAL to in-window d13's exact path in
-# tests/test_llm_ops.py, so its driver evidence rides d13's oracle).
+# Round-7 rotation candidates (all added round 6, registered below the
+# window):
+#   d14_canonical_corpus_lsh (rows-only — xxhash MinHash — but its
+#       survivor set is pinned EQUAL to in-window d13's exact path in
+#       tests/test_llm_ops.py, so its driver evidence rides d13's oracle),
+#   d15_incremental_dedup (cross-run dedup vs fingerprint store, FULL
+#       oracle), x31_bigram_topk / x32_pii_redact / x33_bpe_token_stats
+#       (n-gram heavy hitters, PII redaction chain, BPE-ish pretokenizer
+#       — FULL oracles, green at sf0.001/0.01/0.1 on first run).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",

@@ -879,3 +879,167 @@ def x23_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m01_binary_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select("doc_id", F.col("text").cast("binary").alias("payload"))
     return multimodal.byte_lengths(d, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# d15 — cross-run incremental dedup: a new batch screened against the
+# fingerprint store of everything previously ingested (the production
+# ingestion shape — each run sees a delta, never re-admits a doc).
+# Store/batch are carved from `documents` by doc_id decile with a
+# deliberate overlap (deciles 4-5 are in both → screened out) and a
+# shifted echo of deciles 8-9 inside the batch (same text under a new
+# id → within-batch canonicalization actively picks the min id).
+# ---------------------------------------------------------------------------
+
+@register(
+    "d15_incremental_dedup",
+    """
+    WITH store AS (
+      SELECT DISTINCT md5(text) AS fingerprint
+      FROM documents WHERE doc_id % 10 < 6
+    ),
+    batch_rows AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 4
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 >= 8
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint
+      FROM batch_rows GROUP BY md5(text)
+    )
+    SELECT doc_id, fingerprint FROM canon c
+    WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = c.fingerprint)
+    """,
+)
+def d15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.operators import dedup
+
+    d = T(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") % 10 < 6).select(F.md5("text").alias("fingerprint"))
+    batch = d.filter(F.col("doc_id") % 10 >= 4).select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.incremental_dedup(batch, store)
+
+
+# ---------------------------------------------------------------------------
+# x31 — per-language bigram heavy hitters: word n-gram construction as a
+# per-row array lambda (no shuffle), then one map-side-combinable count
+# over the vocab-bounded (lang, bigram) space and a top-k window over
+# the counted table (vocab-sized, not corpus-sized).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x31_bigram_topk",
+    r"""
+    WITH toks AS (
+      SELECT lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    ),
+    counted AS (
+      SELECT lang, bigram, COUNT(*) AS freq FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, freq,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, bigram) AS INT) AS rk
+    FROM counted
+    QUALIFY rk <= 10
+    """,
+)
+def x31_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    grams = d.select("lang", F.explode(text.word_ngrams("text", 2)).alias("bigram"))
+    counted = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("bigram"))
+    return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# x32 — PII / pattern redaction over the events payload: the chained
+# regexp_replace scrub (emails → IPs → phone-ish runs → bare numbers)
+# plus an audit count of spans redacted. Pure codegen projection.
+# The oracle replays the chain stage-by-stage (DuckDB regexp_replace
+# needs the 'g' flag; Spark's is global by default).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x32_pii_redact",
+    r"""
+    WITH r0 AS (SELECT event_id, props AS s FROM events),
+    r1 AS (
+      SELECT event_id,
+             len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+             regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+      FROM r0
+    ),
+    r2 AS (
+      SELECT event_id, c1,
+             len(regexp_extract_all(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS c2,
+             regexp_replace(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s
+      FROM r1
+    ),
+    r3 AS (
+      SELECT event_id, c1, c2,
+             len(regexp_extract_all(s, '\b\+?[0-9][0-9 ()-]{6,}[0-9]\b')) AS c3,
+             regexp_replace(s, '\b\+?[0-9][0-9 ()-]{6,}[0-9]\b', '<PHONE>', 'g') AS s
+      FROM r2
+    ),
+    r4 AS (
+      SELECT event_id, c1, c2, c3,
+             len(regexp_extract_all(s, '[0-9]+')) AS c4,
+             regexp_replace(s, '[0-9]+', '<NUM>', 'g') AS s
+      FROM r3
+    )
+    SELECT event_id, s AS props_redacted, CAST(c1 + c2 + c3 + c4 AS INT) AS n_redactions
+    FROM r4
+    """,
+)
+def x32_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        text.redact_pii("props").alias("props_redacted"),
+        text.redaction_count("props").cast("int").alias("n_redactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x33 — BPE-ish regex pretokenization stats: GPT-2-style pretokenizer
+# (lookahead-free Java∩RE2 subset) counted against the whitespace
+# tokenizer — the standard "token budget" pass of a corpus ingest.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x33_bpe_token_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+             len(list_filter(
+                   regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+                   x -> length(trim(x)) > 0)) AS n_bpe
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_ws_tokens AS INT) AS n_ws_tokens,
+           CAST(n_bpe AS INT) AS n_bpe_tokens,
+           CAST(n_chars AS DOUBLE) / greatest(n_bpe, 1) AS chars_per_bpe_token
+    FROM t
+    """,
+)
+def x33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    n_bpe = text.bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.col("n_chars").cast("double") / F.greatest(n_bpe, F.lit(1)))
+        .alias("chars_per_bpe_token"),
+    )

@@ -551,3 +551,84 @@ class TestCorpusOps:
         assert (out[3]["start_seq"], out[3]["start_offset"], out[3]["end_seq"]) == (1, 2, 2)
         # shard b numbers independently
         assert (out[4]["start_seq"], out[4]["start_offset"], out[4]["end_seq"]) == (0, 0, 1)
+
+
+class TestRedaction:
+    def test_redact_chain_on_real_pii(self, spark):
+        rows = [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 10.0.255.1 port 8080"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text with no secrets"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, ["id", "s"])
+        out = {r["id"]: r for r in df.select(
+            "id",
+            text.redact_pii("s").alias("red"),
+            text.redaction_count("s").alias("n"),
+        ).collect()}
+        assert out[1]["red"] == "mail <EMAIL> now"
+        assert out[1]["n"] == 1
+        # IP consumed as one <IP>, trailing port as <NUM> — order matters
+        assert out[2]["red"] == "server at <IP> port <NUM>"
+        assert out[2]["n"] == 2
+        # leading + is outside \b; the digit run from 1 onward is one phone
+        assert "<PHONE>" in out[3]["red"]
+        assert "555" not in out[3]["red"] and "4567" not in out[3]["red"]
+        assert out[4]["red"] == "clean text with no secrets"
+        assert out[4]["n"] == 0
+        assert out[5]["red"] is None
+
+    def test_bpe_tokens_contractions_and_classes(self, spark):
+        df = spark.createDataFrame([(1, "don't stop 42 now!")], ["id", "s"])
+        row = df.select(
+            text.bpe_tokens("s").alias("toks"),
+            text.bpe_token_count("s").alias("n"),
+        ).collect()[0]
+        assert row["toks"] == ["don", "'t", " stop", " 42", " now", "!"]
+        assert row["n"] == 6
+
+    def test_word_ngrams_edges(self, spark):
+        df = spark.createDataFrame([(1, "a b c d"), (2, "solo"), (3, "")], ["id", "s"])
+        got = {r["id"]: r["g"] for r in df.select("id", text.word_ngrams("s", 2).alias("g")).collect()}
+        assert got[1] == ["a b", "b c", "c d"]
+        assert got[2] == []
+        tri = df.filter("id = 1").select(text.word_ngrams("s", 3).alias("g")).collect()[0]["g"]
+        assert tri == ["a b c", "b c d"]
+
+
+class TestIncrementalDedup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_screen_and_canonicalize(self, spark):
+        from spaceparts_data_pipeline_spark.operators import dedup
+        store = self._docs(spark, [(1, "old news")]).select(F.md5("text").alias("fingerprint"))
+        batch = self._docs(spark, [
+            (10, "old news"),        # already ingested -> screened
+            (12, "fresh take"),      # new
+            (11, "fresh take"),      # within-batch dup -> min id wins
+            (13, "also new"),
+        ])
+        got = {r["doc_id"] for r in dedup.incremental_dedup(batch, store).collect()}
+        assert got == {11, 13}
+
+    def test_store_roundtrip_idempotent(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.operators import dedup
+        store_path = str(tmp_path / "fp_store")
+        b1 = self._docs(spark, [(1, "alpha"), (2, "beta")])
+        s1 = dedup.incremental_dedup(b1, None)
+        assert s1.count() == 2
+        dedup.update_fingerprint_store(spark, s1, store_path)
+
+        store = spark.read.parquet(store_path)
+        b2 = self._docs(spark, [(3, "beta"), (4, "gamma")])
+        s2 = dedup.incremental_dedup(b2, store)
+        assert {r["doc_id"] for r in s2.collect()} == {4}
+        dedup.update_fingerprint_store(spark, s2, store_path)
+
+        # replaying batch 2 admits nothing and appends nothing new
+        store = spark.read.parquet(store_path)
+        assert dedup.incremental_dedup(b2, store).count() == 0
+        assert store.count() == 3

@@ -179,3 +179,51 @@ def test_d13_semi_join_ships_ids_not_text(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_d15_anti_join_on_fingerprints_not_text(spark, sf_oracle):
+    """Cross-run dedup: the store screen is a LeftAnti join on 16-byte
+    md5 fingerprints; no exchange may carry document text (the batch
+    reduces to (id, fingerprint) before any shuffle)."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["d15_incremental_dedup"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("text#" not in l for l in exch), exch
+
+
+def test_x31_bigram_count_is_partial_and_topk_window_is_vocab_sized(spark, sf_oracle):
+    """Bigram heavy hitters: gram construction is a per-row projection
+    (no pre-count exchange of raw text), the count has a map-side
+    partial pass, and the only window runs over the counted table."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["x31_bigram_topk"](spark, sf_oracle)
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # final plan only (AQE prints both)
+    assert "partial_count" in plan
+    window_ops = [l for l in plan.splitlines() if l.lstrip("+-* (012345)").startswith("Window ")]
+    assert len(window_ops) == 1, window_ops
+    # Spark's rank-limit pushdown: per-partition top-k before the final
+    # window, so the exchange carries k rows per (lang) per task
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("text#" not in l for l in exch), exch
+
+
+def test_x32_redaction_is_pure_projection(spark, sf_oracle):
+    """The redaction chain must stay a codegen map over the scan: no
+    exchange, no join, no python worker."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES["x32_pii_redact"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "*(1)" in plan
