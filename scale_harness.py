@@ -61,6 +61,10 @@ OPS = [
     "x29_contamination_check",
     "e03_similar_pairs_lsh",
     "e04_knn_ivf",
+    # round-6 late additions: cross-run dedup (fingerprint anti join)
+    # and bigram heavy hitters (the two new ops that shuffle)
+    "d15_incremental_dedup",
+    "x31_bigram_topk",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")

@@ -94,6 +94,35 @@ def minhash_signatures(
     return agg.select(F.col(id_col), F.array(*[f"h{s}" for s in range(num_perm)]).alias("sig"))
 
 
+def band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH band table: (id, band, bucket) — one row per document per
+    band, bucket = xxhash64 of that band's signature slice. The shared
+    currency of every MinHash consumer here: self-joined for pair
+    finding (:func:`minhash_lsh_pairs`), persisted as the signature
+    store for cross-run screening (:func:`incremental_near_dedup`)."""
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    n_bands = num_perm // rows_per_band
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -109,20 +138,7 @@ def minhash_lsh_pairs(
     The scale path for corpus dedup: no all-pairs product; cost is
     Σ bucket² which stays small for well-distributed hashes.
     """
-    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
-    n_bands = num_perm // rows_per_band
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bucket"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = band_table(df, id_col, text_col, k, num_perm, rows_per_band)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -454,3 +470,57 @@ def contamination_check(
         )
         .withColumn("contaminated", F.col("n_shared_shingles") > 0)
     )
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    band_store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_iter: int = 10,
+    checkpoint: str = "local",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run NEAR-dup dedup — the FineWeb/RefinedWeb cross-dump
+    pattern, and the near-dup twin of ``dedup.incremental_dedup``: each
+    run admits only documents that are not near-duplicates of anything
+    admitted by ANY prior run, without prior runs' text.
+
+    1. within-batch: :func:`canonical_corpus_lsh` (LSH candidates →
+       exact-Jaccard verify on candidates, text in hand → components →
+       min-id canonical);
+    2. cross-run screen: drop batch survivors whose signature collides
+       with the band store in ANY band. This stage is a pure LSH
+       decision — the store holds (band, bucket) rows (~24 B/doc·band),
+       not text, so exact verification is impossible BY DESIGN; pick
+       (num_perm, rows_per_band) for the wanted recall/precision point
+       (the e03b pinned-profile pattern). An exact duplicate of a
+       stored doc is ALWAYS screened: identical text → identical
+       signature → collision in every band.
+
+    Returns ``(admitted, admitted_bands)`` — full-schema admitted rows
+    plus their band table; append ``admitted_bands`` to the store
+    (append-only is exact for the same reason as the md5 store: the
+    screen is a semi-join, duplicates in the store change nothing).
+
+    Scale shape: everything shuffles on 16-byte hashes or (band,
+    bucket) pairs; the store side never rehydrates text; batch text
+    moves scan→output only. Store growth is rows·n_bands — compact
+    periodically with a distinct-rewrite if file count grows.
+    """
+    admitted = canonical_corpus_lsh(
+        batch, id_col, text_col, k, num_perm, rows_per_band, threshold,
+        max_iter=max_iter, checkpoint=checkpoint,
+    )
+    bands = band_table(admitted, id_col, text_col, k, num_perm, rows_per_band)
+    if band_store is not None:
+        hit_ids = (
+            bands.join(band_store.select("band", "bucket"), ["band", "bucket"], "left_semi")
+            .select(id_col).distinct()
+        )
+        admitted = admitted.join(hit_ids, id_col, "left_anti")
+        bands = bands.join(hit_ids, id_col, "left_anti")
+    return admitted, bands

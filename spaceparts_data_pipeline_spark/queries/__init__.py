@@ -58,7 +58,13 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   d15_incremental_dedup (cross-run dedup vs fingerprint store, FULL
 #       oracle), x31_bigram_topk / x32_pii_redact / x33_bpe_token_stats
 #       (n-gram heavy hitters, PII redaction chain, BPE-ish pretokenizer
-#       — FULL oracles, green at sf0.001/0.01/0.1 on first run).
+#       — FULL oracles, green at sf0.001/0.01/0.1 on first run),
+#   s04_stream_ingest_dedup (d15's streaming twin: real readStream →
+#       foreachBatch store-screened ingestion, FULL oracle, green at
+#       all three SFs; crash-replay idempotence in tests/test_streaming),
+#   d16_incremental_near_dedup (cross-run NEAR-dup vs a MinHash band
+#       store; rows-only — xxhash — with screen guarantees pinned in
+#       tests/test_llm_ops.py::TestIncrementalNearDedup).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",

@@ -1043,3 +1043,22 @@ def x33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.greatest(n_bpe, F.lit(1)))
         .alias("chars_per_bpe_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d16 — cross-run NEAR-dup dedup against a MinHash band store (the
+# FineWeb/RefinedWeb cross-dump pattern): within-batch LSH dedup with
+# exact verify, then a band-collision screen against signatures of
+# everything prior runs admitted — no prior text needed. Rows-only
+# (xxhash signatures are not SQL-expressible); the semantic guarantees
+# (exact dup always screened, near-dup screened at the pinned profile,
+# unrelated docs admitted) are pinned in tests/test_llm_ops.py.
+# ---------------------------------------------------------------------------
+
+@register("d16_incremental_near_dedup")
+def d16_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    store = dedup_fuzzy.band_table(d.filter(F.col("doc_id") % 10 < 6))
+    batch = d.filter(F.col("doc_id") % 10 >= 4)
+    admitted, _bands = dedup_fuzzy.incremental_near_dedup(batch, store)
+    return admitted.select("doc_id", "lang")

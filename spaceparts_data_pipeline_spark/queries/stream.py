@@ -196,3 +196,75 @@ def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "s04_stream_ingest_dedup",
+    """
+    WITH store AS (
+      SELECT DISTINCT md5(text) AS fingerprint
+      FROM documents WHERE doc_id % 10 < 6
+    ),
+    batch AS (
+      SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint
+      FROM documents WHERE doc_id % 10 >= 4 GROUP BY md5(text)
+    )
+    SELECT doc_id, fingerprint FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = b.fingerprint)
+    """,
+)
+def s04_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with cross-run dedup (d15's streaming
+    twin): the REAL readStream → foreachBatch pipeline of
+    ``streaming.structured.stream_ingest_dedup`` — new documents
+    screened against a fingerprint store seeded by prior runs (deciles
+    <6 here), survivors landed in a batch-id-partitioned corpus and
+    their fingerprints appended to the store. Oracle-checkable because
+    the admitted set is a pure function of (store, stream rows) however
+    the source micro-batches: within-run dups fall to the min-id
+    canonicalization or (across micro-batches) to the store screen the
+    earlier batch just extended."""
+    import shutil
+    import uuid
+
+    from spaceparts_data_pipeline_spark.sources.parquet import load_table
+    from spaceparts_data_pipeline_spark.streaming.structured import stream_ingest_dedup
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"stream_docs_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(docs_path, link)
+
+    work = os.path.join(tempfile.gettempdir(), f"s04_{uuid.uuid4().hex[:12]}")
+    store_path = os.path.join(work, "store")
+    corpus_path = os.path.join(work, "corpus")
+    try:
+        # seed the store as prior runs would have left it
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 < 6
+        ).select(F.md5("text").alias("fingerprint")).write.parquet(store_path)
+
+        stream = (
+            spark.readStream.schema(schema).parquet(stream_dir)
+            .filter(F.col("doc_id") % 10 >= 4)
+        )
+        q = stream_ingest_dedup(
+            spark, stream, store_path, corpus_path,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+        # Materialize before the temp corpus is removed — a wrapper
+        # artifact only (survivor ids+fingerprints, corpus-dedup-bounded);
+        # a real deployment keeps the corpus and reads it in place.
+        return spark.createDataFrame(
+            spark.read.parquet(corpus_path).select("doc_id", "fingerprint").collect(),
+            "doc_id long, fingerprint string",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

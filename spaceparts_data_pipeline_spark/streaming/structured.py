@@ -152,3 +152,82 @@ def stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous corpus ingestion with cross-run dedup — the streaming
+    twin of ``operators.dedup.incremental_dedup``: each micro-batch is
+    screened against the fingerprint store of everything ever admitted
+    (any prior run OR prior micro-batch), survivors' payloads land in
+    the corpus, and their fingerprints extend the store.
+
+    Exactly-once without a transactional sink, from three properties:
+
+    - the corpus is partitioned by ``ingest_batch_id`` and written with
+      DYNAMIC partition overwrite — a replayed micro-batch (same
+      batch_id, per foreachBatch's contract) rewrites its own partition
+      byte-for-byte instead of appending twice, and an empty survivor
+      set touches no partition at all;
+    - the store append is idempotent under the screen (the anti join
+      reads DISTINCT fingerprints — see ``update_fingerprint_store``);
+    - corpus lands BEFORE the store append, so the only replayable
+      crash window (corpus written, store not) re-screens to the same
+      survivor set and overwrites the same partition.
+
+    The batch is persisted across the two writes: fingerprints shuffle;
+    raw text goes scan→corpus without entering any exchange."""
+    from spaceparts_data_pipeline_spark.operators import dedup
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            store = None
+        batch_df = batch_df.persist()
+        try:
+            survivors = dedup.incremental_dedup(
+                batch_df, store, id_col=id_col, text_col=text_col
+            )
+            payload = survivors.join(batch_df, id_col).withColumn(
+                "ingest_batch_id", F.lit(batch_id)
+            )
+            # foreachBatch runs under a CLONED session with isolated
+            # conf — set dynamic overwrite on the batch's session (the
+            # one the write executes under), not the outer one.
+            sess = batch_df.sparkSession
+            prior = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                payload.write.mode("overwrite").partitionBy(
+                    "ingest_batch_id"
+                ).parquet(corpus_path)
+            finally:
+                sess.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+            # Append fingerprints FROM THE DURABLE CORPUS, not the
+            # in-memory survivors: a replay whose screen already finds
+            # the fingerprints (survivors empty) still completes a
+            # store append that crashed mid-way last time.
+            try:
+                admitted = spark.read.parquet(corpus_path).filter(
+                    F.col("ingest_batch_id") == batch_id
+                )
+            except Exception:  # no corpus yet: nothing ever admitted
+                return
+            dedup.update_fingerprint_store(spark, admitted, store_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

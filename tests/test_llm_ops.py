@@ -632,3 +632,51 @@ class TestIncrementalDedup:
         store = spark.read.parquet(store_path)
         assert dedup.incremental_dedup(b2, store).count() == 0
         assert store.count() == 3
+
+
+class TestIncrementalNearDedup:
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    def test_screen_guarantees(self, spark):
+        store_docs = self._batch(spark, [(1, self.BASE)])
+        store = dedup_fuzzy.band_table(store_docs)
+        batch = self._batch(spark, [
+            (10, self.BASE),                                   # exact dup of stored
+            (11, self.BASE.replace("lazy", "sleepy")),         # near-dup of stored
+            (12, "completely different text about spark query engines and shuffles at scale"),
+        ])
+        admitted, bands = dedup_fuzzy.incremental_near_dedup(batch, store)
+        ids = {r["doc_id"] for r in admitted.collect()}
+        # exact dup: identical signature -> collides in EVERY band -> always screened
+        assert 10 not in ids
+        # near-dup at default 16x2 profile: screened (high shingle overlap)
+        assert 11 not in ids
+        # unrelated doc admitted, and its bands returned for the store update
+        assert ids == {12}
+        assert {r["doc_id"] for r in bands.collect()} == {12}
+
+    def test_within_batch_collapse_and_no_store(self, spark):
+        batch = self._batch(spark, [
+            (21, self.BASE),
+            (20, self.BASE + " extra"),    # near-dup pair within batch
+            (22, "unrelated corpus text mentioning joins aggregations and windows only"),
+        ])
+        admitted, _ = dedup_fuzzy.incremental_near_dedup(batch, None)
+        ids = {r["doc_id"] for r in admitted.collect()}
+        assert ids == {20, 22}             # min-id canonical survives
+
+    def test_store_append_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "band_store")
+        b1 = self._batch(spark, [(1, self.BASE)])
+        a1, bands1 = dedup_fuzzy.incremental_near_dedup(b1, None)
+        bands1.write.mode("append").parquet(path)
+        b2 = self._batch(spark, [(2, self.BASE.replace("dog", "cat")), (3, "fresh unseen document text entirely")])
+        a2, bands2 = dedup_fuzzy.incremental_near_dedup(b2, spark.read.parquet(path))
+        assert {r["doc_id"] for r in a2.collect()} == {3}
+        bands2.write.mode("append").parquet(path)
+        # replay of batch 2 admits nothing new
+        a3, _ = dedup_fuzzy.incremental_near_dedup(b2, spark.read.parquet(path))
+        assert a3.count() == 0

@@ -212,3 +212,49 @@ def test_applyinpandas_with_state(spark, tmp_path):
             latest[r["user_id"]] = (r["event_count"], r["value_sum"])
     assert latest[8] == (1, 4.0)
     assert latest[7] == (3, 10.0)  # 2 events in batch 1 + 1 in batch 2, state accumulated
+
+
+def test_stream_ingest_dedup_multibatch_and_replay(spark, tmp_path):
+    """Cross-run dedup through foreachBatch: two parquet drops streamed
+    one file per trigger — batch 2's duplicates of batch 1 are screened
+    by the store batch 1 just extended; a later re-run over the same
+    source (fresh checkpoint, store retained) admits nothing; and the
+    corpus partition layout is batch-id-scoped for replay idempotence."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    docs = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "beta")], docs
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")], docs
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = structured.stream_ingest_dedup(
+        spark, stream, store, corpus, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+
+    admitted = spark.read.parquet(corpus)
+    by_text = {r["text"]: r["doc_id"] for r in admitted.collect()}
+    # within-batch dups canonicalize to min id; cross-batch dup screened
+    assert by_text in ({"alpha": 1, "beta": 2, "gamma": 11},)
+    assert admitted.count() == 3
+    # corpus is partitioned by the micro-batch that admitted each doc
+    assert {r["ingest_batch_id"] for r in admitted.collect()} == {0, 1}
+
+    # a full re-run over the same source (new checkpoint — e.g. a
+    # redeployed job) admits nothing: the store remembers everything
+    q2 = structured.stream_ingest_dedup(
+        spark, stream, store, corpus, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 3
+    # store appends stayed idempotent: distinct fps == corpus rows
+    assert spark.read.parquet(store).select("fingerprint").distinct().count() == 3
