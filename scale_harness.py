@@ -61,10 +61,11 @@ OPS = [
     "x29_contamination_check",
     "e03_similar_pairs_lsh",
     "e04_knn_ivf",
-    # round-6 late additions: cross-run dedup (fingerprint anti join)
-    # and bigram heavy hitters (the two new ops that shuffle)
+    # round-6 late additions: cross-run dedup (fingerprint anti join),
+    # bigram heavy hitters, cross-run near-dup (band-store screen)
     "d15_incremental_dedup",
     "x31_bigram_topk",
+    "d16_incremental_near_dedup",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")

@@ -65,6 +65,18 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   d16_incremental_near_dedup (cross-run NEAR-dup vs a MinHash band
 #       store; rows-only — xxhash — with screen guarantees pinned in
 #       tests/test_llm_ops.py::TestIncrementalNearDedup).
+#
+# Late-round-6 second rotation: the session that added d15/x31/x32/x33/
+# s04 put them straight IN (all FULL-oracle, green at three SFs on
+# first run — eleven first-time driver rows this round total). OUT,
+# coverage transitively held, all green in the local parity suite:
+#   d01 (min-id-per-md5-group canonicalization is the `canon` CTE of
+#       d15's oracle), d02 (the md5 fingerprint column IS d15's
+#       output), q24 (anti-join family evidence: d15's store screen is
+#       a LeftAnti with a NOT EXISTS oracle — and q24 also stays the
+#       body of no other op), q19 (distinct-count evidence held by
+#       in-window s03's COUNT(DISTINCT) oracle), q20 (union+distinct
+#       held by in-window q12's union-dedup upsert).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -73,16 +85,17 @@ _PRIORITY = [
     "q10_watermark_max", "q11_changed_keys_semi", "q12_union_upsert",
     "q13_merge_upsert", "q14_calendar_dim", "q15_profile_customer",
     "q16_budget_variance_monthly", "q17_otd_quality", "q18_sales_measures",
-    "q19_distinct_ratio", "q20_date_domain_union", "q21_sample_scan",
+    "q21_sample_scan",
     "q22_dim_product_enrich", "q23_dedup_latest_agg",
-    "q24_customers_without_orders",
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
-    "d01_dedup_exact", "d02_fingerprint", "d04_text_quality",
+    "d04_text_quality",
     "d05_lang_id", "d07_minhash_lsh_pairs", "d08_simhash",
     "d10_embed_near_dup",
     "d11_repetition_stats", "d12_stratified_sample", "d13_canonical_corpus",
+    "d15_incremental_dedup",
     "x29_contamination_check", "x30_sequence_packing",
+    "x31_bigram_topk", "x32_pii_redact", "x33_bpe_token_stats",
     # LLM data ops: similarity / ANN family
     "e01_knn_topk", "e03_similar_pairs_lsh", "e03b_similar_pairs_lsh_recall",
     "e04_knn_ivf", "e04b_knn_ivf_refined",
@@ -93,7 +106,7 @@ _PRIORITY = [
     # temporal joins + structured streaming (beyond-reference, first-class)
     "x27_asof_join", "x28_range_pairs",
     "s01_stream_windowed_counts", "s02_stream_stateful_profile",
-    "s03_stream_dedup",
+    "s03_stream_dedup", "s04_stream_ingest_dedup",
 ]
 
 
