@@ -44,6 +44,9 @@ CORPUS = [
     "d13_canonical_corpus",
     "d14_canonical_corpus_lsh",
     "x29_contamination_check",
+    # late round 6: the cross-run ingestion screens
+    "d15_incremental_dedup",
+    "d16_incremental_near_dedup",
 ]
 
 

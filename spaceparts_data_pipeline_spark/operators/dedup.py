@@ -126,3 +126,77 @@ def update_fingerprint_store(
     grows.
     """
     survivors.select(fp_col).write.mode("append").parquet(store_path)
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def recover_store(spark, store_path: str) -> str | None:
+    """Finish or roll back an interrupted :func:`compact_store`. Returns
+    the action taken (or None). Safe to call unconditionally before any
+    store read — each leftover state has exactly one correct resolution:
+
+    - store present + ``__old``/``__compact`` leftovers → the swap
+      completed (or never started); leftovers are stale → delete them.
+    - store missing + complete ``__compact`` (has ``_SUCCESS``) → the
+      crash hit between the two renames → finish: promote the compacted
+      copy.
+    - store missing + incomplete ``__compact`` → the compaction write
+      itself died after the old store was renamed (impossible in the
+      documented order, but cheap to handle) → roll ``__old`` back.
+    """
+    fs, jvm = _hadoop_fs(spark, store_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    main, old, comp = P(store_path), P(store_path + "__old"), P(store_path + "__compact")
+    if fs.exists(main):
+        acted = None
+        for stale in (old, comp):
+            if fs.exists(stale):
+                fs.delete(stale, True)
+                acted = "deleted stale leftovers"
+        return acted
+    if fs.exists(comp) and fs.exists(P(store_path + "__compact/_SUCCESS")):
+        fs.rename(comp, main)
+        if fs.exists(old):
+            fs.delete(old, True)
+        return "promoted compacted store"
+    if fs.exists(old):
+        if fs.exists(comp):
+            fs.delete(comp, True)
+        fs.rename(old, main)
+        return "rolled back to pre-compaction store"
+    return None
+
+
+def compact_store(spark, store_path: str) -> dict:
+    """Distinct-rewrite of an append-only screen store (the md5
+    fingerprint store of :func:`incremental_dedup`, the MinHash band
+    store of ``dedup_fuzzy.incremental_near_dedup``): every ingest run
+    appends a few files, so file count and duplicate rows grow without
+    bound; the screen's DISTINCT semantics make a periodic rewrite
+    exactness-preserving at any moment.
+
+    Ordered-rename swap (write ``__compact`` + _SUCCESS → rename away →
+    promote → delete old) with :func:`recover_store` resolving every
+    crash window — the path-store analog of
+    ``maintenance.overwrite_via_staging``. Single-writer by contract
+    (the ingest job compacts between its own runs); on object stores
+    whose rename is copy+delete, prefer a catalog-table store and
+    ``maintenance.compact_table``.
+    """
+    recover_store(spark, store_path)
+    before = spark.read.parquet(store_path)
+    n_before = before.count()
+    # distinct's shuffle output is AQE-coalesced, so the rewrite lands
+    # in few well-sized files without any .rdd partition probe
+    before.distinct().write.mode("overwrite").parquet(store_path + "__compact")
+    fs, jvm = _hadoop_fs(spark, store_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.rename(P(store_path), P(store_path + "__old"))
+    fs.rename(P(store_path + "__compact"), P(store_path))
+    fs.delete(P(store_path + "__old"), True)
+    return {"rows_before": n_before,
+            "rows_after": spark.read.parquet(store_path).count()}

@@ -187,6 +187,10 @@ def stream_ingest_dedup(
     from spaceparts_data_pipeline_spark.operators import dedup
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # A crashed compact_store can leave the store renamed away —
+        # without recovery a missing store reads as "nothing ingested"
+        # and the whole batch would be re-admitted.
+        dedup.recover_store(spark, store_path)
         try:
             store = spark.read.parquet(store_path)
         except Exception:

@@ -680,3 +680,47 @@ class TestIncrementalNearDedup:
         # replay of batch 2 admits nothing new
         a3, _ = dedup_fuzzy.incremental_near_dedup(b2, spark.read.parquet(path))
         assert a3.count() == 0
+
+
+class TestStoreCompaction:
+    def _seed(self, spark, path, values):
+        for v in values:  # one append per "run", like real ingestion
+            spark.createDataFrame([(x,) for x in v], ["fingerprint"]) \
+                .write.mode("append").parquet(path)
+
+    def test_compact_dedups_and_preserves_screen(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.operators import dedup
+        path = str(tmp_path / "store")
+        self._seed(spark, path, [["a", "b"], ["b", "c"], ["c", "a"]])
+        stats = dedup.compact_store(spark, path)
+        assert stats == {"rows_before": 6, "rows_after": 3}
+        assert {r["fingerprint"] for r in spark.read.parquet(path).collect()} == {"a", "b", "c"}
+        # idempotent
+        assert dedup.compact_store(spark, path)["rows_after"] == 3
+
+    def test_recover_every_crash_window(self, spark, tmp_path):
+        import os
+        from spaceparts_data_pipeline_spark.operators import dedup
+        path = str(tmp_path / "store")
+        self._seed(spark, path, [["a", "a", "b"]])
+
+        # window 1: compact written, store not yet renamed away -> stale
+        spark.read.parquet(path).distinct().write.parquet(path + "__compact")
+        assert dedup.recover_store(spark, path) == "deleted stale leftovers"
+        assert not os.path.exists(path + "__compact")
+
+        # window 2: between the two renames (store gone, compact complete)
+        spark.read.parquet(path).distinct().write.parquet(path + "__compact")
+        os.rename(path, path + "__old")
+        assert dedup.recover_store(spark, path) == "promoted compacted store"
+        assert spark.read.parquet(path).count() == 2
+        assert not os.path.exists(path + "__old")
+
+        # window 3: store renamed away, compact incomplete -> roll back
+        os.rename(path, path + "__old")
+        os.makedirs(path + "__compact")
+        assert dedup.recover_store(spark, path) == "rolled back to pre-compaction store"
+        assert spark.read.parquet(path).count() == 2
+
+        # clean state: no-op
+        assert dedup.recover_store(spark, path) is None
