@@ -724,3 +724,43 @@ class TestStoreCompaction:
 
         # clean state: no-op
         assert dedup.recover_store(spark, path) is None
+
+
+class TestIncrementalDedupProperty:
+    def test_matches_python_model(self, spark):
+        """Property test vs a brute-force Python model: random store and
+        batch from a tiny text alphabet (forcing heavy duplication,
+        within-batch and cross-store) — survivors must be exactly the
+        min-id holder of each batch text absent from the store."""
+        from hypothesis import given, settings, strategies as st
+
+        from spaceparts_data_pipeline_spark.operators import dedup
+
+        texts = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            st.lists(texts, min_size=0, max_size=6),                      # store texts
+            st.lists(st.tuples(st.integers(0, 20), texts),                # batch (id, text)
+                     min_size=0, max_size=10, unique_by=lambda t: t[0]),
+        )
+        def check(store_texts, batch_rows):
+            model = {}
+            store_set = set(store_texts)
+            for i, t in batch_rows:
+                if t in store_set:
+                    continue
+                if t not in model or i < model[t]:
+                    model[t] = i
+            expected = {(i, t) for t, i in model.items()}
+
+            store = (spark.createDataFrame([(t,) for t in store_texts], "text string")
+                     .select(F.md5("text").alias("fingerprint"))
+                     if store_texts else None)
+            batch = spark.createDataFrame(batch_rows or [(0, "zz")], "doc_id long, text string")
+            if not batch_rows:
+                batch = batch.filter(F.lit(False))
+            got = {r["doc_id"] for r in dedup.incremental_dedup(batch, store).collect()}
+            assert got == {i for i, _ in expected}
+
+        check()
