@@ -85,6 +85,13 @@ def build_session():
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "0")
+        # shuffle bytes are measured as before/after diffs of stage
+        # totals from the status API — the iterative component-loop ops
+        # run hundreds of stages per rep, and the default 1000-stage
+        # retention evicts "before" stages mid-measurement (observed:
+        # a negative shuffle diff for d16 at 16×); retain enough for
+        # the longest op × reps
+        .config("spark.ui.retainedStages", "50000")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse-scale")
     )
     for k, v in RUNTIME_CONFS.items():

@@ -19,6 +19,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime row-level filtering for large shuffle joins: inject a
+    # bloom filter built from the creation side into the application
+    # side's scan (cuts shuffled bytes on selective joins — e.g. the
+    # changed-keys semi join and the fingerprint-store screens — with
+    # zero plan changes; a no-op below the size thresholds, so local
+    # tests and plan pins are unaffected).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any toPandas / pandas-UDF boundary crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
