@@ -1,0 +1,151 @@
+"""The composed training-corpus ingestion pipeline — every corpus
+operator this engine ships, chained the way a production ingest runs
+them. One call per arriving batch (a crawl dump, a landing drop):
+
+    quality gate → PII redaction → cross-run EXACT dedup (fingerprint
+    store) → cross-run NEAR-dup dedup (MinHash band store) →
+    benchmark-contamination screen → corpus write + store updates +
+    sequence-packing manifest
+
+Stage order is cost-ordered: the cheap codegen gates (quality, redact)
+run first over the full batch; each dedup stage shrinks the set the
+next (more expensive) stage sees; contamination — the only stage that
+touches a second dataset — sees only final candidates.
+
+Exactness and replay: both stores are append-only with DISTINCT screen
+semantics (see ``operators.dedup`` / ``dedup_fuzzy``), so re-running a
+batch after any crash admits nothing and appends nothing effective; the
+corpus itself is written under a per-run directory, so a re-run
+overwrites its own output only.
+
+Scale shape: text is never a shuffle key anywhere in the chain — the
+quality/redaction stages are pure projections, both dedup screens move
+16-byte hashes or (band, bucket) longs, contamination moves distinct
+md5(shingle) with the benchmark side broadcast, and packing is one
+running-sum window per shard.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spaceparts_data_pipeline_spark.operators import dedup, dedup_fuzzy, text
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    run_id: str,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    quality_gate: bool = True,
+    contamination_threshold: int = 1,
+    pack_capacity: int = 512,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> dict:
+    """Ingest one batch; returns per-stage counts (the funnel). Output
+    layout under ``out_dir``::
+
+        corpus/run_id=<run_id>/   admitted docs (redacted text)
+        manifest/run_id=<run_id>/ sequence-packing placements
+        fp_store/                 md5 fingerprint store (append-only)
+        band_store/               MinHash band store (append-only)
+    """
+    fp_store_path = os.path.join(out_dir, "fp_store")
+    band_store_path = os.path.join(out_dir, "band_store")
+    stats: dict[str, int] = {"input": batch.count()}
+
+    # 1-2. quality gate + redaction: pure projections, one pass
+    staged = batch
+    if quality_gate:
+        staged = text.with_quality_score(staged, text_col).filter("is_quality")
+        staged = staged.select(*batch.columns)
+    staged = staged.withColumn(text_col, text.redact_pii(text_col))
+    staged = staged.persist()
+    stats["after_quality"] = staged.count()
+
+    # 3. cross-run exact dedup on redacted text (redaction first, so two
+    # docs differing only in a phone number dedup as the same doc)
+    dedup.recover_store(spark, fp_store_path)
+    try:
+        fp_store = spark.read.parquet(fp_store_path)
+    except Exception:
+        fp_store = None
+    exact_ids = dedup.incremental_dedup(staged, fp_store,
+                                        id_col=id_col, text_col=text_col)
+    exact_survivors = staged.join(exact_ids.select(id_col), id_col, "left_semi")
+    exact_survivors = exact_survivors.persist()
+    stats["after_exact_dedup"] = exact_survivors.count()
+
+    # 4. cross-run near-dup dedup (within-batch LSH + band-store screen)
+    dedup.recover_store(spark, band_store_path)
+    try:
+        band_store = spark.read.parquet(band_store_path)
+    except Exception:
+        band_store = None
+    # bands are recomputed from the durable corpus in step 6, so the
+    # band half of the return is unused here
+    admitted, _ = dedup_fuzzy.incremental_near_dedup(
+        exact_survivors, band_store, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, rows_per_band=rows_per_band,
+        threshold=jaccard_threshold,
+    )
+    admitted = admitted.persist()
+    stats["after_near_dedup"] = admitted.count()
+
+    # 5. contamination screen (only if a benchmark is registered)
+    if benchmark is not None:
+        flags = dedup_fuzzy.contamination_check(
+            admitted, benchmark, id_col=id_col, text_col=text_col)
+        clean_ids = flags.filter(
+            F.col("n_shared_shingles") < contamination_threshold
+        ).select(id_col)
+        admitted = admitted.join(clean_ids, id_col, "left_semi").persist()
+    stats["admitted"] = admitted.count()
+
+    # 6. durable outputs FIRST, store updates after — the exact crash
+    # ordering proven in stream_ingest_dedup: the corpus is partitioned
+    # by run_id and written with DYNAMIC overwrite (an empty replay
+    # touches no partition, so a half-finished run's corpus survives),
+    # and BOTH store appends derive from the durable corpus, so a
+    # replay whose screens already find the fingerprints still
+    # completes any store append that crashed last time (duplicate
+    # appends are harmless under the stores' DISTINCT screen semantics).
+    corpus_root = os.path.join(out_dir, "corpus")
+    manifest_root = os.path.join(out_dir, "manifest")
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        admitted.withColumn("run_id", F.lit(run_id)).write.mode(
+            "overwrite").partitionBy("run_id").parquet(corpus_root)
+        try:
+            durable = spark.read.parquet(corpus_root).filter(
+                F.col("run_id") == run_id).drop("run_id")
+        except Exception:  # no corpus at all: nothing ever admitted
+            return stats
+        text.sequence_packing(
+            durable, capacity=pack_capacity,
+            shard_col=shard_col, id_col=id_col, text_col=text_col,
+        ).withColumn("run_id", F.lit(run_id)).write.mode(
+            "overwrite").partitionBy("run_id").parquet(manifest_root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    dedup.update_fingerprint_store(
+        spark, durable.select(F.md5(text_col).alias("fingerprint")), fp_store_path)
+    dedup_fuzzy.band_table(
+        durable, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, rows_per_band=rows_per_band,
+    ).write.mode("append").parquet(band_store_path)
+
+    for df in (staged, exact_survivors, admitted):
+        df.unpersist()
+    return stats

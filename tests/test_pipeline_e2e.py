@@ -247,3 +247,70 @@ def test_cli_landing_dir_with_corrupt_lines(spark, sf_small, tmp_path, capsys):
     finally:
         spark.catalog.setCurrentDatabase(prev_db)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+class TestCorpusIngestPipeline:
+    """End-to-end for plans/corpus.py: the composed quality → redact →
+    exact-dedup → near-dedup → contamination → write+stores funnel,
+    across two runs and a crash replay."""
+
+    LONG = ("the quick brown fox jumps over the lazy dog near the river bank "
+            "today while careful analysts study spark query plans and shuffle "
+            "metrics in the warehouse " * 2)
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_two_runs_and_replay(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        out = str(tmp_path / "corpus_out")
+        bench = spark.createDataFrame(
+            [(900, "benchmark eval question about ancient rivers and banks flowing")],
+            "doc_id long, text string")
+
+        b1 = self._batch(spark, [
+            (1, self.LONG, "s1"),
+            (2, self.LONG.replace("lazy", "sleepy"), "s1"),   # near-dup of 1
+            (3, "too short", "s1"),                           # quality-gated
+            (4, "call 555 123 4567 today because the adaptive engine is rewriting "
+                "shuffle partitions and the broadcast thresholds of a gold layer "
+                "while analysts wait for the morning load to finish in time", "s2"),
+        ])
+        s1 = run_corpus_ingest(spark, b1, out, "r1", benchmark=bench)
+        assert s1["input"] == 4
+        assert s1["after_quality"] == 3            # doc 3 gated
+        assert s1["after_exact_dedup"] == 3
+        assert s1["after_near_dedup"] == 2         # 2 collapsed into 1
+        assert s1["admitted"] == 2                 # no contamination
+        run1 = spark.read.parquet(out + "/corpus").filter("run_id = 'r1'")
+        texts = {r["doc_id"]: r["text"] for r in run1.collect()}
+        assert set(texts) == {1, 4}
+        assert "<PHONE>" in texts[4] and "555" not in texts[4]   # redacted
+        manifest = spark.read.parquet(out + "/manifest").filter("run_id = 'r1'")
+        assert {r["doc_id"] for r in manifest.collect()} == {1, 4}
+        assert all(r["n_tokens"] > 0 for r in manifest.collect())
+
+        b2 = self._batch(spark, [
+            (10, self.LONG, "s1"),                               # exact dup of run1 doc
+            (11, self.LONG.replace("quick", "rapid"), "s1"),     # near-dup of run1 doc
+            (12, "benchmark eval question about ancient rivers and banks flowing plus "
+                 "enough extra tokens to pass the quality gate with stopwords the and "
+                 "of to a in is repeated the and of to a in is", "s2"),  # contaminated
+            (13, "a completely fresh document the and of to a in is with plenty of "
+                 "unique content about catalyst optimizers and adaptive execution", "s2"),
+        ])
+        s2 = run_corpus_ingest(spark, b2, out, "r2", benchmark=bench)
+        assert s2["after_exact_dedup"] == 3         # 10 screened by fp store
+        assert s2["after_near_dedup"] == 2          # 11 screened by band store
+        assert s2["admitted"] == 1                  # 12 contaminated
+        run2 = spark.read.parquet(out + "/corpus").filter("run_id = 'r2'")
+        assert {r["doc_id"] for r in run2.collect()} == {13}
+
+        # crash replay of run 2: same run_id, stores already updated —
+        # admits nothing, and run 2's corpus partition survives
+        s2b = run_corpus_ingest(spark, b2, out, "r2", benchmark=bench)
+        assert s2b["admitted"] == 0
+        corpus = spark.read.parquet(out + "/corpus")
+        assert corpus.count() == 3
+        assert {r["doc_id"] for r in corpus.filter("run_id = 'r2'").collect()} == {13}
