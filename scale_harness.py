@@ -65,6 +65,7 @@ OPS = [
     # bigram heavy hitters, cross-run near-dup (band-store screen)
     "d15_incremental_dedup",
     "x31_bigram_topk",
+    "x31b_bigram_topk_twopass",
     "d16_incremental_near_dedup",
 ]
 

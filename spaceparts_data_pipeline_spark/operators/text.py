@@ -313,3 +313,58 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
         F.slice(toks, F.lit(1), count),
         lambda _, i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )
+
+
+def ngram_topk(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 10,
+    two_pass: bool = False,
+) -> DataFrame:
+    """Top-``k`` word n-grams per ``group_col`` value, ranked by
+    (freq DESC, gram ASC). Output: (group, bigram, freq, rk).
+
+    ``two_pass=False`` — the direct route: one count over (group, gram)
+    then a rank-limit window. Exact, oracle-able, but the count shuffle
+    carries every distinct gram STRING once per map partition — at
+    corpus scale that exchange is vocabulary-sized in *bytes of text*.
+
+    ``two_pass=True`` — the at-scale route (measured in SCALING.md):
+
+    1. count by (group, xxhash64(gram)) — the big shuffle moves 8-byte
+       hashes, no strings; ``rank()`` (not row_number) keeps every hash
+       tied at the k-th frequency, so the candidate set is a SUPERSET
+       of the true top-k under ties;
+    2. re-scan, keep only grams whose hash is in the (broadcast-small)
+       candidate set, exact-count those few strings, final window.
+
+    Same result as the direct route up to 64-bit hash collisions
+    (a collision can only inflate a pass-1 count — the same
+    negligible-collision equivalence the engine already accepts for
+    md5 text grouping in d01).
+    """
+    from pyspark.sql import Window
+
+    grams = df.filter(F.length(F.trim(text_col)) > 0).select(
+        F.col(group_col), F.explode(word_ngrams(text_col, n)).alias("bigram")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("bigram"))
+    if not two_pass:
+        counted = grams.groupBy(group_col, "bigram").agg(F.count(F.lit(1)).alias("freq"))
+        return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+    hashed = grams.groupBy(group_col, F.xxhash64("bigram").alias("h")).agg(
+        F.count(F.lit(1)).alias("freq"))
+    wh = Window.partitionBy(group_col).orderBy(F.desc("freq"))
+    candidates = hashed.withColumn("rnk", F.rank().over(wh)) \
+        .filter(F.col("rnk") <= k).select(group_col, "h")
+    finalists = grams.join(
+        F.broadcast(candidates),
+        (grams[group_col] == candidates[group_col])
+        & (F.xxhash64(grams["bigram"]) == candidates["h"]),
+        "left_semi",
+    )
+    counted = finalists.groupBy(group_col, "bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -952,11 +952,43 @@ def d15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x31_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    grams = d.select("lang", F.explode(text.word_ngrams("text", 2)).alias("bigram"))
-    counted = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("bigram"))
-    return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    d = T(spark, sf_dir, "documents")
+    return text.ngram_topk(d, "lang", "text", n=2, k=10)
+
+
+# ---------------------------------------------------------------------------
+# x31b — the same heavy hitters via the TWO-PASS hash-count route: the
+# big shuffle moves 8-byte xxhash64 values, never bigram strings; only
+# the (broadcast-small) candidate set's grams are re-counted as text.
+# Same oracle as x31 — identical result by construction (rank() keeps
+# every boundary tie in the candidate superset; collisions are the
+# already-accepted negligible md5/xxhash class). SCALING.md measures
+# the shuffle-byte difference at 8×.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x31b_bigram_topk_twopass",
+    r"""
+    WITH toks AS (
+      SELECT lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    ),
+    counted AS (
+      SELECT lang, bigram, COUNT(*) AS freq FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, freq,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, bigram) AS INT) AS rk
+    FROM counted
+    QUALIFY rk <= 10
+    """,
+)
+def x31b_bigram_topk_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.ngram_topk(d, "lang", "text", n=2, k=10, two_pass=True)
 
 
 # ---------------------------------------------------------------------------
