@@ -4,6 +4,12 @@ Usage:
     python -m spaceparts_data_pipeline_spark --source-dir DIR [--mode full|incremental]
         [--ts-col dwcreateddate] [--database spaceparts] [--horizon YYYY-MM-DD]
 
+    # training-corpus ingestion funnel over the landing dir's document
+    # tables (quality -> redact -> dedup screens -> contamination ->
+    # corpus + manifest + stores; see plans/corpus.py):
+    python -m spaceparts_data_pipeline_spark --source-dir DIR \
+        --corpus-out OUT --run-id RUN [--benchmark BENCH.parquet]
+
 Each ``<table>.parquet`` / ``.jsonl`` / ``.json`` / ``.csv`` in
 --source-dir becomes a source table; JSONL/CSV go through the
 corrupt-capture readers, with malformed lines preserved raw in
@@ -30,7 +36,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warehouse", default=None,
                    help="persistent warehouse dir (Hive/Derby catalog) so layer tables "
                         "survive across runs; default: in-memory catalog, single run")
+    p.add_argument("--corpus-out", default=None,
+                   help="run the training-corpus ingestion funnel (plans/corpus.py) over "
+                        "the landing dir's document tables instead of the medallion "
+                        "pipeline; output root for corpus/manifest/stores")
+    p.add_argument("--run-id", default=None,
+                   help="corpus mode: run identifier (corpus partition + replay scope)")
+    p.add_argument("--benchmark", default=None,
+                   help="corpus mode: parquet of benchmark docs for the contamination screen")
     args = p.parse_args(argv)
+
+    if args.corpus_out:
+        return _corpus_main(args)
 
     from spaceparts_data_pipeline_spark.session import get_spark
     from spaceparts_data_pipeline_spark.plans import runner
@@ -84,6 +101,54 @@ def main(argv: list[str] | None = None) -> int:
     }
     print(json.dumps(summary, default=str))
     return 0 if status == "success" else 1
+
+
+def _corpus_main(args) -> int:
+    """Corpus-ingest mode: every landing table with (doc_id, text)
+    columns is one batch source; a missing ``source`` column defaults
+    to the table name (it is the packing shard key)."""
+    import pyspark.sql.functions as F
+
+    from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+    from spaceparts_data_pipeline_spark.session import get_spark
+    from spaceparts_data_pipeline_spark.sources.files import load_landing_dir
+
+    if not args.run_id:
+        print(json.dumps({"status": "failed", "error": "--run-id is required with --corpus-out"}))
+        return 2
+    spark = get_spark(app_name="spaceparts-corpus-ingest",
+                      persistent_warehouse=args.warehouse)
+    spark.sparkContext.setLogLevel("ERROR")
+    sources, landing_quarantined, parents = load_landing_dir(spark, args.source_dir)
+    doc_tables = {
+        name: df for name, df in sources.items()
+        if {"doc_id", "text"} <= set(df.columns)
+    }
+    if not doc_tables:
+        print(json.dumps({
+            "status": "failed",
+            "error": f"no table in {args.source_dir} has (doc_id, text) columns",
+        }))
+        return 2
+    batch = None
+    for name, df in doc_tables.items():
+        part = df if "source" in df.columns else df.withColumn("source", F.lit(name))
+        part = part.select("doc_id", "text", "source")
+        batch = part if batch is None else batch.unionByName(part)
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+
+    stats = run_corpus_ingest(
+        spark, batch, args.corpus_out, args.run_id, benchmark=benchmark)
+    for p in parents:
+        p.unpersist()
+    print(json.dumps({
+        "status": "success",
+        "run_id": args.run_id,
+        "out": args.corpus_out,
+        **({"landing_quarantined": landing_quarantined} if landing_quarantined else {}),
+        "funnel": stats,
+    }, default=str))
+    return 0
 
 
 if __name__ == "__main__":

@@ -314,3 +314,38 @@ class TestCorpusIngestPipeline:
         corpus = spark.read.parquet(out + "/corpus")
         assert corpus.count() == 3
         assert {r["doc_id"] for r in corpus.filter("run_id = 'r2'").collect()} == {13}
+
+
+def test_cli_corpus_ingest_mode(spark, tmp_path):
+    """python -m spaceparts_data_pipeline_spark --corpus-out: the funnel
+    driven through the CLI over a landing dir (in-process main() call —
+    same session, same entry point the subprocess would take)."""
+    import json
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = ("a long enough document about the engine and the corpus with the "
+            "usual stopwords of to a in is and plenty of distinct tokens "
+            "covering joins shuffles windows and adaptive execution plans")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("engine", "motor")), (3, "tiny")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(landing / "documents.parquet"))
+
+    out = str(tmp_path / "corpus_out")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--source-dir", str(landing), "--corpus-out", out, "--run-id", "cli1"])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["status"] == "success"
+    assert report["funnel"]["input"] == 3
+    assert report["funnel"]["after_quality"] == 2      # "tiny" gated
+    assert report["funnel"]["admitted"] == 1           # near-dup collapsed
+    corpus = spark.read.parquet(out + "/corpus")
+    assert corpus.count() == 1
+    assert corpus.collect()[0]["source"] == "documents"
