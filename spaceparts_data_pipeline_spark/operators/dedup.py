@@ -97,8 +97,13 @@ def incremental_dedup(
 
     Returns surviving (id, fingerprint) pairs; join back on id for the
     payload (ids-only pattern, as in ``dedup_fuzzy.canonical_corpus``).
+
+    NULL text is never admissible: md5(NULL) is NULL, which an equi
+    anti join can never screen (NULL = NULL is not true), so a
+    null-text row would be re-admitted every single run — filter it
+    here, once, for every caller.
     """
-    fps = batch.select(
+    fps = batch.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.md5(text_col).alias(fp_col)
     ).groupBy(fp_col).agg(F.min(id_col).alias(id_col))
     if store is not None:
@@ -123,9 +128,26 @@ def update_fingerprint_store(
     by construction (its fingerprints are all in the store, so zero
     survivors, so zero new appends). No MERGE/compaction needed on the
     hot path; compact with a periodic distinct-rewrite if file count
-    grows.
+    grows. Completes any interrupted compaction first (an append into a
+    half-swapped store directory would otherwise be lost with it).
     """
+    recover_store(spark, store_path)
     survivors.select(fp_col).write.mode("append").parquet(store_path)
+
+
+def read_store(spark, store_path: str) -> DataFrame | None:
+    """Read a screen store, distinguishing 'never created' (→ None, the
+    only state that legitimately means an empty screen) from any other
+    read failure (→ raised). A bare try/except around the read is the
+    bug this exists to prevent: a transient FS fault or corrupt footer
+    would silently read as 'empty store' and re-admit every duplicate.
+    Runs :func:`recover_store` first so an interrupted compaction can't
+    masquerade as a missing store."""
+    recover_store(spark, store_path)
+    fs, jvm = _hadoop_fs(spark, store_path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(store_path)):
+        return None
+    return spark.read.parquet(store_path)
 
 
 def _hadoop_fs(spark, path: str):

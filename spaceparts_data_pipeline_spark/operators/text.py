@@ -340,10 +340,13 @@ def ngram_topk(
     2. re-scan, keep only grams whose hash is in the (broadcast-small)
        candidate set, exact-count those few strings, final window.
 
-    Same result as the direct route up to 64-bit hash collisions
-    (a collision can only inflate a pass-1 count — the same
-    negligible-collision equivalence the engine already accepts for
-    md5 text grouping in d01).
+    Same result as the direct route up to 64-bit hash collisions: a
+    collision merges two grams' pass-1 counts, which can pull an extra
+    gram into the candidate set (harmless — pass 2 recounts exactly)
+    or, by inflating OTHER grams' buckets, push a true boundary gram
+    out of it (an actual miss). Both require a 64-bit collision inside
+    one group's vocabulary — the same negligible-collision equivalence
+    class the engine already accepts for md5 text grouping in d01.
     """
     from pyspark.sql import Window
 

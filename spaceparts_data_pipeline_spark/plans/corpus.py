@@ -62,6 +62,7 @@ def run_corpus_ingest(
     fp_store_path = os.path.join(out_dir, "fp_store")
     band_store_path = os.path.join(out_dir, "band_store")
     stats: dict[str, int] = {"input": batch.count()}
+    persisted: list = []
 
     # 1-2. quality gate + redaction: pure projections, one pass
     staged = batch
@@ -70,27 +71,24 @@ def run_corpus_ingest(
         staged = staged.select(*batch.columns)
     staged = staged.withColumn(text_col, text.redact_pii(text_col))
     staged = staged.persist()
+    persisted.append(staged)
     stats["after_quality"] = staged.count()
 
     # 3. cross-run exact dedup on redacted text (redaction first, so two
-    # docs differing only in a phone number dedup as the same doc)
-    dedup.recover_store(spark, fp_store_path)
-    try:
-        fp_store = spark.read.parquet(fp_store_path)
-    except Exception:
-        fp_store = None
+    # docs differing only in a phone number dedup as the same doc).
+    # read_store recovers interrupted compactions and raises on any
+    # failure other than "never created" — a transient fault must NOT
+    # read as an empty screen (it would re-admit every duplicate).
+    fp_store = dedup.read_store(spark, fp_store_path)
     exact_ids = dedup.incremental_dedup(staged, fp_store,
                                         id_col=id_col, text_col=text_col)
     exact_survivors = staged.join(exact_ids.select(id_col), id_col, "left_semi")
     exact_survivors = exact_survivors.persist()
+    persisted.append(exact_survivors)
     stats["after_exact_dedup"] = exact_survivors.count()
 
     # 4. cross-run near-dup dedup (within-batch LSH + band-store screen)
-    dedup.recover_store(spark, band_store_path)
-    try:
-        band_store = spark.read.parquet(band_store_path)
-    except Exception:
-        band_store = None
+    band_store = dedup.read_store(spark, band_store_path)
     # bands are recomputed from the durable corpus in step 6, so the
     # band half of the return is unused here
     admitted, _ = dedup_fuzzy.incremental_near_dedup(
@@ -99,6 +97,7 @@ def run_corpus_ingest(
         threshold=jaccard_threshold,
     )
     admitted = admitted.persist()
+    persisted.append(admitted)
     stats["after_near_dedup"] = admitted.count()
 
     # 5. contamination screen (only if a benchmark is registered)
@@ -109,6 +108,7 @@ def run_corpus_ingest(
             F.col("n_shared_shingles") < contamination_threshold
         ).select(id_col)
         admitted = admitted.join(clean_ids, id_col, "left_semi").persist()
+        persisted.append(admitted)
     stats["admitted"] = admitted.count()
 
     # 6. durable outputs FIRST, store updates after — the exact crash
@@ -121,31 +121,37 @@ def run_corpus_ingest(
     # appends are harmless under the stores' DISTINCT screen semantics).
     corpus_root = os.path.join(out_dir, "corpus")
     manifest_root = os.path.join(out_dir, "manifest")
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        admitted.withColumn("run_id", F.lit(run_id)).write.mode(
-            "overwrite").partitionBy("run_id").parquet(corpus_root)
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            admitted.withColumn("run_id", F.lit(run_id)).write.mode(
+                "overwrite").partitionBy("run_id").parquet(corpus_root)
+            # The corpus dir is missing only when nothing was EVER
+            # admitted (this run and every prior one empty) — checked
+            # explicitly; any other read failure must raise, or the
+            # store appends below would be silently skipped with the
+            # admitted docs already durable (permanent re-admit split).
+            fs, jvm = dedup._hadoop_fs(spark, corpus_root)
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_root)):
+                return stats
             durable = spark.read.parquet(corpus_root).filter(
                 F.col("run_id") == run_id).drop("run_id")
-        except Exception:  # no corpus at all: nothing ever admitted
-            return stats
-        text.sequence_packing(
-            durable, capacity=pack_capacity,
-            shard_col=shard_col, id_col=id_col, text_col=text_col,
-        ).withColumn("run_id", F.lit(run_id)).write.mode(
-            "overwrite").partitionBy("run_id").parquet(manifest_root)
+            text.sequence_packing(
+                durable, capacity=pack_capacity,
+                shard_col=shard_col, id_col=id_col, text_col=text_col,
+            ).withColumn("run_id", F.lit(run_id)).write.mode(
+                "overwrite").partitionBy("run_id").parquet(manifest_root)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+        dedup.update_fingerprint_store(
+            spark, durable.select(F.md5(text_col).alias("fingerprint")), fp_store_path)
+        dedup_fuzzy.band_table(
+            durable, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, rows_per_band=rows_per_band,
+        ).write.mode("append").parquet(band_store_path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-
-    dedup.update_fingerprint_store(
-        spark, durable.select(F.md5(text_col).alias("fingerprint")), fp_store_path)
-    dedup_fuzzy.band_table(
-        durable, id_col=id_col, text_col=text_col,
-        num_perm=num_perm, rows_per_band=rows_per_band,
-    ).write.mode("append").parquet(band_store_path)
-
-    for df in (staged, exact_survivors, admitted):
-        df.unpersist()
+        for df in persisted:
+            df.unpersist()
     return stats

@@ -220,10 +220,15 @@ def s04_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     screened against a fingerprint store seeded by prior runs (deciles
     <6 here), survivors landed in a batch-id-partitioned corpus and
     their fingerprints appended to the store. Oracle-checkable because
-    the admitted set is a pure function of (store, stream rows) however
-    the source micro-batches: within-run dups fall to the min-id
-    canonicalization or (across micro-batches) to the store screen the
-    earlier batch just extended."""
+    the admitted TEXT set is a pure function of (store, stream rows)
+    however the source micro-batches — and the admitted IDS equal the
+    oracle's batch-mode min-id canonicalization here because the
+    landing dir is one parquet file → one micro-batch BY CONSTRUCTION.
+    Across multiple micro-batches the surviving id for a text is the
+    first-arriving batch's min id, not the global min (the cross-batch
+    copy is screened by the store the earlier batch extended) — that
+    batching-dependent id choice is exercised in
+    tests/test_streaming.py, not oracle-checked."""
     import shutil
     import uuid
 

@@ -18,6 +18,8 @@ model.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -162,6 +164,7 @@ def stream_ingest_dedup(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_tag: str | None = None,
 ):
     """Continuous corpus ingestion with cross-run dedup — the streaming
     twin of ``operators.dedup.incremental_dedup``: each micro-batch is
@@ -171,11 +174,17 @@ def stream_ingest_dedup(
 
     Exactly-once without a transactional sink, from three properties:
 
-    - the corpus is partitioned by ``ingest_batch_id`` and written with
-      DYNAMIC partition overwrite — a replayed micro-batch (same
-      batch_id, per foreachBatch's contract) rewrites its own partition
-      byte-for-byte instead of appending twice, and an empty survivor
-      set touches no partition at all;
+    - the corpus is partitioned by (``ingest_run``, ``ingest_batch_id``)
+      and written with DYNAMIC partition overwrite — a replayed
+      micro-batch (same batch_id, per foreachBatch's contract) rewrites
+      its own partition byte-for-byte instead of appending twice, and
+      an empty survivor set touches no partition at all. ``ingest_run``
+      scopes the overwrite to THIS deployment: batch ids restart at 0
+      whenever a job starts with a fresh checkpoint, so without the run
+      scope a redeployment's batch 0 would silently overwrite the prior
+      deployment's batch-0 documents (whose fingerprints stay in the
+      store — permanent loss). ``run_tag`` defaults to a hash of the
+      checkpoint dir, which is exactly the batch-id scope;
     - the store append is idempotent under the screen (the anti join
       reads DISTINCT fingerprints — see ``update_fingerprint_store``);
     - corpus lands BEFORE the store append, so the only replayable
@@ -184,24 +193,28 @@ def stream_ingest_dedup(
 
     The batch is persisted across the two writes: fingerprints shuffle;
     raw text goes scan→corpus without entering any exchange."""
+    import hashlib
+
     from spaceparts_data_pipeline_spark.operators import dedup
 
+    if run_tag is None:
+        run_tag = hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        # A crashed compact_store can leave the store renamed away —
-        # without recovery a missing store reads as "nothing ingested"
-        # and the whole batch would be re-admitted.
-        dedup.recover_store(spark, store_path)
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:
-            store = None
+        # read_store recovers interrupted compactions and raises on any
+        # failure other than "never created" — a transient read fault
+        # must NOT silently screen against an empty store.
+        store = dedup.read_store(spark, store_path)
         batch_df = batch_df.persist()
         try:
             survivors = dedup.incremental_dedup(
                 batch_df, store, id_col=id_col, text_col=text_col
             )
-            payload = survivors.join(batch_df, id_col).withColumn(
-                "ingest_batch_id", F.lit(batch_id)
+            payload = (
+                survivors.join(batch_df, id_col)
+                .withColumn("ingest_run", F.lit(run_tag))
+                .withColumn("ingest_batch_id", F.lit(batch_id))
             )
             # foreachBatch runs under a CLONED session with isolated
             # conf — set dynamic overwrite on the batch's session (the
@@ -211,20 +224,23 @@ def stream_ingest_dedup(
             sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
                 payload.write.mode("overwrite").partitionBy(
-                    "ingest_batch_id"
+                    "ingest_run", "ingest_batch_id"
                 ).parquet(corpus_path)
             finally:
                 sess.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
             # Append fingerprints FROM THE DURABLE CORPUS, not the
             # in-memory survivors: a replay whose screen already finds
             # the fingerprints (survivors empty) still completes a
-            # store append that crashed mid-way last time.
-            try:
-                admitted = spark.read.parquet(corpus_path).filter(
-                    F.col("ingest_batch_id") == batch_id
-                )
-            except Exception:  # no corpus yet: nothing ever admitted
+            # store append that crashed mid-way last time. The corpus
+            # dir is missing only when nothing was EVER admitted —
+            # checked explicitly, not by swallowing read errors.
+            fs, jvm = dedup._hadoop_fs(spark, corpus_path)
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_path)):
                 return
+            admitted = spark.read.parquet(corpus_path).filter(
+                (F.col("ingest_run") == run_tag)
+                & (F.col("ingest_batch_id") == batch_id)
+            )
             dedup.update_fingerprint_store(spark, admitted, store_path)
         finally:
             batch_df.unpersist()

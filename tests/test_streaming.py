@@ -258,3 +258,18 @@ def test_stream_ingest_dedup_multibatch_and_replay(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == 3
     # store appends stayed idempotent: distinct fps == corpus rows
     assert spark.read.parquet(store).select("fingerprint").distinct().count() == 3
+
+    # REDEPLOYMENT with a fresh checkpoint AND a genuinely new doc: its
+    # batch ids restart at 0 — the run-scoped partitioning must admit
+    # the new doc without overwriting deployment 1's batch-0 documents
+    # (regression: corpus partitioned on batch id alone lost them here)
+    spark.createDataFrame([(20, "delta"), (21, None)], docs) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q3 = structured.stream_ingest_dedup(
+        spark, stream, store, corpus, checkpoint_dir=str(tmp_path / "ck3")
+    )
+    q3.awaitTermination(120)
+    final = {r["text"]: r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert final == {"alpha": 1, "beta": 2, "gamma": 11, "delta": 20}
+    # the null-text row was not admitted (md5(NULL) can never be screened)
+    assert None not in final
