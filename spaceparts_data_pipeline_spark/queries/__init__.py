@@ -64,7 +64,11 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       all three SFs; crash-replay idempotence in tests/test_streaming),
 #   d16_incremental_near_dedup (cross-run NEAR-dup vs a MinHash band
 #       store; rows-only — xxhash — with screen guarantees pinned in
-#       tests/test_llm_ops.py::TestIncrementalNearDedup).
+#       tests/test_llm_ops.py::TestIncrementalNearDedup),
+#   x31b_bigram_topk_twopass (hash-count two-pass route, same FULL
+#       oracle as in-window x31 — its driver evidence rides x31's),
+#   x34_corpus_summary (per-source profile multi-agg, FULL oracle,
+#       green at all three SFs on first run).
 #
 # Late-round-6 second rotation: the session that added d15/x31/x32/x33/
 # s04 put them straight IN (all FULL-oracle, green at three SFs on

@@ -1094,3 +1094,40 @@ def d16_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 10 >= 4)
     admitted, _bands = dedup_fuzzy.incremental_near_dedup(batch, store)
     return admitted.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# x34 — corpus summary profile: the per-source snapshot a corpus owner
+# watches per ingest (doc counts, token budget, language spread). One
+# map-side-combinable multi-aggregation; integer sums + one exact
+# division, so the whole profile is value-hash oracle-able.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x34_corpus_summary",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def x34_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text").cast("bigint")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("avg_chars",
+                    F.col("total_chars").cast("double") / F.col("n_docs"))
+    )
