@@ -764,3 +764,42 @@ class TestIncrementalDedupProperty:
             assert got == {i for i, _ in expected}
 
         check()
+
+
+class TestNgramTopkTwoPass:
+    def test_boundary_ties_match_direct_route(self, spark):
+        """Craft frequencies that TIE exactly at the k-th rank: the
+        two-pass candidate stage must keep every tied hash (rank(), not
+        row_number()) so the final lexicographic tie-break matches the
+        direct route bit-for-bit."""
+        # grams: "a b" x3, "b c" x2, "c d" x2, "d e" x2, "e f" x1 — with
+        # k=2 the rank-2 frequency (2) is shared by three grams; one doc
+        # per gram occurrence so no cross-pair bigrams appear
+        docs = []
+        i = 0
+        for gram, cnt in [("a b", 3), ("b c", 2), ("c d", 2), ("d e", 2), ("e f", 1)]:
+            for _ in range(cnt):
+                docs.append((i, "g", gram))
+                i += 1
+        df = spark.createDataFrame(docs, ["doc_id", "grp", "text"])
+        direct = text.ngram_topk(df, "grp", "text", n=2, k=2)
+        twopass = text.ngram_topk(df, "grp", "text", n=2, k=2, two_pass=True)
+        assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, twopass.collect()))
+        got = {r["bigram"]: r["rk"] for r in twopass.collect()}
+        assert got == {"a b": 1, "b c": 2}   # lexicographic among the tie
+
+
+class TestReadStore:
+    def test_missing_vs_corrupt(self, spark, tmp_path):
+        """'Never created' reads as None (legitimate empty screen);
+        a corrupt store RAISES instead of silently screening nothing."""
+        from spaceparts_data_pipeline_spark.operators import dedup
+        path = str(tmp_path / "store")
+        assert dedup.read_store(spark, path) is None
+
+        import os
+        os.makedirs(path)
+        with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+            f.write(b"this is not parquet")
+        with pytest.raises(Exception):
+            dedup.read_store(spark, path).collect()
