@@ -130,9 +130,21 @@ def _corpus_main(args) -> int:
             "error": f"no table in {args.source_dir} has (doc_id, text) columns",
         }))
         return 2
+    # With several landing tables, a doc_id is only unique WITHIN its
+    # table — two tables reusing an id with different text would both
+    # survive the fingerprint screen and the left-semi join-back on
+    # doc_id would then admit BOTH rows (duplicate ids in the corpus
+    # and manifest). Namespace ids as '<table>:<id>' whenever more than
+    # one table feeds the batch; a single table keeps its native id
+    # type. Don't mix single- and multi-table landings into the same
+    # --corpus-out (the corpus column type differs).
+    namespace_ids = len(doc_tables) > 1
     batch = None
     for name, df in doc_tables.items():
         part = df if "source" in df.columns else df.withColumn("source", F.lit(name))
+        if namespace_ids:
+            part = part.withColumn(
+                "doc_id", F.concat_ws(":", F.lit(name), F.col("doc_id").cast("string")))
         part = part.select("doc_id", "text", "source")
         batch = part if batch is None else batch.unionByName(part)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None

@@ -156,6 +156,40 @@ def _hadoop_fs(spark, path: str):
     return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
 
 
+def has_data_files(spark, path: str) -> bool:
+    """True iff ``path`` exists AND holds at least one non-hidden data
+    file (recursively, so partitioned layouts count their leaf files).
+
+    ``fs.exists`` alone cannot stand in for "data was ever written": an
+    empty dynamic-partition overwrite still creates the directory (plus
+    a ``_SUCCESS`` marker), and reading that empty-but-created dir
+    raises ``UNABLE_TO_INFER_SCHEMA`` — so a first-ever run that admits
+    zero rows would crash any caller that gated a read on ``exists``.
+    Underscore/dot-prefixed files (_SUCCESS, .crc, _started markers)
+    are metadata, not data, and don't count.
+    """
+    fs, jvm = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure (destination exists,
+    source missing, cross-FS move) by returning FALSE, not by raising —
+    an unchecked call on the crash-safety path can silently leave the
+    next rename moving ``__compact`` INSIDE a still-existing store dir,
+    corrupting the layout. Every swap rename goes through here."""
+    if not fs.rename(src, dst):
+        raise IOError(f"filesystem rename failed (returned false): {src} -> {dst}")
+
+
 def recover_store(spark, store_path: str) -> str | None:
     """Finish or roll back an interrupted :func:`compact_store`. Returns
     the action taken (or None). Safe to call unconditionally before any
@@ -181,14 +215,14 @@ def recover_store(spark, store_path: str) -> str | None:
                 acted = "deleted stale leftovers"
         return acted
     if fs.exists(comp) and fs.exists(P(store_path + "__compact/_SUCCESS")):
-        fs.rename(comp, main)
+        _rename_or_raise(fs, comp, main)
         if fs.exists(old):
             fs.delete(old, True)
         return "promoted compacted store"
     if fs.exists(old):
         if fs.exists(comp):
             fs.delete(comp, True)
-        fs.rename(old, main)
+        _rename_or_raise(fs, old, main)
         return "rolled back to pre-compaction store"
     return None
 
@@ -217,8 +251,8 @@ def compact_store(spark, store_path: str) -> dict:
     before.distinct().write.mode("overwrite").parquet(store_path + "__compact")
     fs, jvm = _hadoop_fs(spark, store_path)
     P = jvm.org.apache.hadoop.fs.Path
-    fs.rename(P(store_path), P(store_path + "__old"))
-    fs.rename(P(store_path + "__compact"), P(store_path))
+    _rename_or_raise(fs, P(store_path), P(store_path + "__old"))
+    _rename_or_raise(fs, P(store_path + "__compact"), P(store_path))
     fs.delete(P(store_path + "__old"), True)
     return {"rows_before": n_before,
             "rows_after": spark.read.parquet(store_path).count()}

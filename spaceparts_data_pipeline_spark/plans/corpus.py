@@ -127,13 +127,14 @@ def run_corpus_ingest(
         try:
             admitted.withColumn("run_id", F.lit(run_id)).write.mode(
                 "overwrite").partitionBy("run_id").parquet(corpus_root)
-            # The corpus dir is missing only when nothing was EVER
-            # admitted (this run and every prior one empty) — checked
-            # explicitly; any other read failure must raise, or the
-            # store appends below would be silently skipped with the
-            # admitted docs already durable (permanent re-admit split).
-            fs, jvm = dedup._hadoop_fs(spark, corpus_root)
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_root)):
+            # "No corpus yet" means NO DATA FILES, not "dir missing":
+            # an all-screened first run's empty dynamic overwrite still
+            # creates the (empty) directory, and reading it would raise
+            # UNABLE_TO_INFER_SCHEMA. has_data_files distinguishes that
+            # from a real read failure, which must still raise — the
+            # store appends below being silently skipped with admitted
+            # docs already durable would be a permanent re-admit split.
+            if not dedup.has_data_files(spark, corpus_root):
                 return stats
             durable = spark.read.parquet(corpus_root).filter(
                 F.col("run_id") == run_id).drop("run_id")

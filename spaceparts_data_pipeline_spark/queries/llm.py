@@ -899,10 +899,16 @@ def m01_binary_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 10 < 6
     ),
     batch_rows AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 4
+      -- text IS NOT NULL mirrors incremental_dedup's documented NULL
+      -- semantics: the engine drops NULL text (md5(NULL) can never be
+      -- screened by an equi anti join), so the oracle must too — else
+      -- a NULL-text fixture row would survive here as a NULL-
+      -- fingerprint group and break parity.
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 >= 4 AND text IS NOT NULL
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text
-      FROM documents WHERE doc_id % 10 >= 8
+      FROM documents WHERE doc_id % 10 >= 8 AND text IS NOT NULL
     ),
     canon AS (
       SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint

@@ -206,8 +206,12 @@ def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 10 < 6
     ),
     batch AS (
+      -- text IS NOT NULL pins incremental_dedup's NULL semantics (the
+      -- engine drops NULL text; md5(NULL) would otherwise survive the
+      -- NOT EXISTS screen as a NULL-fingerprint group)
       SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint
-      FROM documents WHERE doc_id % 10 >= 4 GROUP BY md5(text)
+      FROM documents WHERE doc_id % 10 >= 4 AND text IS NOT NULL
+      GROUP BY md5(text)
     )
     SELECT doc_id, fingerprint FROM batch b
     WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = b.fingerprint)

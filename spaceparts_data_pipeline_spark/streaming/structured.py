@@ -231,11 +231,12 @@ def stream_ingest_dedup(
             # Append fingerprints FROM THE DURABLE CORPUS, not the
             # in-memory survivors: a replay whose screen already finds
             # the fingerprints (survivors empty) still completes a
-            # store append that crashed mid-way last time. The corpus
-            # dir is missing only when nothing was EVER admitted —
-            # checked explicitly, not by swallowing read errors.
-            fs, jvm = dedup._hadoop_fs(spark, corpus_path)
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_path)):
+            # store append that crashed mid-way last time. "Nothing was
+            # EVER admitted" means no data files — an all-screened first
+            # micro-batch's empty dynamic overwrite still creates the
+            # (empty) corpus dir, which a bare exists-gated read would
+            # then fail on with UNABLE_TO_INFER_SCHEMA.
+            if not dedup.has_data_files(spark, corpus_path):
                 return
             admitted = spark.read.parquet(corpus_path).filter(
                 (F.col("ingest_run") == run_tag)

@@ -725,6 +725,39 @@ class TestStoreCompaction:
         # clean state: no-op
         assert dedup.recover_store(spark, path) is None
 
+    def test_failed_rename_raises(self, spark, tmp_path):
+        """ADVICE r06 (low): Hadoop FileSystem.rename signals failure by
+        returning FALSE — an unchecked swap rename would let the next
+        rename move __compact INSIDE a still-existing store dir. Every
+        swap rename must raise on a false return."""
+        from spaceparts_data_pipeline_spark.operators import dedup
+
+        src = tmp_path / "src_dir"
+        src.mkdir()
+        dst = tmp_path / "dst_file"
+        dst.write_text("occupied")  # rename dir -> existing FILE returns false
+        fs, jvm = dedup._hadoop_fs(spark, str(src))
+        P = jvm.org.apache.hadoop.fs.Path
+        with pytest.raises(IOError, match="rename failed"):
+            dedup._rename_or_raise(fs, P(str(src)), P(str(dst)))
+
+    def test_has_data_files(self, spark, tmp_path):
+        """Empty-but-created dirs (the empty dynamic-overwrite shape,
+        incl. a lone _SUCCESS marker) read as 'no data yet'; a real leaf
+        data file — even nested under a partition dir — reads as data."""
+        import os
+
+        from spaceparts_data_pipeline_spark.operators import dedup
+
+        path = str(tmp_path / "corpus")
+        assert not dedup.has_data_files(spark, path)          # missing
+        os.makedirs(os.path.join(path, "run_id=r1"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+        assert not dedup.has_data_files(spark, path)          # markers only
+        with open(os.path.join(path, "run_id=r1", "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+        assert dedup.has_data_files(spark, path)              # nested leaf
+
 
 class TestIncrementalDedupProperty:
     def test_matches_python_model(self, spark):

@@ -315,6 +315,27 @@ class TestCorpusIngestPipeline:
         assert corpus.count() == 3
         assert {r["doc_id"] for r in corpus.filter("run_id = 'r2'").collect()} == {13}
 
+    def test_first_run_admits_zero(self, spark, tmp_path):
+        """ADVICE r06 (medium): a first-ever run admitting ZERO docs —
+        all quality-gated here; same shape as "all screened against a
+        retained store with a fresh corpus path" — used to crash with
+        UNABLE_TO_INFER_SCHEMA, because the empty dynamic overwrite
+        still CREATES the corpus directory and the bare fs.exists guard
+        then read an empty dir. Must return the funnel stats instead,
+        and a later admitting run over the same out dir must proceed
+        normally."""
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        out = str(tmp_path / "corpus_out")
+        s0 = run_corpus_ingest(
+            spark, self._batch(spark, [(1, "tiny", "s1")]), out, "r0")
+        assert s0["input"] == 1 and s0["admitted"] == 0
+        s1 = run_corpus_ingest(
+            spark, self._batch(spark, [(2, self.LONG, "s1")]), out, "r1")
+        assert s1["admitted"] == 1
+        corpus = spark.read.parquet(out + "/corpus")
+        assert {r["doc_id"] for r in corpus.collect()} == {2}
+
 
 def test_cli_corpus_ingest_mode(spark, tmp_path):
     """python -m spaceparts_data_pipeline_spark --corpus-out: the funnel
@@ -349,3 +370,43 @@ def test_cli_corpus_ingest_mode(spark, tmp_path):
     corpus = spark.read.parquet(out + "/corpus")
     assert corpus.count() == 1
     assert corpus.collect()[0]["source"] == "documents"
+
+
+def test_cli_corpus_multi_table_id_collision(spark, tmp_path):
+    """ADVICE r06 (low): two landing tables reusing doc_id=1 with
+    DIFFERENT text — without namespacing, both fingerprints survive the
+    screen and the left-semi join-back on doc_id admits BOTH rows under
+    one id (duplicate doc_ids in corpus and manifest). Multi-table
+    landings namespace ids as '<table>:<id>'."""
+    import json
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    text_a = ("the first corpus document is about broadcast joins and the "
+              "shuffle partitions of a gold layer with plenty of stopwords "
+              "of to a in is and tokens about catalyst plans")
+    text_b = ("a second entirely different body of words concerning minhash "
+              "signatures banding buckets near duplicate detection with the "
+              "usual stopwords of to in is and many fresh terms")
+    spark.createDataFrame([(1, text_a)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(landing / "tab_a.parquet"))
+    spark.createDataFrame([(1, text_b)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(landing / "tab_b.parquet"))
+
+    out = str(tmp_path / "corpus_out")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--source-dir", str(landing), "--corpus-out", out, "--run-id", "cli2"])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["status"] == "success"
+    corpus = spark.read.parquet(out + "/corpus")
+    rows = corpus.collect()
+    assert {r["doc_id"] for r in rows} == {"tab_a:1", "tab_b:1"}
+    assert len(rows) == 2  # exactly one row per namespaced id
+    manifest = spark.read.parquet(out + "/manifest")
+    assert {r["doc_id"] for r in manifest.collect()} == {"tab_a:1", "tab_b:1"}

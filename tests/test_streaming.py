@@ -273,3 +273,37 @@ def test_stream_ingest_dedup_multibatch_and_replay(spark, tmp_path):
     assert final == {"alpha": 1, "beta": 2, "gamma": 11, "delta": 20}
     # the null-text row was not admitted (md5(NULL) can never be screened)
     assert None not in final
+
+
+def test_stream_ingest_all_screened_first_batch(spark, tmp_path):
+    """ADVICE r06 (medium), streaming twin: the FIRST micro-batch is
+    entirely screened by a pre-seeded store while the corpus path is
+    fresh — the empty dynamic overwrite still creates the corpus dir,
+    and the old bare fs.exists guard then failed the query inside
+    foreachBatch with UNABLE_TO_INFER_SCHEMA. Must drain cleanly, and a
+    later genuinely-new doc must still be admitted."""
+    import pyspark.sql.functions as F
+
+    from spaceparts_data_pipeline_spark.operators import dedup
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    docs = "doc_id long, text string"
+    spark.createDataFrame([(1, "alpha")], docs).coalesce(1).write.parquet(src)
+    # store already knows 'alpha' (a prior deployment admitted it)
+    spark.createDataFrame([("alpha",)], "text string") \
+        .select(F.md5("text").alias("fingerprint")).write.parquet(store)
+
+    stream = spark.readStream.schema(docs).parquet(src)
+    q = structured.stream_ingest_dedup(
+        spark, stream, store, corpus, checkpoint_dir=str(tmp_path / "ck1"))
+    q.awaitTermination(120)  # raises StreamingQueryException on batch failure
+    assert not dedup.has_data_files(spark, corpus)
+
+    spark.createDataFrame([(2, "beta")], docs).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = structured.stream_ingest_dedup(
+        spark, stream, store, corpus, checkpoint_dir=str(tmp_path / "ck1"))
+    q2.awaitTermination(120)
+    assert {r["text"] for r in spark.read.parquet(corpus).collect()} == {"beta"}
