@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus mode: run identifier (corpus partition + replay scope)")
     p.add_argument("--benchmark", default=None,
                    help="corpus mode: parquet of benchmark docs for the contamination screen")
+    p.add_argument("--store-compact-files", type=int, default=64,
+                   help="corpus mode: compact each screen store when its data-file count "
+                        "exceeds this (append-only stores grow per run; compaction is the "
+                        "crash-safe distinct-rewrite and never changes admit decisions); "
+                        "0 disables")
     args = p.parse_args(argv)
 
     if args.corpus_out:
@@ -150,7 +155,8 @@ def _corpus_main(args) -> int:
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
 
     stats = run_corpus_ingest(
-        spark, batch, args.corpus_out, args.run_id, benchmark=benchmark)
+        spark, batch, args.corpus_out, args.run_id, benchmark=benchmark,
+        compact_files_threshold=(args.store_compact_files or None))
     for p in parents:
         p.unpersist()
     print(json.dumps({

@@ -256,3 +256,36 @@ def compact_store(spark, store_path: str) -> dict:
     fs.delete(P(store_path + "__old"), True)
     return {"rows_before": n_before,
             "rows_after": spark.read.parquet(store_path).count()}
+
+
+def data_file_count(spark, path: str) -> int:
+    """Number of non-hidden data files under ``path`` (recursive) — the
+    growth signal append-only stores are compacted on: every ingest run
+    appends a few files, so count grows linearly with runs regardless
+    of row volume. Underscore/dot-prefixed metadata files don't count."""
+    fs, jvm = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
+
+
+def maybe_compact_store(spark, store_path: str, max_files: int) -> dict | None:
+    """Compact ``store_path`` iff its data-file count exceeds
+    ``max_files``; returns :func:`compact_store`'s stats when it ran,
+    None otherwise. This is the lifecycle hook the ingest funnel calls
+    after its store appends (the reference runs its table maintenance
+    on every load — Silver_full_load.ipynb:1 cell 16 OPTIMIZE; we gate
+    on file count so steady-state runs pay one cheap listing, not a
+    full rewrite). Exactness-preserving at any moment: the screen reads
+    DISTINCT fingerprints, and compaction is a distinct-rewrite behind
+    a crash-safe swap (:func:`recover_store`)."""
+    if data_file_count(spark, store_path) <= max_files:
+        return None
+    return compact_store(spark, store_path)

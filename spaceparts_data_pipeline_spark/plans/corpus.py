@@ -45,11 +45,13 @@ def run_corpus_ingest(
     text_col: str = "text",
     shard_col: str = "source",
     quality_gate: bool = True,
+    near_dedup: bool = True,
     contamination_threshold: int = 1,
     pack_capacity: int = 512,
     num_perm: int = 16,
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.5,
+    compact_files_threshold: int | None = 64,
 ) -> dict:
     """Ingest one batch; returns per-stage counts (the funnel). Output
     layout under ``out_dir``::
@@ -58,6 +60,18 @@ def run_corpus_ingest(
         manifest/run_id=<run_id>/ sequence-packing placements
         fp_store/                 md5 fingerprint store (append-only)
         band_store/               MinHash band store (append-only)
+
+    ``near_dedup=False`` skips the LSH stage (and its band store) for
+    exact-only ingestion — cheaper, fully deterministic, and the shape
+    the driver-oracle funnel query (c01) checks end-to-end.
+
+    ``compact_files_threshold``: after the store appends, each store
+    whose data-file count exceeds the threshold is distinct-rewritten
+    via the crash-safe :func:`operators.dedup.compact_store` swap —
+    append-only stores otherwise grow one file set per run forever (the
+    reference runs its OPTIMIZE maintenance on every load). Compaction
+    never changes admit/reject decisions: the screens read DISTINCT
+    fingerprints. ``None`` disables.
     """
     fp_store_path = os.path.join(out_dir, "fp_store")
     band_store_path = os.path.join(out_dir, "band_store")
@@ -88,17 +102,20 @@ def run_corpus_ingest(
     stats["after_exact_dedup"] = exact_survivors.count()
 
     # 4. cross-run near-dup dedup (within-batch LSH + band-store screen)
-    band_store = dedup.read_store(spark, band_store_path)
-    # bands are recomputed from the durable corpus in step 6, so the
-    # band half of the return is unused here
-    admitted, _ = dedup_fuzzy.incremental_near_dedup(
-        exact_survivors, band_store, id_col=id_col, text_col=text_col,
-        num_perm=num_perm, rows_per_band=rows_per_band,
-        threshold=jaccard_threshold,
-    )
-    admitted = admitted.persist()
-    persisted.append(admitted)
-    stats["after_near_dedup"] = admitted.count()
+    if near_dedup:
+        band_store = dedup.read_store(spark, band_store_path)
+        # bands are recomputed from the durable corpus in step 6, so
+        # the band half of the return is unused here
+        admitted, _ = dedup_fuzzy.incremental_near_dedup(
+            exact_survivors, band_store, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, rows_per_band=rows_per_band,
+            threshold=jaccard_threshold,
+        )
+        admitted = admitted.persist()
+        persisted.append(admitted)
+        stats["after_near_dedup"] = admitted.count()
+    else:
+        admitted = exact_survivors
 
     # 5. contamination screen (only if a benchmark is registered)
     if benchmark is not None:
@@ -148,10 +165,20 @@ def run_corpus_ingest(
 
         dedup.update_fingerprint_store(
             spark, durable.select(F.md5(text_col).alias("fingerprint")), fp_store_path)
-        dedup_fuzzy.band_table(
-            durable, id_col=id_col, text_col=text_col,
-            num_perm=num_perm, rows_per_band=rows_per_band,
-        ).write.mode("append").parquet(band_store_path)
+        if near_dedup:
+            dedup_fuzzy.band_table(
+                durable, id_col=id_col, text_col=text_col,
+                num_perm=num_perm, rows_per_band=rows_per_band,
+            ).write.mode("append").parquet(band_store_path)
+        # 7. store maintenance: append-only stores grow a file set per
+        # run; compact past the file-count threshold (decisions are
+        # invariant — the screens read DISTINCT fingerprints)
+        if compact_files_threshold is not None:
+            store_paths = [fp_store_path] + ([band_store_path] if near_dedup else [])
+            for sp in store_paths:
+                c = dedup.maybe_compact_store(spark, sp, compact_files_threshold)
+                if c is not None:
+                    stats[f"compacted_{os.path.basename(sp)}"] = c["rows_after"]
     finally:
         for df in persisted:
             df.unpersist()

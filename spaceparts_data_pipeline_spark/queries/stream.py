@@ -233,15 +233,14 @@ def s04_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy is screened by the store the earlier batch extended) — that
     batching-dependent id choice is exercised in
     tests/test_streaming.py, not oracle-checked."""
+    import hashlib
     import shutil
-    import uuid
 
     from spaceparts_data_pipeline_spark.sources.parquet import load_table
     from spaceparts_data_pipeline_spark.streaming.structured import stream_ingest_dedup
 
     docs_path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(docs_path).schema
-    import hashlib
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     stream_dir = os.path.join(tempfile.gettempdir(), f"stream_docs_{tag}")
@@ -250,30 +249,31 @@ def s04_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(docs_path, link)
 
-    work = os.path.join(tempfile.gettempdir(), f"s04_{uuid.uuid4().hex[:12]}")
+    # Deterministic per-sf work dir, RESET at the start of each
+    # invocation and left in place afterwards, so the returned
+    # DataFrame is the LAZY read of the durable corpus — no collect()
+    # in the query path (what a real deployment does: keep the corpus,
+    # read it where it lands). Bounded: one survivor set per sf dir,
+    # overwritten on the next invocation.
+    work = os.path.join(tempfile.gettempdir(), f"s04_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
     store_path = os.path.join(work, "store")
     corpus_path = os.path.join(work, "corpus")
-    try:
-        # seed the store as prior runs would have left it
-        load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 10 < 6
-        ).select(F.md5("text").alias("fingerprint")).write.parquet(store_path)
+    # seed the store as prior runs would have left it
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 < 6
+    ).select(F.md5("text").alias("fingerprint")).write.parquet(store_path)
 
-        stream = (
-            spark.readStream.schema(schema).parquet(stream_dir)
-            .filter(F.col("doc_id") % 10 >= 4)
-        )
-        q = stream_ingest_dedup(
-            spark, stream, store_path, corpus_path,
-            checkpoint_dir=os.path.join(work, "ckpt"),
-        )
-        q.awaitTermination()
-        # Materialize before the temp corpus is removed — a wrapper
-        # artifact only (survivor ids+fingerprints, corpus-dedup-bounded);
-        # a real deployment keeps the corpus and reads it in place.
-        return spark.createDataFrame(
-            spark.read.parquet(corpus_path).select("doc_id", "fingerprint").collect(),
-            "doc_id long, fingerprint string",
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .filter(F.col("doc_id") % 10 >= 4)
+    )
+    q = stream_ingest_dedup(
+        spark, stream, store_path, corpus_path,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(corpus_path)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
+    )

@@ -315,6 +315,75 @@ class TestCorpusIngestPipeline:
         assert corpus.count() == 3
         assert {r["doc_id"] for r in corpus.filter("run_id = 'r2'").collect()} == {13}
 
+    def test_multi_batch_compaction_invariance(self, spark, tmp_path):
+        """Store compaction wired into the ingest lifecycle (VERDICT r06
+        next-round #2): over a 5-batch sequence with a tiny file-count
+        threshold, compaction triggers mid-sequence — and every admit/
+        reject decision plus the final corpus is identical to a
+        never-compacted twin sequence (the screens read DISTINCT
+        fingerprints, so a distinct-rewrite is invisible to them)."""
+        from spaceparts_data_pipeline_spark.operators import dedup
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        # Fixture design: distinct docs share ZERO word-3-gram shingles
+        # (stopwords for the quality gate are interleaved with per-doc
+        # unique tokens, so every 3-gram contains a unique token), while
+        # a one-token mutation of the same doc keeps Jaccard ~0.85 —
+        # the band-store screen is a no-text conservative screen, so
+        # any shared shingles across distinct docs would make its
+        # false-positive band collisions part of the fixture. Unique
+        # tokens are LETTERS only: the funnel redacts before
+        # fingerprinting, and digit tokens would all collapse to
+        # '<NUM>' under PII redaction.
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        stops = ["the", "and", "of", "to", "a", "in", "is"]
+
+        def doc(i, mutate=False):
+            toks = []
+            for j in range(30):
+                toks.append(f"w{alpha[i % 26]}{alpha[j // 26]}{alpha[j % 26]}")
+                toks.append(stops[j % len(stops)])
+            if mutate:
+                toks[0] = "mutated"
+            return " ".join(toks)
+
+        batches = [
+            [(1, doc(1), "s"), (2, doc(2), "s"), (3, doc(3), "s")],
+            [(4, doc(4), "s"), (5, doc(1), "s"),                  # exact dup of 1
+             (6, doc(2, mutate=True), "s")],                      # near-dup of 2
+            [(7, doc(7), "s"), (8, doc(4), "s")],                 # exact dup of 4
+            [(9, doc(9), "s"), (10, doc(7, mutate=True), "s")],   # near-dup of 7
+            [(11, doc(11), "s"), (12, doc(9), "s")],              # exact dup of 9
+        ]
+
+        results = {}
+        for label, threshold in (("compacted", 2), ("plain", None)):
+            out = str(tmp_path / label)
+            raw_seq, stats_seq = [], []
+            for i, rows in enumerate(batches):
+                s = run_corpus_ingest(
+                    spark, self._batch(spark, rows), out, f"r{i}",
+                    compact_files_threshold=threshold)
+                raw_seq.append(s)
+                stats_seq.append({k: v for k, v in s.items()
+                                  if not k.startswith("compacted_")})
+            corpus = {(r["doc_id"], r["text"])
+                      for r in spark.read.parquet(out + "/corpus").collect()}
+            results[label] = (raw_seq, stats_seq, corpus)
+
+        comp_raw, comp_stats, comp_corpus = results["compacted"]
+        _, plain_stats, plain_corpus = results["plain"]
+        # compaction DID trigger mid-sequence (not only on the last run)
+        triggered = [i for i, s in enumerate(comp_raw)
+                     if any(k.startswith("compacted_") for k in s)]
+        assert triggered and triggered[0] < len(batches) - 1
+        assert comp_stats == plain_stats          # every funnel decision identical
+        assert comp_corpus == plain_corpus        # final corpus identical
+        assert {d for d, _ in comp_corpus} == {1, 2, 3, 4, 7, 9, 11}
+        # the compacted run's stores hold fewer files than the plain run's
+        assert dedup.data_file_count(spark, str(tmp_path / "compacted") + "/fp_store") < \
+            dedup.data_file_count(spark, str(tmp_path / "plain") + "/fp_store")
+
     def test_first_run_admits_zero(self, spark, tmp_path):
         """ADVICE r06 (medium): a first-ever run admitting ZERO docs —
         all quality-gated here; same shape as "all screened against a
