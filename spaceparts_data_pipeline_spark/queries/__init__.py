@@ -50,25 +50,39 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # oracles, e02 = d10's oracle body, x06 ⊂ x07, x19 held by x23 +
 # vector math); those transitive arguments still hold.
 #
-# Round-7 rotation candidates (all added round 6, registered below the
-# window):
-#   d14_canonical_corpus_lsh (rows-only — xxhash MinHash — but its
-#       survivor set is pinned EQUAL to in-window d13's exact path in
-#       tests/test_llm_ops.py, so its driver evidence rides d13's oracle),
-#   d15_incremental_dedup (cross-run dedup vs fingerprint store, FULL
-#       oracle), x31_bigram_topk / x32_pii_redact / x33_bpe_token_stats
-#       (n-gram heavy hitters, PII redaction chain, BPE-ish pretokenizer
-#       — FULL oracles, green at sf0.001/0.01/0.1 on first run),
-#   s04_stream_ingest_dedup (d15's streaming twin: real readStream →
-#       foreachBatch store-screened ingestion, FULL oracle, green at
-#       all three SFs; crash-replay idempotence in tests/test_streaming),
+# Round-7 rotation (round-6 verdict next-round #1 — zero the
+# never-driver-checked set, which was exactly the four late-round-6
+# additions). IN:
+#   d14_canonical_corpus_lsh (rows-only — xxhash MinHash — survivor
+#       set pinned EQUAL to d13's exact path in tests/test_llm_ops.py;
+#       d13 stays in-window as its oracle twin),
 #   d16_incremental_near_dedup (cross-run NEAR-dup vs a MinHash band
-#       store; rows-only — xxhash — with screen guarantees pinned in
+#       store; rows-only — xxhash — screen guarantees pinned in
 #       tests/test_llm_ops.py::TestIncrementalNearDedup),
-#   x31b_bigram_topk_twopass (hash-count two-pass route, same FULL
-#       oracle as in-window x31 — its driver evidence rides x31's),
-#   x34_corpus_summary (per-source profile multi-agg, FULL oracle,
-#       green at all three SFs on first run).
+#   x31b_bigram_topk_twopass (hash-count two-pass route — FULL oracle,
+#       the same oracle text as x31's direct route),
+#   x34_corpus_summary (per-source profile multi-agg, FULL oracle),
+#   c01_corpus_funnel (NEW round 7: the COMPOSED plans/corpus.py
+#       ingest funnel — quality → redact → store-screened exact dedup →
+#       durable corpus — run end-to-end in exact-only mode with a FULL
+#       oracle replaying every stage; the LSH stage's composition is
+#       e2e-tested in tests/test_pipeline_e2e.py).
+# OUT, coverage retained transitively, all with green r06 driver rows
+# and all still checked by the local parity suite every round:
+#   d15 (its canon+NOT EXISTS oracle body is in-window s04's oracle,
+#       and in-window c01 runs the same incremental_dedup inside the
+#       funnel with the store screen live),
+#   x31 (x31b's oracle IS x31's — the two routes share the oracle
+#       text; boundary-tie equality of the routes pinned in
+#       tests/test_llm_ops.py::TestNgramTopkTwoPass),
+#   x32 (the full 4-stage redaction chain is replayed verbatim inside
+#       in-window c01's oracle, now over documents.text),
+#   x33 (BPE pretokenizer — r06 green; token-budget evidence in-window
+#       via d04/x34's token_count oracles; regex-subset rules pinned in
+#       tests/test_llm_ops.py::TestText),
+#   e03 (rows-only twin of in-window e03b, which pins the SAME
+#       hyperplane-LSH path at the high-recall profile — keeping both
+#       rows-only twins in-window was redundant evidence).
 #
 # Late-round-6 second rotation: the session that added d15/x31/x32/x33/
 # s04 put them straight IN (all FULL-oracle, green at three SFs on
@@ -97,11 +111,12 @@ _PRIORITY = [
     "d05_lang_id", "d07_minhash_lsh_pairs", "d08_simhash",
     "d10_embed_near_dup",
     "d11_repetition_stats", "d12_stratified_sample", "d13_canonical_corpus",
-    "d15_incremental_dedup",
+    "d14_canonical_corpus_lsh", "d16_incremental_near_dedup",
     "x29_contamination_check", "x30_sequence_packing",
-    "x31_bigram_topk", "x32_pii_redact", "x33_bpe_token_stats",
+    "x31b_bigram_topk_twopass", "x34_corpus_summary",
+    "c01_corpus_funnel",
     # LLM data ops: similarity / ANN family
-    "e01_knn_topk", "e03_similar_pairs_lsh", "e03b_similar_pairs_lsh_recall",
+    "e01_knn_topk", "e03b_similar_pairs_lsh_recall",
     "e04_knn_ivf", "e04b_knn_ivf_refined",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes", "x07_tfidf_topterms",

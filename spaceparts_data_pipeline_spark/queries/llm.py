@@ -1137,3 +1137,97 @@ def x34_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_chars",
                     F.col("total_chars").cast("double") / F.col("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# c01 — the COMPOSED corpus-ingest funnel (plans/corpus.py), end to end
+# with a FULL oracle: quality gate → PII redaction → cross-run exact
+# dedup against a seeded fingerprint store → durable partitioned corpus
+# write → store append — the artifact a production ingest deploys, not
+# its stages in isolation. The wrapper runs the REAL run_corpus_ingest
+# (temp out dir, reset per invocation; same persist boundaries, write
+# ordering, and store lifecycle as the CLI) in exact-only mode
+# (near_dedup=False: the LSH screen is xxhash-based and would drop the
+# oracle to rows-only; its composed behavior is e2e-tested in
+# tests/test_pipeline_e2e.py instead). The store is seeded with the
+# REDACTED-text fingerprints of deciles <6 — what prior runs of this
+# same funnel would have left — so the batch (deciles >=4) exercises a
+# real cross-run screen with overlap. Returns the durable corpus
+# (lazy read), i.e. exactly what survived.
+# ---------------------------------------------------------------------------
+
+@register(
+    "c01_corpus_funnel",
+    r"""
+    WITH r0 AS (
+      SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL
+    ),
+    r1 AS (
+      SELECT doc_id, source, text AS raw,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+      FROM r0
+    ),
+    r2 AS (
+      SELECT doc_id, source, raw,
+             regexp_replace(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s
+      FROM r1
+    ),
+    r3 AS (
+      SELECT doc_id, source, raw,
+             regexp_replace(s, '\b\+?[0-9][0-9 ()-]{6,}[0-9]\b', '<PHONE>', 'g') AS s
+      FROM r2
+    ),
+    red AS (
+      SELECT doc_id, source, raw,
+             regexp_replace(s, '[0-9]+', '<NUM>', 'g') AS rtext
+      FROM r3
+    ),
+    store AS (
+      SELECT DISTINCT md5(rtext) AS fp FROM red WHERE doc_id % 10 < 6
+    ),
+    batch AS (
+      SELECT doc_id, rtext, source FROM red
+      WHERE doc_id % 10 >= 4
+        AND (CASE WHEN length(trim(raw)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(raw), '\s+')) END) BETWEEN 20 AND 5000
+        AND len(regexp_extract_all(lower(raw), '\b(the|and|of|to|a|in|is)\b')) > 0
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id, md5(rtext) AS fp
+      FROM batch GROUP BY md5(rtext)
+    ),
+    surv AS (
+      SELECT c.doc_id FROM canon c
+      WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = c.fp)
+    )
+    SELECT b.doc_id, b.rtext AS text, b.source
+    FROM batch b JOIN surv USING (doc_id)
+    """,
+)
+def c01_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+    d = T(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"c01_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    # seed the fingerprint store as prior funnel runs would have: the
+    # fingerprints are of REDACTED text (the funnel redacts before it
+    # fingerprints, so two docs differing only in a phone number are
+    # the same doc)
+    d.filter(F.col("doc_id") % 10 < 6).select(
+        F.md5(text.redact_pii("text")).alias("fingerprint")
+    ).write.parquet(os.path.join(out, "fp_store"))
+
+    batch = d.filter(F.col("doc_id") % 10 >= 4).select("doc_id", "text", "source")
+    run_corpus_ingest(spark, batch, out, "c01run", near_dedup=False)
+    return (
+        spark.read.parquet(os.path.join(out, "corpus"))
+        .filter(F.col("run_id") == "c01run")
+        .select("doc_id", "text", "source")
+    )
