@@ -258,6 +258,77 @@ def compact_store(spark, store_path: str) -> dict:
             "rows_after": spark.read.parquet(store_path).count()}
 
 
+# -- catalog-table-backed screen stores --------------------------------------
+#
+# The path-backed store above gets its crash safety from an ordered
+# directory-rename swap — correct on HDFS/local FS, but object stores
+# without atomic rename (S3-style copy+delete) widen its crash windows.
+# This variant keeps the SAME store semantics (append-only under a
+# DISTINCT screen) on a catalog table whose swap is
+# ``maintenance.overwrite_via_staging``'s versioned view repoint — one
+# atomic catalog operation, no directory rename anywhere — so object
+# stores get the guarantees the path state machine gives local FS.
+# A crashed append can leave a PARTIAL fingerprint set durable; that is
+# the documented replay window of every store here: callers order
+# durable outputs before store appends, so the replay's screen misses
+# exactly the unfinished fingerprints and re-appends them.
+# (Imports of ``maintenance`` are function-local: maintenance → merge →
+# dedup would otherwise be a module cycle.)
+
+def read_store_table(spark, table: str) -> DataFrame | None:
+    """Table-backed :func:`read_store`: None iff the store table was
+    never created (the only state meaning an empty screen); any other
+    resolution failure raises. Recovers an interrupted compaction swap
+    first via ``maintenance.recover_staged_swap`` — the catalog twin of
+    :func:`recover_store`."""
+    from spaceparts_data_pipeline_spark.operators import maintenance
+
+    maintenance.recover_staged_swap(spark, table)
+    if not spark.catalog.tableExists(table):
+        return None
+    return spark.table(table)
+
+
+def update_store_table(spark, rows: DataFrame, table: str) -> None:
+    """Table-backed :func:`update_fingerprint_store`: append ``rows`` to
+    the store table, creating it version-managed (view over
+    ``{table}__v1``) on first use so every later compaction swap is a
+    pure catalog operation. Appends address the resolved physical
+    version table — a view accepts no appends."""
+    from spaceparts_data_pipeline_spark.operators import maintenance
+
+    maintenance.recover_staged_swap(spark, table)
+    if not spark.catalog.tableExists(table):
+        maintenance.overwrite_via_staging(spark, table, rows)
+        return
+    rows.write.mode("append").saveAsTable(maintenance.resolve_physical(spark, table))
+
+
+def compact_store_table(spark, table: str) -> dict:
+    """Table-backed :func:`compact_store`: distinct-rewrite through the
+    versioned-view swap. The previous version is retained as a reader
+    grace copy and pruned by later swaps (``retain_versions``); no step
+    renames a directory, so the crash windows are exactly
+    ``recover_staged_swap``'s — all catalog-resolvable on any store."""
+    from spaceparts_data_pipeline_spark.operators import maintenance
+
+    maintenance.recover_staged_swap(spark, table)
+    n_before = spark.table(table).count()
+    maintenance.overwrite_via_staging(spark, table, spark.table(table).distinct())
+    return {"rows_before": n_before,
+            "rows_after": spark.table(table).count()}
+
+
+def maybe_compact_store_table(spark, table: str, max_files: int) -> dict | None:
+    """Table-backed :func:`maybe_compact_store` (file count via the
+    table's resolved storage location)."""
+    from spaceparts_data_pipeline_spark.operators import maintenance
+
+    if maintenance.file_stats(spark, table)["n_files"] <= max_files:
+        return None
+    return compact_store_table(spark, table)
+
+
 def data_file_count(spark, path: str) -> int:
     """Number of non-hidden data files under ``path`` (recursive) — the
     growth signal append-only stores are compacted on: every ingest run

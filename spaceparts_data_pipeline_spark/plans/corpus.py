@@ -52,6 +52,7 @@ def run_corpus_ingest(
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.5,
     compact_files_threshold: int | None = 64,
+    store_table_prefix: str | None = None,
 ) -> dict:
     """Ingest one batch; returns per-stage counts (the funnel). Output
     layout under ``out_dir``::
@@ -72,9 +73,30 @@ def run_corpus_ingest(
     reference runs its OPTIMIZE maintenance on every load). Compaction
     never changes admit/reject decisions: the screens read DISTINCT
     fingerprints. ``None`` disables.
+
+    ``store_table_prefix``: store the screens in CATALOG TABLES
+    ``{prefix}_fp_store`` / ``{prefix}_band_store`` instead of
+    path-backed parquet dirs — the object-store-safe backend, whose
+    compaction swap is an atomic catalog view repoint instead of a
+    directory rename (``operators.dedup.read_store_table`` family).
+    Same semantics, same replay guarantees; pick per deployment.
     """
-    fp_store_path = os.path.join(out_dir, "fp_store")
-    band_store_path = os.path.join(out_dir, "band_store")
+    if store_table_prefix:
+        fp_store_path = f"{store_table_prefix}_fp_store"
+        band_store_path = f"{store_table_prefix}_band_store"
+        read_store = dedup.read_store_table
+        append_store = dedup.update_store_table
+        maybe_compact = dedup.maybe_compact_store_table
+    else:
+        fp_store_path = os.path.join(out_dir, "fp_store")
+        band_store_path = os.path.join(out_dir, "band_store")
+        read_store = dedup.read_store
+
+        def append_store(spark_, rows, path):
+            dedup.recover_store(spark_, path)
+            rows.write.mode("append").parquet(path)
+
+        maybe_compact = dedup.maybe_compact_store
     stats: dict[str, int] = {"input": batch.count()}
     persisted: list = []
 
@@ -93,7 +115,7 @@ def run_corpus_ingest(
     # read_store recovers interrupted compactions and raises on any
     # failure other than "never created" — a transient fault must NOT
     # read as an empty screen (it would re-admit every duplicate).
-    fp_store = dedup.read_store(spark, fp_store_path)
+    fp_store = read_store(spark, fp_store_path)
     exact_ids = dedup.incremental_dedup(staged, fp_store,
                                         id_col=id_col, text_col=text_col)
     exact_survivors = staged.join(exact_ids.select(id_col), id_col, "left_semi")
@@ -103,7 +125,7 @@ def run_corpus_ingest(
 
     # 4. cross-run near-dup dedup (within-batch LSH + band-store screen)
     if near_dedup:
-        band_store = dedup.read_store(spark, band_store_path)
+        band_store = read_store(spark, band_store_path)
         # bands are recomputed from the durable corpus in step 6, so
         # the band half of the return is unused here
         admitted, _ = dedup_fuzzy.incremental_near_dedup(
@@ -163,20 +185,22 @@ def run_corpus_ingest(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
-        dedup.update_fingerprint_store(
+        append_store(
             spark, durable.select(F.md5(text_col).alias("fingerprint")), fp_store_path)
         if near_dedup:
-            dedup_fuzzy.band_table(
-                durable, id_col=id_col, text_col=text_col,
-                num_perm=num_perm, rows_per_band=rows_per_band,
-            ).write.mode("append").parquet(band_store_path)
+            append_store(
+                spark,
+                dedup_fuzzy.band_table(
+                    durable, id_col=id_col, text_col=text_col,
+                    num_perm=num_perm, rows_per_band=rows_per_band),
+                band_store_path)
         # 7. store maintenance: append-only stores grow a file set per
         # run; compact past the file-count threshold (decisions are
         # invariant — the screens read DISTINCT fingerprints)
         if compact_files_threshold is not None:
             store_paths = [fp_store_path] + ([band_store_path] if near_dedup else [])
             for sp in store_paths:
-                c = dedup.maybe_compact_store(spark, sp, compact_files_threshold)
+                c = maybe_compact(spark, sp, compact_files_threshold)
                 if c is not None:
                     stats[f"compacted_{os.path.basename(sp)}"] = c["rows_after"]
     finally:

@@ -384,6 +384,61 @@ class TestCorpusIngestPipeline:
         assert dedup.data_file_count(spark, str(tmp_path / "compacted") + "/fp_store") < \
             dedup.data_file_count(spark, str(tmp_path / "plain") + "/fp_store")
 
+    def test_table_backed_stores_match_path_stores(self, spark, tmp_path):
+        """The funnel on catalog-table screen stores (the object-store-
+        safe backend: compaction swaps are atomic view repoints, no
+        directory renames) makes the SAME admit/reject decisions as the
+        path backend, run for run — including a crash replay and a
+        forced compaction between runs."""
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        b1 = self._batch(spark, [
+            (1, self.LONG, "s1"),
+            (2, self.LONG.replace("lazy", "sleepy"), "s1"),   # near-dup of 1
+            (3, "too short", "s1"),                           # quality-gated
+        ])
+        b2 = self._batch(spark, [
+            (10, self.LONG, "s1"),                            # exact dup of run1
+            (11, self.LONG.replace("quick", "rapid"), "s1"),  # near-dup of run1
+            (12, "a completely fresh document the and of to a in is with plenty "
+                 "of unique content about catalyst optimizers and execution", "s2"),
+        ])
+
+        prefix = "c_tbl_store_e2e"
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix):
+                kind = "VIEW" if (t.tableType or "").upper() == "VIEW" else "TABLE"
+                spark.sql(f"DROP {kind} IF EXISTS {t.name}")
+        try:
+            out_t = str(tmp_path / "tbl")
+            # threshold 0 forces a compaction after every run — the
+            # swap must be invisible to the next run's screens
+            kw = dict(store_table_prefix=prefix, compact_files_threshold=0)
+            s1 = run_corpus_ingest(spark, b1, out_t, "r1", **kw)
+            s2 = run_corpus_ingest(spark, b2, out_t, "r2", **kw)
+            s2b = run_corpus_ingest(spark, b2, out_t, "r2", **kw)  # replay
+
+            out_p = str(tmp_path / "path")
+            p1 = run_corpus_ingest(spark, b1, out_p, "r1")
+            p2 = run_corpus_ingest(spark, b2, out_p, "r2")
+
+            strip = lambda s: {k: v for k, v in s.items()  # noqa: E731
+                               if not k.startswith("compacted_")}
+            assert strip(s1) == strip(p1)
+            assert strip(s2) == strip(p2)
+            assert s2b["admitted"] == 0                   # replay idempotent
+            assert "compacted_" + prefix + "_fp_store" in s1
+            tbl_corpus = {(r["doc_id"], r["text"])
+                          for r in spark.read.parquet(out_t + "/corpus").collect()}
+            path_corpus = {(r["doc_id"], r["text"])
+                           for r in spark.read.parquet(out_p + "/corpus").collect()}
+            assert tbl_corpus == path_corpus
+        finally:
+            for t in spark.catalog.listTables():
+                if t.name.startswith(prefix):
+                    kind = "VIEW" if (t.tableType or "").upper() == "VIEW" else "TABLE"
+                    spark.sql(f"DROP {kind} IF EXISTS {t.name}")
+
     def test_first_run_admits_zero(self, spark, tmp_path):
         """ADVICE r06 (medium): a first-ever run admitting ZERO docs —
         all quality-gated here; same shape as "all screened against a
