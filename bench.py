@@ -47,6 +47,10 @@ CORPUS = [
     # late round 6: the cross-run ingestion screens
     "d15_incremental_dedup",
     "d16_incremental_near_dedup",
+    # round 7: the COMPOSED ingest funnel (exact-only mode, the c01
+    # driver query) — tracked per round so drift in the end-to-end
+    # artifact is visible, not just its member stages
+    "c01_corpus_funnel",
 ]
 
 

@@ -67,6 +67,15 @@ OPS = [
     "x31_bigram_topk",
     "x31b_bigram_topk_twopass",
     "d16_incremental_near_dedup",
+    # round-7 tail (round-6 verdict #6): the last LLM ops without an 8x
+    # row — the pinned high-recall LSH profile, the Lloyd-refined IVF,
+    # and the multimodal binary-bytes path. e03b's ≥0.9 recall floor is
+    # re-asserted at 8x by --recall-e03b (shard construction makes the
+    # 8x ground truth exactly 8 shifted copies of the 1x brute-force
+    # truth — see recall_e03b's docstring).
+    "e03b_similar_pairs_lsh_recall",
+    "e04b_knn_ivf_refined",
+    "m01_binary_bytes",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
@@ -184,11 +193,140 @@ def run_op(spark, queries, name: str, sf_dir: str, reps: int = 3) -> dict:
     }
 
 
+FUNNEL_STAGES = ("sec_input", "sec_quality_redact", "sec_exact_dedup",
+                 "sec_near_dedup", "sec_contamination", "sec_write_pack",
+                 "sec_store_append", "sec_compact")
+
+
+def run_funnel(spark, base: str, scale: str, n_batches: int = 5) -> list[dict]:
+    """Round-6 verdict next-round #3: measure the COMPOSED
+    plans.corpus.run_corpus_ingest funnel — persist boundaries, store
+    read-modify-write cycle, five chained stages — over a multi-batch
+    sequence, not just its standalone member operators.
+
+    Batch carve: benchmark = doc_id % 20 == 0 (x29's split), the rest
+    split round-robin by doc_id % n_batches — ID_STRIDE is divisible by
+    both, so every synthesized shard spreads evenly over the batches
+    and each batch at Nx is N disjoint shard-copies of the 1x batch
+    (same honest-growth property as the standalone ops). Store state
+    ACCUMULATES across the sequence exactly as a production ingest's
+    does: later batches screen against every earlier batch's
+    fingerprints, and compaction triggers mid-sequence whenever the
+    band store's per-run file sets cross the default threshold.
+
+    Records per batch: per-stage wall (the funnel's own sec_* keys),
+    shuffle-byte deltas, and store growth (files + rows per store).
+    """
+    import pyspark.sql.functions as F
+
+    from spaceparts_data_pipeline_spark.operators import dedup
+    from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+    sf_dir = os.path.join(base, scale)
+    out = os.path.join(base, f"funnel_{scale}")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    rest = docs.filter(F.col("doc_id") % 20 != 0)
+
+    results = []
+    for b in range(n_batches):
+        batch = rest.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+        spark.catalog.clearCache()
+        before = _stage_totals(spark)
+        t0 = time.perf_counter()
+        stats = run_corpus_ingest(spark, batch, out, f"b{b}", benchmark=benchmark)
+        wall = time.perf_counter() - t0
+        after = _stage_totals(spark)
+        row = {
+            "scale": scale, "batch": b, "sec": round(wall, 3),
+            **{k: stats[k] for k in stats},
+            "shuffle_read_mb": round((after["shuffle_read"] - before["shuffle_read"]) / 1e6, 2),
+            "shuffle_write_mb": round((after["shuffle_write"] - before["shuffle_write"]) / 1e6, 2),
+        }
+        for store in ("fp_store", "band_store"):
+            p = os.path.join(out, store)
+            row[f"{store}_files"] = dedup.data_file_count(spark, p)
+            row[f"{store}_rows"] = spark.read.parquet(p).count()
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+def print_funnel_tables(per_scale: dict[str, list[dict]], factor: int) -> None:
+    print("\n| scale | batch | in | admitted | " +
+          " | ".join(s[4:] for s in FUNNEL_STAGES) +
+          " | total s | shuf W MB | band files | band rows |")
+    print("|" + "---|" * (len(FUNNEL_STAGES) + 8))
+    for scale, rows in per_scale.items():
+        for r in rows:
+            stage_cells = " | ".join(str(r.get(s, "-")) for s in FUNNEL_STAGES)
+            print(f"| {scale} | {r['batch']} | {r['input']} | {r['admitted']} | "
+                  f"{stage_cells} | {r['sec']} | {r['shuffle_write_mb']} | "
+                  f"{r['band_store_files']} | {r['band_store_rows']} |")
+    scales = list(per_scale)
+    if len(scales) == 2:
+        a = sum(r["sec"] for r in per_scale[scales[0]])
+        b = sum(r["sec"] for r in per_scale[scales[1]])
+        wa = sum(r["shuffle_write_mb"] for r in per_scale[scales[0]])
+        wb = sum(r["shuffle_write_mb"] for r in per_scale[scales[1]])
+        print(f"\nfunnel sequence total: {scales[0]} {a:.1f}s / {scales[1]} {b:.1f}s "
+              f"(ratio {b / a:.2f} at {factor}x data); shuffle W "
+              f"{wa:.1f} -> {wb:.1f} MB (ratio {wb / wa:.2f})")
+
+
+def recall_e03b(spark, base: str, factor: int) -> dict:
+    """Re-assert e03b's ≥0.9 recall floor at Nx (round-6 verdict #6).
+
+    Ground truth at Nx without an Nx brute force: the shard transform is
+    a per-shard diagonal ±1 sign mask, which preserves within-shard
+    cosines EXACTLY — so the within-shard true-pair set at Nx is
+    precisely the 1x brute-force set shifted by s*ID_STRIDE per shard.
+    Cross-shard cosines are random-sign inner products (concentrate
+    near 0 for 64-dim; far below the 0.35 threshold), and because
+    similar_pairs_lsh verifies candidates with exact cosine it emits NO
+    false positives — any cross-shard pair it does emit is a true pair
+    outside the replicated set, and the intersection-based recall below
+    simply ignores it rather than crediting it.
+    """
+    import pyspark.sql.functions as F
+
+    from spaceparts_data_pipeline_spark.operators import similarity
+
+    one = spark.read.parquet(os.path.join(base, "x1", "embeddings.parquet"))
+    truth_1x = similarity.similar_pairs_bruteforce(one, threshold=0.35) \
+        .select("id_a", "id_b").collect()
+    expected = {(r["id_a"] + s * ID_STRIDE, r["id_b"] + s * ID_STRIDE)
+                for s in range(factor) for r in truth_1x}
+
+    big = spark.read.parquet(os.path.join(base, f"x{factor}", "embeddings.parquet"))
+    found_rows = similarity.similar_pairs_lsh(
+        big, threshold=0.35, n_hint=one.count() * factor,
+        **similarity.HIGH_RECALL_LSH,
+    ).select(F.least("id_a", "id_b").alias("a"),
+             F.greatest("id_a", "id_b").alias("b")).collect()
+    found = {(r["a"], r["b"]) for r in found_rows}
+    hit = len(found & expected)
+    rec = hit / len(expected) if expected else float("nan")
+    out = {"check": "e03b_recall", "factor": factor,
+           "expected_pairs": len(expected), "found_pairs": len(found),
+           "hit": hit, "recall": round(rec, 4)}
+    print(json.dumps(out), flush=True)
+    assert rec >= 0.9, f"e03b recall floor broken at {factor}x: {rec:.3f}"
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=8)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--ops", nargs="*", default=OPS)
+    ap.add_argument("--funnel", action="store_true",
+                    help="measure the composed corpus-ingest funnel instead of the op list")
+    ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--recall-e03b", action="store_true",
+                    help="re-assert e03b's recall floor at Nx against replicated 1x brute-force truth")
     args = ap.parse_args()
 
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -206,6 +344,17 @@ def main() -> None:
     spark.range(1 << 14).repartition(spark.sparkContext.defaultParallelism) \
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
+
+    if args.recall_e03b:
+        recall_e03b(spark, base, args.factor)
+        return
+
+    if args.funnel:
+        per_scale = {}
+        for scale in ("x1", f"x{args.factor}"):
+            per_scale[scale] = run_funnel(spark, base, scale, args.batches)
+        print_funnel_tables(per_scale, args.factor)
+        return
 
     results: dict[str, dict[str, dict]] = {}
     for scale in ("x1", f"x{args.factor}"):

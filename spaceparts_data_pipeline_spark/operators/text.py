@@ -12,6 +12,8 @@ Operators:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -89,6 +91,107 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("und"))
     )
     return out.withColumn("predicted_lang", predicted)
+
+
+#: Gopher's stop-word presence list (Rae et al. 2021, app. A1.1) — the
+#: rule requires ≥2 DISTINCT hits, unlike the frequency-style "en" set.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-rule document quality filter (Rae et al. 2021, app. A1.1):
+    per-rule measures plus the combined ``gopher_pass`` gate —
+
+    - word count in [50, 100 000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#'/'…') < 0.1
+    - < 90 % of lines start with a bullet, < 30 % end with an ellipsis
+    - > 80 % of words contain an alphabetic character
+    - ≥ 2 distinct stop words present
+
+    All JVM-side expressions (one projection over the scan, no shuffle);
+    every regex stays inside the Java∩RE2 subset (no lookarounds, no
+    backreferences) so the DuckDB oracle replays the rules exactly.
+    Ratios divide the raw integer counts — IEEE division of identical
+    integers is bit-identical across engines, so the pass flag compares
+    doubles without a rounding fence.
+    """
+    t = F.col(text_col)
+    n_words = token_count(text_col).cast("long")
+    w1 = F.greatest(n_words, F.lit(1))
+    nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    mean_wl = nonspace / w1
+    symbols = F.regexp_count(t, F.lit("[#…]")).cast("long")
+    sym_ratio = symbols / w1
+    # one synthetic leading separator so the first word is countable
+    # without lookbehind; \S* cannot cross whitespace, so each word
+    # yields at most one match
+    alpha_words = F.regexp_count(
+        F.concat(F.lit(" "), t), F.lit(r"\s+\S*[A-Za-z]")).cast("long")
+    alpha_frac = alpha_words / w1
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines).cast("long"), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("long") / n_lines)
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))).cast("long") / n_lines)
+    low = F.lower(t)
+    n_stop = reduce(
+        lambda a, b: a + b,
+        [F.when(low.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+         for w in GOPHER_STOPWORDS],
+    ).cast("long")
+    gate = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (sym_ratio < 0.1)
+        & (bullet_frac < 0.9) & (ellipsis_frac < 0.3)
+        & (alpha_frac > 0.8)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_distinct"),
+        gate.alias("gopher_pass"),
+    )
+
+
+def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """C4-style line/document cleanup (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation and hold ≥ 5 words;
+    drop whole documents containing ``{`` (code) or "lorem ipsum", or
+    retaining < 3 lines. Output is the CLEANED text plus the kept-line
+    count — a transformation, not just a flag, so downstream stages see
+    the filtered corpus.
+
+    Pure array lambdas over one projection — the per-doc line scan
+    never leaves the JVM and nothing shuffles; at 100 TB this is
+    scan-bound like every other gate in the funnel.
+    """
+    t = F.col(text_col)
+    kept = F.filter(
+        F.split(t, "\n"),
+        lambda x: x.rlike('[.!?"]\\s*$')
+        & (F.length(F.trim(x)) > 0)
+        & (F.size(F.split(F.trim(x), r"\s+")) >= 5),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (~F.lower(t).contains("lorem ipsum") & ~t.contains("{")).alias("__doc_ok"),
+    )
+    return (
+        out.filter(F.col("__doc_ok") & (F.col("n_lines_kept") >= 3))
+        .drop("__doc_ok")
+    )
 
 
 def hash_bucket(col: Column | str, buckets: int = 100) -> Column:

@@ -28,6 +28,7 @@ running-sum window per shard.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,7 +98,20 @@ def run_corpus_ingest(
             rows.write.mode("append").parquet(path)
 
         maybe_compact = dedup.maybe_compact_store
-    stats: dict[str, int] = {"input": batch.count()}
+    # Per-stage wall clock rides along as float "sec_<stage>" keys (the
+    # persist+count at each stage boundary materializes that stage, so
+    # the deltas are honest stage costs — SCALING.md's funnel table
+    # reads them directly). Integer keys remain the funnel counts.
+    _t = time.perf_counter()
+
+    def _tick() -> float:
+        nonlocal _t
+        now = time.perf_counter()
+        sec, _t = now - _t, now
+        return round(sec, 3)
+
+    stats: dict[str, float] = {"input": batch.count()}
+    stats["sec_input"] = _tick()
     persisted: list = []
 
     # 1-2. quality gate + redaction: pure projections, one pass
@@ -109,6 +123,7 @@ def run_corpus_ingest(
     staged = staged.persist()
     persisted.append(staged)
     stats["after_quality"] = staged.count()
+    stats["sec_quality_redact"] = _tick()
 
     # 3. cross-run exact dedup on redacted text (redaction first, so two
     # docs differing only in a phone number dedup as the same doc).
@@ -122,6 +137,7 @@ def run_corpus_ingest(
     exact_survivors = exact_survivors.persist()
     persisted.append(exact_survivors)
     stats["after_exact_dedup"] = exact_survivors.count()
+    stats["sec_exact_dedup"] = _tick()
 
     # 4. cross-run near-dup dedup (within-batch LSH + band-store screen)
     if near_dedup:
@@ -136,6 +152,7 @@ def run_corpus_ingest(
         admitted = admitted.persist()
         persisted.append(admitted)
         stats["after_near_dedup"] = admitted.count()
+        stats["sec_near_dedup"] = _tick()
     else:
         admitted = exact_survivors
 
@@ -149,6 +166,7 @@ def run_corpus_ingest(
         admitted = admitted.join(clean_ids, id_col, "left_semi").persist()
         persisted.append(admitted)
     stats["admitted"] = admitted.count()
+    stats["sec_contamination"] = _tick()
 
     # 6. durable outputs FIRST, store updates after — the exact crash
     # ordering proven in stream_ingest_dedup: the corpus is partitioned
@@ -184,6 +202,7 @@ def run_corpus_ingest(
                 "overwrite").partitionBy("run_id").parquet(manifest_root)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        stats["sec_write_pack"] = _tick()
 
         append_store(
             spark, durable.select(F.md5(text_col).alias("fingerprint")), fp_store_path)
@@ -194,6 +213,7 @@ def run_corpus_ingest(
                     durable, id_col=id_col, text_col=text_col,
                     num_perm=num_perm, rows_per_band=rows_per_band),
                 band_store_path)
+        stats["sec_store_append"] = _tick()
         # 7. store maintenance: append-only stores grow a file set per
         # run; compact past the file-count threshold (decisions are
         # invariant — the screens read DISTINCT fingerprints)
@@ -203,6 +223,7 @@ def run_corpus_ingest(
                 c = maybe_compact(spark, sp, compact_files_threshold)
                 if c is not None:
                     stats[f"compacted_{os.path.basename(sp)}"] = c["rows_after"]
+            stats["sec_compact"] = _tick()
     finally:
         for df in persisted:
             df.unpersist()

@@ -95,6 +95,23 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       body of no other op), q19 (distinct-count evidence held by
 #       in-window s03's COUNT(DISTINCT) oracle), q20 (union+distinct
 #       held by in-window q12's union-dedup upsert).
+#
+# Mid-round-7 addition: the published pretrain-corpus quality rule
+# sets, both FULL-oracle, rotated straight IN so they get driver rows
+# on first appearance (the rotation policy's standing goal):
+#   d17_gopher_quality (Gopher rules, Rae et al. 2021 — 7 per-rule
+#       measures + combined gate, all Java∩RE2 regexes),
+#   d18_c4_line_filter (C4 line/document cleanup, Raffel et al. 2020 —
+#       a text TRANSFORMATION, kept lines rejoined).
+# OUT, coverage retained transitively, both r06-green and still in the
+# local parity suite every round:
+#   d04 (its token-count + stopword-count oracle body is replayed
+#       verbatim inside in-window c01's `batch` CTE quality gate, and
+#       its ratio family is subsumed by d17's five ratio rules; d04
+#       also remains a bench HEADLINE query, timed every round),
+#   d05 (the word-boundary regex-hit counting is exactly d17's
+#       stopword-presence machinery ×8 words, and the 4-way argmax
+#       when-chain shape is in-window q04's categorization chain).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -107,8 +124,8 @@ _PRIORITY = [
     "q22_dim_product_enrich", "q23_dedup_latest_agg",
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
-    "d04_text_quality",
-    "d05_lang_id", "d07_minhash_lsh_pairs", "d08_simhash",
+    "d17_gopher_quality", "d18_c4_line_filter",
+    "d07_minhash_lsh_pairs", "d08_simhash",
     "d10_embed_near_dup",
     "d11_repetition_stats", "d12_stratified_sample", "d13_canonical_corpus",
     "d14_canonical_corpus_lsh", "d16_incremental_near_dedup",

@@ -1231,3 +1231,92 @@ def c01_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_id") == "c01run")
         .select("doc_id", "text", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# d17 — Gopher-rule quality filter (Rae et al. 2021 app. A1.1): the
+# published rule set behind most modern pretrain corpora, as per-rule
+# measures plus the combined gate. Every regex sits in the Java∩RE2
+# subset and every ratio divides raw integer counts, so the DuckDB
+# oracle replays all seven rules bit-exactly (same discipline as x32).
+# ---------------------------------------------------------------------------
+
+@register(
+    "d17_gopher_quality",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS nonspace,
+             CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS symbols,
+             CAST(len(regexp_extract_all(' ' || text, '\s+\S*[A-Za-z]')) AS BIGINT) AS alpha_words,
+             string_split(text, chr(10)) AS lines,
+             lower(text) AS low
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words, greatest(n_words, 1) AS w1,
+             nonspace, symbols, alpha_words,
+             greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
+             CAST((CASE WHEN regexp_matches(low, '\bthe\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(low, '\bbe\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(low, '\bto\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(low, '\bof\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(low, '\band\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(low, '\bthat\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(low, '\bhave\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(low, '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      FROM m
+    )
+    SELECT doc_id, n_words,
+           nonspace / w1 AS mean_word_len,
+           symbols / w1 AS symbol_word_ratio,
+           bullet_lines / n_lines AS bullet_line_frac,
+           ellipsis_lines / n_lines AS ellipsis_line_frac,
+           alpha_words / w1 AS alpha_word_frac,
+           n_stop AS n_stop_distinct,
+           n_words >= 50 AND n_words <= 100000
+             AND nonspace / w1 >= 3 AND nonspace / w1 <= 10
+             AND symbols / w1 < 0.1
+             AND bullet_lines / n_lines < 0.9
+             AND ellipsis_lines / n_lines < 0.3
+             AND alpha_words / w1 > 0.8
+             AND n_stop >= 2 AS gopher_pass
+    FROM r
+    """,
+)
+def d17_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.gopher_quality(d)
+
+
+# ---------------------------------------------------------------------------
+# d18 — C4-style line/document cleanup (Raffel et al. 2020 §2.2): a
+# TRANSFORMATION (the cleaned text), not just a flag — terminal-punct +
+# ≥5-word line gate, then document gates (no '{', no "lorem ipsum",
+# ≥3 surviving lines). Pure array lambdas; full oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d18_c4_line_filter",
+    r"""
+    WITH k AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> regexp_matches(x, '[.!?"]\s*$')
+                              AND length(trim(x)) > 0
+                              AND len(string_split_regex(trim(x), '\s+')) >= 5) AS kept,
+             (NOT contains(lower(text), 'lorem ipsum')) AND (NOT contains(text, '{')) AS doc_ok
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           array_to_string(kept, chr(10)) AS clean_text
+    FROM k WHERE doc_ok AND len(kept) >= 3
+    """,
+)
+def d18_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.c4_line_filter(d)

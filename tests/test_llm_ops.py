@@ -949,3 +949,91 @@ class TestTableStore:
             assert a4.count() == 0                         # screen invariant
         finally:
             self._cleanup(spark, table)
+
+
+class TestQualityFilters:
+    """d17 (Gopher rules) / d18 (C4 line filter) on crafted edge docs —
+    the sf fixtures are single-line and mostly rule-passing, so the
+    bullet/ellipsis/alpha/document gates are exercised here, both as
+    direct value asserts and as an engine-vs-DuckDB parity run over a
+    crafted documents table (the same compare the driver gate runs)."""
+
+    PASS_DOC = ("the quick brown fox jumps over that lazy dog and runs with "
+                "great speed across a wide field " * 4)
+
+    def _docs(self, spark):
+        bullets = "\n".join(["- bullet item one", "- bullet item two",
+                             "* bullet item three", "plain line here"])
+        ellipses = "\n".join(["this line trails off...",
+                              "so does this one …", "but not this one."])
+        rows = [
+            (1, self.PASS_DOC, "en", "s1", len(self.PASS_DOC)),
+            (2, "tiny text", "en", "s1", 9),                      # < 50 words
+            (3, " ".join(["12345"] * 60), "en", "s1", 60 * 6),    # no alpha
+            (4, bullets, "en", "s2", len(bullets)),               # 3/4 bullet lines
+            (5, ellipses, "en", "s2", len(ellipses)),             # 2/3 ellipsis lines
+            (6, self.PASS_DOC + " ##### " + "#" * 40, "en", "s2",
+             len(self.PASS_DOC) + 47),                            # symbol-heavy tail
+            (7, "supercalifragilisticexpialidocious " * 60, "en", "s3",
+             60 * 35),                                            # mean word len > 10
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    def test_gopher_rules(self, spark):
+        out = {r["doc_id"]: r.asDict() for r in text.gopher_quality(self._docs(spark)).collect()}
+        assert out[1]["gopher_pass"] is True
+        assert out[1]["n_stop_distinct"] >= 4          # the/that/and/with
+        assert out[1]["alpha_word_frac"] == 1.0
+        assert out[2]["gopher_pass"] is False          # word count
+        assert out[3]["alpha_word_frac"] == 0.0 and out[3]["gopher_pass"] is False
+        assert out[4]["bullet_line_frac"] == 0.75
+        assert abs(out[5]["ellipsis_line_frac"] - 2 / 3) < 1e-12
+        assert out[6]["symbol_word_ratio"] > 0.1 and out[6]["gopher_pass"] is False
+        assert out[7]["mean_word_len"] > 10 and out[7]["gopher_pass"] is False
+
+    def test_c4_line_filter(self, spark):
+        good = "\n".join([
+            "this is a proper sentence with enough words.",
+            "another complete line that also ends with punctuation!",
+            'a third qualifying line ends with a quote."',
+            "short line.",                               # < 5 words → dropped
+            "this line has plenty of words but no terminal punctuation",
+        ])
+        rows = [
+            (1, good, "s1"),
+            (2, good + "\nfunction foo() { return 1; }", "s1"),     # '{' → doc dropped
+            (3, good.replace("third", "Lorem Ipsum third"), "s1"),  # → doc dropped
+            (4, "only one good line stands entirely alone here.\nand a second good "
+                "sentence also survives the gate.", "s2"),          # 2 kept < 3 → dropped
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["doc_id"]: r for r in text.c4_line_filter(df).collect()}
+        assert set(out) == {1}
+        assert out[1]["n_lines_kept"] == 3
+        assert out[1]["clean_text"].count("\n") == 2
+        assert "no terminal punctuation" not in out[1]["clean_text"]
+
+    def test_oracle_parity_on_crafted_docs(self, spark, tmp_path):
+        """The d17/d18 DuckDB oracles replay the crafted edge docs
+        bit-exactly — multi-line, bullets, ellipses, symbols, unicode —
+        not just the tamer sf fixture content."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as entry_mod
+        from tests.oracle_harness import TABLES, compare
+
+        sf_dir = str(tmp_path / "crafted_sf")
+        (tmp_path / "crafted_sf").mkdir()
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf_dir}/{t}.parquet")
+        pdf = self._docs(spark).toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       f"{sf_dir}/documents.parquet")
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+        for name in ("d17_gopher_quality", "d18_c4_line_filter"):
+            compare(spark, qs[name], oracles[name], sf_dir, name)

@@ -365,8 +365,10 @@ class TestCorpusIngestPipeline:
                     spark, self._batch(spark, rows), out, f"r{i}",
                     compact_files_threshold=threshold)
                 raw_seq.append(s)
+                # decisions only: drop maintenance bookkeeping and the
+                # per-stage wall-clock keys (timings differ run to run)
                 stats_seq.append({k: v for k, v in s.items()
-                                  if not k.startswith("compacted_")})
+                                  if not k.startswith(("compacted_", "sec_"))})
             corpus = {(r["doc_id"], r["text"])
                       for r in spark.read.parquet(out + "/corpus").collect()}
             results[label] = (raw_seq, stats_seq, corpus)
@@ -423,7 +425,7 @@ class TestCorpusIngestPipeline:
             p2 = run_corpus_ingest(spark, b2, out_p, "r2")
 
             strip = lambda s: {k: v for k, v in s.items()  # noqa: E731
-                               if not k.startswith("compacted_")}
+                               if not k.startswith(("compacted_", "sec_"))}
             assert strip(s1) == strip(p1)
             assert strip(s2) == strip(p2)
             assert s2b["admitted"] == 0                   # replay idempotent
