@@ -76,6 +76,12 @@ OPS = [
     "e03b_similar_pairs_lsh_recall",
     "e04b_knn_ivf_refined",
     "m01_binary_bytes",
+    # round-7 ops: the Gopher rule set (regex-heavy but scan-bound —
+    # zero shuffle expected) and the duplicated-passage profile (every
+    # word-5-gram leaves the row as an md5 hash — the heaviest linear
+    # shuffle in the text family; the measurement to watch)
+    "d17_gopher_quality",
+    "d19_duplicate_passages",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
@@ -216,6 +222,22 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5) -> list[dict]:
 
     Records per batch: per-stage wall (the funnel's own sec_* keys),
     shuffle-byte deltas, and store growth (files + rows per store).
+
+    contamination_threshold is fixture-calibrated: the synthetic docs
+    are template-generated, so EVERY doc shares word-3-gram shingles
+    with the benchmark slice (measured x1 median 19, p99 43 — the
+    default threshold 1 admits zero docs and the funnel's back half
+    never runs). 30 rejects roughly the top quartile: the screen does
+    real filtering while the write/store stages still see real volume.
+
+    quality_gate=False: the shard synthesis rotates each shard's
+    alphabet (the property that keeps shards shingle-disjoint), which
+    also destroys the English stopwords the gate requires — with the
+    gate on, every shard>0 doc is eliminated and the "8x" funnel runs
+    at 1x volume past stage 1 (observed: identical after_quality
+    counts at both scales). The gate is a scan-bound pure projection
+    whose scaling d04/d17 measure standalone; disabling it here keeps
+    the dedup/contamination/store stages at honest 8x volume.
     """
     import pyspark.sql.functions as F
 
@@ -236,7 +258,8 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5) -> list[dict]:
         spark.catalog.clearCache()
         before = _stage_totals(spark)
         t0 = time.perf_counter()
-        stats = run_corpus_ingest(spark, batch, out, f"b{b}", benchmark=benchmark)
+        stats = run_corpus_ingest(spark, batch, out, f"b{b}", benchmark=benchmark,
+                                  contamination_threshold=30, quality_gate=False)
         wall = time.perf_counter() - t0
         after = _stage_totals(spark)
         row = {
@@ -247,8 +270,9 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5) -> list[dict]:
         }
         for store in ("fp_store", "band_store"):
             p = os.path.join(out, store)
-            row[f"{store}_files"] = dedup.data_file_count(spark, p)
-            row[f"{store}_rows"] = spark.read.parquet(p).count()
+            sdf = dedup.read_store(spark, p)  # None until first admit
+            row[f"{store}_files"] = dedup.data_file_count(spark, p) if sdf is not None else 0
+            row[f"{store}_rows"] = sdf.count() if sdf is not None else 0
         results.append(row)
         print(json.dumps(row), flush=True)
     return results

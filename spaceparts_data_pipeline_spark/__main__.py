@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
                         "exceeds this (append-only stores grow per run; compaction is the "
                         "crash-safe distinct-rewrite and never changes admit decisions); "
                         "0 disables")
+    p.add_argument("--quality-rules", choices=["basic", "gopher", "c4"], default="basic",
+                   help="corpus mode: quality gate — 'basic' (token band + stopwords), "
+                        "'gopher' (the seven Gopher rules), 'c4' (line/document cleanup; "
+                        "survivors continue with the CLEANED text)")
     args = p.parse_args(argv)
 
     if args.corpus_out:
@@ -156,7 +160,8 @@ def _corpus_main(args) -> int:
 
     stats = run_corpus_ingest(
         spark, batch, args.corpus_out, args.run_id, benchmark=benchmark,
-        compact_files_threshold=(args.store_compact_files or None))
+        compact_files_threshold=(args.store_compact_files or None),
+        quality_rules=args.quality_rules)
     for p in parents:
         p.unpersist()
     print(json.dumps({

@@ -508,13 +508,21 @@ def _bucket_pairs_fn(id_col: str, vec_col: str, threshold: float, chunk: int = 2
     return fn
 
 
-#: Pinned high-recall LSH profile: 4 hyperplanes × 12 bands measures
-#: 0.91 recall at THRESHOLD-level similarity (cos ≈ 0.35, ~70° apart) on
-#: the test fixture, where the self-sized default — tuned for near-dup
-#: recall at bounded cost — retains only ~0.2. Use it when moderate
-#: -similarity pairs matter and the bigger buckets (2⁴ per band) are
-#: affordable; tests/test_llm_ops.py pins the 0.9 floor.
-HIGH_RECALL_LSH = {"n_planes": 4, "n_bands": 12}
+#: Pinned high-recall LSH profile: 4 hyperplanes × 16 bands. 12 bands
+#: measured 0.91 recall at THRESHOLD-level similarity (cos ≈ 0.35,
+#: ~70° apart) on the 1× test fixture — but the 8× scale harness
+#: (--recall-e03b), whose per-shard sign masks present the SAME pair
+#: geometry to effectively independent plane draws, measured 0.866
+#: averaged over 8 draws: the 1× 0.91 was one lucky draw, not the
+#: profile's expected recall (theory at exactly cos 0.35: band p =
+#: 0.614⁴ ≈ 0.142, 12 bands → 1−0.858¹² ≈ 0.84). 16 bands lifts the
+#: marginal pair to ≈ 0.91 and the above-threshold population higher —
+#: re-measured ≥ 0.9 at both 1× and 8× (SCALING.md). The self-sized
+#: default — tuned for near-dup recall at bounded cost — retains only
+#: ~0.2 here. Use this profile when moderate-similarity pairs matter
+#: and the bigger buckets (2⁴ per band) are affordable;
+#: tests/test_llm_ops.py pins the 0.9 floor at 1×, the harness at 8×.
+HIGH_RECALL_LSH = {"n_planes": 4, "n_bands": 16}
 
 
 def similar_pairs_lsh(
@@ -537,7 +545,8 @@ def similar_pairs_lsh(
     collides in one ``n_planes``-bit band with prob (1-acos(c)/π)^n_planes,
     in ANY of ``n_bands`` with 1-(1-p)^n_bands — measured on the test
     fixture at threshold 0.35: single 8-bit signature ≈ 0.02 recall,
-    4-plane × 8-band ≈ 0.77, 4-plane × 12-band ≈ 0.91. Cost stays
+    4-plane × 8-band ≈ 0.77, 4-plane × 16-band ≥ 0.9 (held across
+    plane draws — see HIGH_RECALL_LSH's note). Cost stays
     Σ bucket² per band — no all-pairs product; the band join shuffles
     only (band, sig, id) triples, and vectors join back by id for
     verification. Fewer planes ⇒ bigger buckets (2^n_planes per band):
@@ -552,9 +561,9 @@ def similar_pairs_lsh(
     is near-dup-oriented (cos ≥ 0.9 pairs ≈ 0.99 at 8 bands) while
     wide-angle pairs (cos ≈ threshold 0.35, ~70° apart) retain ~0.2 —
     the inherent hyperplane-LSH trade; for high recall on moderate
-    similarity pin ``n_planes`` low and raise ``n_bands`` (4 planes ×
-    12 bands measures 0.91 on the test fixture) and pay the bigger
-    buckets.
+    similarity pin ``n_planes`` low and raise ``n_bands``
+    (HIGH_RECALL_LSH: 4 planes × 16 bands holds ≥ 0.9 across plane
+    draws) and pay the bigger buckets.
     """
     n = n_hint if n_hint is not None else None
     if n_planes is None and n is None:

@@ -117,13 +117,29 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     integers is bit-identical across engines, so the pass flag compares
     doubles without a rounding fence.
     """
-    t = F.col(text_col)
-    n_words = token_count(text_col).cast("long")
+    m = _gopher_measures(text_col)
+    return df.select(
+        F.col(id_col), m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_word_ratio"].alias("symbol_word_ratio"),
+        m["bullet_line_frac"].alias("bullet_line_frac"),
+        m["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        m["alpha_word_frac"].alias("alpha_word_frac"),
+        m["n_stop_distinct"].alias("n_stop_distinct"),
+        m["gopher_pass"].alias("gopher_pass"),
+    )
+
+
+def _gopher_measures(text_col: Column | str) -> dict[str, Column]:
+    """The Gopher rule measures as named column expressions — shared by
+    the d17 profile query and the funnel's ``quality_rules='gopher'``
+    gate so the two can never drift."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_words = token_count(t).cast("long")
     w1 = F.greatest(n_words, F.lit(1))
     nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
     mean_wl = nonspace / w1
-    symbols = F.regexp_count(t, F.lit("[#…]")).cast("long")
-    sym_ratio = symbols / w1
+    sym_ratio = F.regexp_count(t, F.lit("[#…]")).cast("long") / w1
     # one synthetic leading separator so the first word is countable
     # without lookbehind; \S* cannot cross whitespace, so each word
     # yields at most one match
@@ -150,16 +166,17 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
         & (alpha_frac > 0.8)
         & (n_stop >= 2)
     )
-    return df.select(
-        F.col(id_col), n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.alias("n_stop_distinct"),
-        gate.alias("gopher_pass"),
-    )
+    return {
+        "n_words": n_words, "mean_word_len": mean_wl,
+        "symbol_word_ratio": sym_ratio, "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac, "alpha_word_frac": alpha_frac,
+        "n_stop_distinct": n_stop, "gopher_pass": gate,
+    }
+
+
+def gopher_gate(text_col: Column | str) -> Column:
+    """Boolean column: the combined Gopher gate (see gopher_quality)."""
+    return _gopher_measures(text_col)["gopher_pass"]
 
 
 def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
@@ -176,22 +193,37 @@ def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
     scan-bound like every other gate in the funnel.
     """
     t = F.col(text_col)
-    kept = F.filter(
-        F.split(t, "\n"),
-        lambda x: x.rlike('[.!?"]\\s*$')
-        & (F.length(F.trim(x)) > 0)
-        & (F.size(F.split(F.trim(x), r"\s+")) >= 5),
-    )
+    kept = c4_kept_lines(t)
     out = df.select(
         F.col(id_col),
         F.size(kept).cast("long").alias("n_lines_kept"),
         F.array_join(kept, "\n").alias("clean_text"),
-        (~F.lower(t).contains("lorem ipsum") & ~t.contains("{")).alias("__doc_ok"),
+        c4_doc_ok(t).alias("__doc_ok"),
     )
     return (
         out.filter(F.col("__doc_ok") & (F.col("n_lines_kept") >= 3))
         .drop("__doc_ok")
     )
+
+
+def c4_kept_lines(text_col: Column | str) -> Column:
+    """Array column: the lines C4's line gate keeps (terminal
+    punctuation, non-blank, ≥5 words) — shared by the d18 query and
+    the funnel's ``quality_rules='c4'`` stage."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(t, "\n"),
+        lambda x: x.rlike('[.!?"]\\s*$')
+        & (F.length(F.trim(x)) > 0)
+        & (F.size(F.split(F.trim(x), r"\s+")) >= 5),
+    )
+
+
+def c4_doc_ok(text_col: Column | str) -> Column:
+    """Boolean column: C4's document-level gates (no code-brace, no
+    lorem ipsum) — the ≥3-kept-lines gate composes with c4_kept_lines."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return ~F.lower(t).contains("lorem ipsum") & ~t.contains("{")
 
 
 def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
@@ -334,6 +366,48 @@ def sequence_packing(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    default_budget: int,
+    budgets: dict[str, int] | None = None,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture selection under per-source TOKEN budgets (the
+    pretrain "mixing weights" op: cap each source's contribution —
+    e.g. upsample curated sources, cap web crawl — by token count, not
+    doc count). Within each ``shard_col`` value, documents are taken
+    in ``id_col`` order until the source's budget is exhausted: a doc
+    is kept iff the running token sum through it stays ≤ the budget
+    (the doc that would cross the line is dropped, as is everything
+    after it). Deterministic across engines, runs, and partitionings —
+    no sampling, no rand().
+
+    Output: (id, shard, n_tokens, cum_tokens) for every selected doc.
+
+    One running-sum window per source — the same distributed shape as
+    sequence_packing; budgets resolve to a literal when-chain, so the
+    whole op is a window plus a codegen filter, one shuffle on
+    ``shard_col``.
+    """
+    from pyspark.sql import Window
+
+    budget = F.lit(default_budget)
+    for value, b in (budgets or {}).items():
+        budget = F.when(F.col(shard_col) == value, F.lit(b)).otherwise(budget)
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = token_count(text_col).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 # -- PII / pattern redaction -------------------------------------------------
 
 #: Redaction chain (ordered: structured patterns before the bare digit
@@ -415,6 +489,60 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
     return F.transform(
         F.slice(toks, F.lit(1), count),
         lambda _, i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    flag_threshold: float = 0.3,
+) -> DataFrame:
+    """Duplicated-passage profile (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): substring-level
+    duplication that whole-document dedup (d13-d16) cannot see — for
+    each document, the fraction of its word ``k``-gram positions whose
+    gram occurs MORE THAN ONCE anywhere in the corpus (boilerplate
+    headers, licence blocks, templated spans). Output per doc:
+    ``n_grams``, ``n_dup_grams``, ``dup_gram_frac``, and
+    ``dup_passage_flag`` when the fraction exceeds ``flag_threshold``.
+
+    Scale shape: grams leave the row only as md5 hashes — explode →
+    per-(doc, hash) count (map-side combinable) → per-hash global sum →
+    hash-keyed join back. Both shuffles move 32-char hashes + longs,
+    never gram text; cost is linear in corpus token count. md5 (not
+    xxhash) so the DuckDB oracle replays the grouping key exactly —
+    the same trade x29 makes.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, k)).alias("__gram"),
+    ).select(id_col, F.md5("__gram").alias("__h"))
+    per_doc_gram = grams.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__c_doc"))
+    global_cnt = per_doc_gram.groupBy("__h").agg(F.sum("__c_doc").alias("__c_glob"))
+    per_doc = (
+        per_doc_gram.join(global_cnt, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c_doc").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__c_glob") > 1, F.col("__c_doc")).otherwise(F.lit(0)))
+            .cast("long").alias("n_dup_grams"),
+        )
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
+    n_dup = F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+    frac = F.when(n_grams > 0, n_dup / n_grams)
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_grams.alias("n_grams"),
+            n_dup.alias("n_dup_grams"),
+            frac.alias("dup_gram_frac"),
+            F.coalesce(frac > flag_threshold, F.lit(False)).alias("dup_passage_flag"),
+        )
     )
 
 

@@ -46,6 +46,7 @@ def run_corpus_ingest(
     text_col: str = "text",
     shard_col: str = "source",
     quality_gate: bool = True,
+    quality_rules: str = "basic",
     near_dedup: bool = True,
     contamination_threshold: int = 1,
     pack_capacity: int = 512,
@@ -74,6 +75,18 @@ def run_corpus_ingest(
     reference runs its OPTIMIZE maintenance on every load). Compaction
     never changes admit/reject decisions: the screens read DISTINCT
     fingerprints. ``None`` disables.
+
+    ``quality_rules`` selects the gate ``quality_gate=True`` applies —
+    all three are single-projection, shuffle-free, JVM-side gates:
+
+    - ``'basic'``: token-count band + stopword presence
+      (:func:`operators.text.with_quality_score`, the c01-pinned gate);
+    - ``'gopher'``: the seven published Gopher rules
+      (:func:`operators.text.gopher_gate`, profiled by d17);
+    - ``'c4'``: C4 line/document cleanup (d18) — a TRANSFORMATION:
+      surviving docs continue with the CLEANED text (kept lines
+      rejoined), so everything downstream — redaction, fingerprints,
+      MinHash bands, packing — sees what training would see.
 
     ``store_table_prefix``: store the screens in CATALOG TABLES
     ``{prefix}_fp_store`` / ``{prefix}_band_store`` instead of
@@ -117,8 +130,19 @@ def run_corpus_ingest(
     # 1-2. quality gate + redaction: pure projections, one pass
     staged = batch
     if quality_gate:
-        staged = text.with_quality_score(staged, text_col).filter("is_quality")
-        staged = staged.select(*batch.columns)
+        if quality_rules == "basic":
+            staged = text.with_quality_score(staged, text_col).filter("is_quality")
+            staged = staged.select(*batch.columns)
+        elif quality_rules == "gopher":
+            staged = staged.filter(text.gopher_gate(text_col))
+        elif quality_rules == "c4":
+            kept = text.c4_kept_lines(text_col)
+            staged = (
+                staged.filter(text.c4_doc_ok(text_col) & (F.size(kept) >= 3))
+                .withColumn(text_col, F.array_join(kept, "\n"))
+            )
+        else:
+            raise ValueError(f"unknown quality_rules: {quality_rules!r}")
     staged = staged.withColumn(text_col, text.redact_pii(text_col))
     staged = staged.persist()
     persisted.append(staged)

@@ -112,6 +112,26 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   d05 (the word-boundary regex-hit counting is exactly d17's
 #       stopword-presence machinery ×8 words, and the 4-way argmax
 #       when-chain shape is in-window q04's categorization chain).
+# Second mid-round-7 addition, same policy (new FULL-oracle op goes
+# straight in so it gets a driver row on first appearance):
+#   d19_duplicate_passages (Lee-et-al substring-level duplication
+#       profile — md5'd word-5-grams, per-doc duplicated-position
+#       fraction). OUT: d11 (its explode → per-(doc,token) count →
+#       per-doc agg oracle body is exactly d19's per-doc-gram
+#       pipeline minus the global join, and its ratio/flag family is
+#       d17's; still green in the local parity suite every round).
+# Third mid-round-7 addition:
+#   x35_token_budget_mix (per-source token-budget data mixing — FULL
+#       oracle; running-sum window + budget when-chain),
+#   s05_stream_ingest_near_dedup (streaming NEAR-dup ingestion — the
+#       band-store screen inside foreachBatch; rows-only, xxhash LSH;
+#       guarantees pinned in tests/test_streaming.py).
+# OUT, coverage retained transitively, both r06-green:
+#   x30 (its per-shard running-sum packing window is x35's cumsum
+#       body; the placement floor-division on top is pinned by the
+#       local parity suite and unit tests),
+#   e04 (the seed-path IVF is literally in-window e04b's first stage —
+#       e04b runs seed assignment then Lloyd-refines it, FULL oracle).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -127,14 +147,14 @@ _PRIORITY = [
     "d17_gopher_quality", "d18_c4_line_filter",
     "d07_minhash_lsh_pairs", "d08_simhash",
     "d10_embed_near_dup",
-    "d11_repetition_stats", "d12_stratified_sample", "d13_canonical_corpus",
+    "d19_duplicate_passages", "d12_stratified_sample", "d13_canonical_corpus",
     "d14_canonical_corpus_lsh", "d16_incremental_near_dedup",
-    "x29_contamination_check", "x30_sequence_packing",
+    "x29_contamination_check", "x35_token_budget_mix",
     "x31b_bigram_topk_twopass", "x34_corpus_summary",
     "c01_corpus_funnel",
     # LLM data ops: similarity / ANN family
     "e01_knn_topk", "e03b_similar_pairs_lsh_recall",
-    "e04_knn_ivf", "e04b_knn_ivf_refined",
+    "s05_stream_ingest_near_dedup", "e04b_knn_ivf_refined",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes", "x07_tfidf_topterms",
     # windowed sessionization (guards the NTZ-safe epoch-micros path)

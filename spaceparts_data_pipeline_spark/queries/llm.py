@@ -550,12 +550,15 @@ def e03_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("e03b_similar_pairs_lsh_recall")
 def e03b_similar_pairs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """e03 under the pinned HIGH-RECALL profile (4 planes × 12 bands,
-    0.91 recall at threshold-level similarity vs the self-sized
-    default's ~0.2) — the named variant for moderate-similarity use, so
-    the recall trade is a visible choice rather than a silent default
-    (round-3 verdict next-round #8). Approximate → rows-only, like e03;
-    the recall floor itself is pinned in tests/test_llm_ops.py."""
+    """e03 under the pinned HIGH-RECALL profile (4 planes × 16 bands,
+    ≥0.9 recall at threshold-level similarity vs the self-sized
+    default's ~0.2; raised from 12 bands after the 8× harness showed
+    the 12-band fixture number was one lucky plane draw) — the named
+    variant for moderate-similarity use, so the recall trade is a
+    visible choice rather than a silent default (round-3 verdict
+    next-round #8). Approximate → rows-only, like e03; the recall
+    floor is pinned in tests/test_llm_ops.py at 1× and by
+    scale_harness --recall-e03b at 8×."""
     d = T(spark, sf_dir, "embeddings")
     return similarity.similar_pairs_lsh(
         d, threshold=0.35, **similarity.HIGH_RECALL_LSH
@@ -1320,3 +1323,78 @@ def d17_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d18_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return text.c4_line_filter(d)
+
+
+# ---------------------------------------------------------------------------
+# d19 — duplicated-passage profile (Lee et al. 2021): substring-level
+# duplication the whole-document dedup family can't see — per-doc
+# fraction of word-5-gram positions whose gram recurs anywhere in the
+# corpus. Grams shuffle as md5 hashes only; FULL oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d19_duplicate_passages",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+                                   i -> md5(array_to_string(t[i:i+4], ' ')))) AS h
+      FROM toks
+    ),
+    pg AS (SELECT doc_id, h, COUNT(*) AS c_doc FROM g GROUP BY doc_id, h),
+    gl AS (SELECT h, SUM(c_doc) AS c_glob FROM pg GROUP BY h),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c_doc) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN c_glob > 1 THEN c_doc ELSE 0 END) AS BIGINT) AS n_dup_grams
+      FROM pg JOIN gl USING (h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CASE WHEN COALESCE(n_grams, 0) > 0
+                THEN COALESCE(n_dup_grams, 0) / COALESCE(n_grams, 0) END AS dup_gram_frac,
+           COALESCE(CASE WHEN COALESCE(n_grams, 0) > 0
+                         THEN COALESCE(n_dup_grams, 0) / COALESCE(n_grams, 0) END > 0.3,
+                    FALSE) AS dup_passage_flag
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def d19_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.duplicate_passages(d, k=5, flag_threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# x35 — token-budget data mixing: per-source contribution caps in
+# TOKENS (the pretrain mixing-weights op — cap the crawl, keep the
+# curated sources), deterministic id-order selection, one window per
+# source. FULL oracle with the identical running-sum window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x35_token_budget_mix",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE WHEN source = 'src0' THEN 200 ELSE 700 END
+    """,
+)
+def x35_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.token_budget_mix(d, default_budget=700, budgets={"src0": 200})

@@ -277,3 +277,56 @@ def s04_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus_path)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
     )
+
+
+@register("s05_stream_ingest_near_dedup")
+def s05_stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with the NEAR-dup screen (d16's
+    streaming twin): stream_ingest_dedup with a band store — each
+    micro-batch is exact-screened, within-batch LSH-deduplicated, then
+    band-screened against everything prior runs admitted; survivors
+    land in the corpus and extend BOTH stores. Rows-only by design
+    (the band screen is xxhash MinHash — same inherent reason as
+    d14/d16); the exact-dup-always-screened and replay-idempotence
+    guarantees are pinned in tests/test_streaming.py."""
+    import hashlib
+    import shutil
+
+    from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
+    from spaceparts_data_pipeline_spark.sources.parquet import load_table
+    from spaceparts_data_pipeline_spark.streaming.structured import stream_ingest_dedup
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"stream_docs_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(docs_path, link)
+
+    work = os.path.join(tempfile.gettempdir(), f"s05_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    store_path = os.path.join(work, "store")
+    band_store_path = os.path.join(work, "band_store")
+    corpus_path = os.path.join(work, "corpus")
+    # seed both stores as prior runs would have left them
+    prior = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 6)
+    prior.select(F.md5("text").alias("fingerprint")).write.parquet(store_path)
+    dedup_fuzzy.band_table(prior).write.parquet(band_store_path)
+
+    stream = (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .filter(F.col("doc_id") % 10 >= 4)
+    )
+    q = stream_ingest_dedup(
+        spark, stream, store_path, corpus_path,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        band_store_path=band_store_path,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(corpus_path)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
+    )

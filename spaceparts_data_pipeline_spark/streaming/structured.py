@@ -165,6 +165,10 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     run_tag: str | None = None,
+    band_store_path: str | None = None,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
 ):
     """Continuous corpus ingestion with cross-run dedup — the streaming
     twin of ``operators.dedup.incremental_dedup``: each micro-batch is
@@ -192,10 +196,20 @@ def stream_ingest_dedup(
       survivor set and overwrites the same partition.
 
     The batch is persisted across the two writes: fingerprints shuffle;
-    raw text goes scan→corpus without entering any exchange."""
+    raw text goes scan→corpus without entering any exchange.
+
+    ``band_store_path`` adds the cross-run NEAR-dup screen after the
+    exact one — the streaming twin of the batch funnel's LSH stage
+    (``dedup_fuzzy.incremental_near_dedup``): each micro-batch is
+    within-batch LSH-deduplicated, then screened against the MinHash
+    band store of everything ever admitted; survivors' bands extend
+    the band store FROM THE DURABLE CORPUS, after the fingerprint
+    append, so every crash window replays to the same decisions (band
+    appends are idempotent under the DISTINCT band screen exactly as
+    fingerprint appends are under theirs)."""
     import hashlib
 
-    from spaceparts_data_pipeline_spark.operators import dedup
+    from spaceparts_data_pipeline_spark.operators import dedup, dedup_fuzzy
 
     if run_tag is None:
         run_tag = hashlib.md5(
@@ -211,8 +225,18 @@ def stream_ingest_dedup(
             survivors = dedup.incremental_dedup(
                 batch_df, store, id_col=id_col, text_col=text_col
             )
+            # inner join keeps the fingerprint column IN the payload —
+            # the durable corpus is what the fp-store append reads
+            admitted_rows = survivors.join(batch_df, id_col)
+            if band_store_path is not None:
+                band_store = dedup.read_store(spark, band_store_path)
+                admitted_rows, _ = dedup_fuzzy.incremental_near_dedup(
+                    admitted_rows, band_store, id_col=id_col, text_col=text_col,
+                    num_perm=num_perm, rows_per_band=rows_per_band,
+                    threshold=threshold,
+                )
             payload = (
-                survivors.join(batch_df, id_col)
+                admitted_rows
                 .withColumn("ingest_run", F.lit(run_tag))
                 .withColumn("ingest_batch_id", F.lit(batch_id))
             )
@@ -243,6 +267,15 @@ def stream_ingest_dedup(
                 & (F.col("ingest_batch_id") == batch_id)
             )
             dedup.update_fingerprint_store(spark, admitted, store_path)
+            if band_store_path is not None:
+                # bands recomputed from the DURABLE corpus, same replay
+                # argument as the fingerprints; appends are idempotent
+                # under the band screen's semi-join
+                dedup.recover_store(spark, band_store_path)
+                dedup_fuzzy.band_table(
+                    admitted, id_col=id_col, text_col=text_col,
+                    num_perm=num_perm, rows_per_band=rows_per_band,
+                ).write.mode("append").parquet(band_store_path)
         finally:
             batch_df.unpersist()
 

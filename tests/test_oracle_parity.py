@@ -28,6 +28,8 @@ def test_every_query_has_oracle_or_is_approximate(spark):
     approximate = {"d07_minhash_lsh_pairs", "d08_simhash", "d14_canonical_corpus_lsh",
                    "e03_similar_pairs_lsh",
                    "e03b_similar_pairs_lsh_recall", "e04_knn_ivf", "x18_approx_quantiles",
-                   "d16_incremental_near_dedup"}
+                   "d16_incremental_near_dedup",
+                   # s05 = d16's band screen inside foreachBatch (xxhash)
+                   "s05_stream_ingest_near_dedup"}
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries lacking oracles: {missing}"

@@ -536,3 +536,62 @@ def test_cli_corpus_multi_table_id_collision(spark, tmp_path):
     assert len(rows) == 2  # exactly one row per namespaced id
     manifest = spark.read.parquet(out + "/manifest")
     assert {r["doc_id"] for r in manifest.collect()} == {"tab_a:1", "tab_b:1"}
+
+
+class TestFunnelQualityRules:
+    """quality_rules switch on run_corpus_ingest: the published rule
+    sets (d17 Gopher / d18 C4) as the funnel's gate, not just as
+    standalone profile queries. C4 is a TRANSFORMATION — survivors
+    continue with the cleaned text, so fingerprints/corpus hold what
+    training would see."""
+
+    GOPHER_OK = ("the quick brown fox jumps over that lazy dog and runs with "
+                 "great speed across a wide field " * 4)
+
+    def test_gopher_gate(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        batch = spark.createDataFrame(
+            [(1, self.GOPHER_OK, "s1"),
+             (2, "way too short to pass", "s1"),
+             (3, " ".join(["12345"] * 60), "s1")],   # no alphabetic words
+            "doc_id long, text string, source string")
+        s = run_corpus_ingest(spark, batch, str(tmp_path / "g"), "r1",
+                              near_dedup=False, quality_rules="gopher")
+        assert s["after_quality"] == 1 and s["admitted"] == 1
+        corpus = spark.read.parquet(str(tmp_path / "g" / "corpus"))
+        assert {r["doc_id"] for r in corpus.collect()} == {1}
+
+    def test_c4_gate_transforms_text(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        good = "\n".join([
+            "this is a proper sentence with enough words.",
+            "another complete line that also ends with punctuation!",
+            "a third qualifying line with a phone 555 123 4567 ends here.",
+            "dangling line with no terminal punctuation at all",
+        ])
+        batch = spark.createDataFrame(
+            [(1, good, "s1"),
+             (2, good + "\nfunction foo() { return 1; }", "s1")],  # '{' gate
+            "doc_id long, text string, source string")
+        s = run_corpus_ingest(spark, batch, str(tmp_path / "c"), "r1",
+                              near_dedup=False, quality_rules="c4")
+        assert s["after_quality"] == 1 and s["admitted"] == 1
+        row = spark.read.parquet(str(tmp_path / "c" / "corpus")).collect()[0]
+        assert row["doc_id"] == 1
+        # cleaned: the dangling line is gone; redaction ran AFTER the
+        # cleanup, on the kept lines
+        assert "dangling" not in row["text"]
+        assert row["text"].count("\n") == 2
+        assert "<PHONE>" in row["text"] and "555" not in row["text"]
+
+    def test_unknown_rules_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        batch = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+        with _pytest.raises(ValueError, match="quality_rules"):
+            run_corpus_ingest(spark, batch, str(tmp_path / "u"), "r1",
+                              quality_rules="nope")

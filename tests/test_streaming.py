@@ -307,3 +307,59 @@ def test_stream_ingest_all_screened_first_batch(spark, tmp_path):
         spark, stream, store, corpus, checkpoint_dir=str(tmp_path / "ck1"))
     q2.awaitTermination(120)
     assert {r["text"] for r in spark.read.parquet(corpus).collect()} == {"beta"}
+
+
+def test_stream_ingest_near_dedup_multibatch_and_replay(spark, tmp_path):
+    """s05's guarantees (rows-only driver check → pinned here): the
+    band-store screen drops cross-micro-batch NEAR-dups (which the
+    md5 fingerprint store cannot see), exact dups stay screened, and
+    a redeploy-replay over the same source with both stores retained
+    admits nothing."""
+    import pyspark.sql.functions as F
+
+    LONG = ("the quick brown fox jumps over the lazy dog near the river bank "
+            "today while careful analysts study spark query plans and shuffle "
+            "metrics in the warehouse " * 2)
+    LONG_B = ("an entirely different document about catalyst optimizers and "
+              "adaptive query execution rewriting join strategies at runtime "
+              "for large clusters " * 2)
+    LONG_C = ("fresh content concerning broadcast thresholds and partition "
+              "pruning behavior under dynamic overwrite modes in production "
+              "pipelines everywhere " * 2)
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "store")
+    band_store = str(tmp_path / "band_store")
+    corpus = str(tmp_path / "corpus")
+    docs = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, LONG), (2, LONG.replace("lazy", "sleepy")), (3, LONG_B)], docs
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(10, LONG),                                  # exact dup of 1
+         (11, LONG.replace("quick", "rapid")),        # NEAR dup of 1 — band screen
+         (12, LONG_C)], docs
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(docs).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = structured.stream_ingest_dedup(
+            spark, stream, store, corpus, checkpoint_dir=str(tmp_path / ck),
+            band_store_path=band_store,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    admitted = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {1, 3, 12}      # 2 collapsed within-batch; 10/11 screened
+    # band store holds bands for exactly the admitted docs
+    bands = spark.read.parquet(band_store)
+    assert bands.select("doc_id").distinct().count() == 3
+
+    # redeploy-replay: fresh checkpoint, stores retained -> admits nothing
+    run("ck2")
+    assert spark.read.parquet(corpus).count() == 3
+    fps = spark.read.parquet(store)
+    assert fps.distinct().count() == 3
