@@ -49,8 +49,10 @@ CORPUS = [
     "d16_incremental_near_dedup",
     # round 7: the COMPOSED ingest funnel (exact-only mode, the c01
     # driver query) — tracked per round so drift in the end-to-end
-    # artifact is visible, not just its member stages
+    # artifact is visible, not just its member stages — and the
+    # duplicated-passage window plan (the heaviest linear text shuffle)
     "c01_corpus_funnel",
+    "d19_duplicate_passages",
 ]
 
 

@@ -480,16 +480,27 @@ def bpe_token_count(text: Column | str) -> Column:
 
 def word_ngrams(text: Column | str, n: int = 2) -> Column:
     """Array of word ``n``-grams (space-joined) from whitespace tokens.
-    Built-in lambda over the token array — per-row codegen, no shuffle;
+    Built-in lambdas over the token array — per-row codegen, no shuffle;
     the downstream count is a map-side-combinable groupBy of short
-    n-gram strings (vocab-bounded, not corpus-bounded)."""
+    n-gram strings (vocab-bounded, not corpus-bounded).
+
+    Shape note: built as a ``zip_with`` chain over ``n`` shifted slices,
+    NOT per-element ``F.get(toks, i + j)`` indexing — Catalyst does not
+    common-subexpression the un-projected ``split`` inside a lambda, so
+    the indexing form re-split the whole document once per gram element
+    per position (O(tokens²·n) per doc — measured 13.1 s for d19 at
+    sf0.1 vs 1.7 s after this rewrite + scan spread). Each slice here
+    evaluates the split once per ROW."""
     t = F.trim(F.col(text) if isinstance(text, str) else text)
     toks = F.split(t, r"\s+")
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.slice(toks, F.lit(1), count),
-        lambda _, i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-    )
+    grams = F.slice(toks, F.lit(1), count)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, F.lit(j + 1), count),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return grams
 
 
 def duplicate_passages(
@@ -525,7 +536,12 @@ def duplicate_passages(
     """
     from pyspark.sql import Window
 
-    grams = df.select(
+    # gram generation is the CPU-heavy per-row stage; a single-row-group
+    # scan would serialize it on one task (same starved-scan hazard the
+    # vector ops guard against) — no-op on multi-file production layouts
+    from spaceparts_data_pipeline_spark.operators.similarity import _ensure_parallel
+
+    grams = _ensure_parallel(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, k)).alias("__gram"),
     ).select(id_col, F.md5("__gram").alias("__h"))

@@ -1038,3 +1038,77 @@ class TestQualityFilters:
         qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
         for name in ("d17_gopher_quality", "d18_c4_line_filter"):
             compare(spark, qs[name], oracles[name], sf_dir, name)
+
+
+class TestMixAndPassages:
+    """x35 token-budget mixing and d19 duplicated-passage profile on
+    hand-computable fixtures."""
+
+    def test_token_budget_boundary(self, spark):
+        # source A: docs of 10 tokens each, budget 25 -> docs 1,2 kept
+        # (cum 10, 20), doc 3 (cum 30) crosses the line and is dropped;
+        # source B: budget 10 -> only doc 11 (cum 10, EXACTLY at the
+        # budget — kept: the gate is <=)
+        ten = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, ten, "A"), (2, ten, "A"), (3, ten, "A"),
+             (11, ten, "B"), (12, ten, "B")],
+            "doc_id long, text string, source string")
+        out = {r["doc_id"]: r["cum_tokens"] for r in
+               text.token_budget_mix(df, default_budget=25, budgets={"B": 10}).collect()}
+        assert out == {1: 10, 2: 20, 11: 10}
+
+    def test_duplicate_passages_known_answer(self, spark):
+        # doc 1 and doc 2 share one exact 5-gram span ("a b c d e");
+        # doc 3 is fully unique; doc 4 is too short for any 5-gram.
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"),      # grams: abcde, bcdef, cdefg
+             (2, "x a b c d e y"),      # grams: xabcd, abcde, bcdey
+             (3, "p q r s t u"),        # grams: pqrst, qrstu
+             (4, "too short")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict() for r in text.duplicate_passages(df, k=5).collect()}
+        assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+        assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
+        assert out[3]["n_dup_grams"] == 0 and out[3]["dup_passage_flag"] is False
+        assert out[4]["n_grams"] == 0 and out[4]["dup_gram_frac"] is None
+        assert abs(out[1]["dup_gram_frac"] - 1 / 3) < 1e-12
+        assert out[1]["dup_passage_flag"] is True   # 1/3 > 0.3
+
+    def test_duplicate_passages_within_doc_repeat(self, spark):
+        # a doc repeating its own 5-gram counts both positions
+        df = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")],   # grams at pos 1..6; abcde twice
+            "doc_id long, text string")
+        r = text.duplicate_passages(df, k=5).collect()[0]
+        assert r["n_grams"] == 6 and r["n_dup_grams"] == 2
+
+
+class TestWordNgramsProperty:
+    def test_ngrams_match_python_reference(self, spark):
+        """The zip_with-chain gram builder (rewritten from per-element
+        indexing after the O(tokens²·n) re-split finding — SCALING.md
+        round 7) must equal the obvious Python reference for arbitrary
+        whitespace-y text and n in 2..6."""
+        from hypothesis import given, settings, strategies as st
+
+        word = st.text(alphabet="abcXYZ09_", min_size=1, max_size=6)
+        texts = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(texts, min_size=1, max_size=6), st.integers(2, 6))
+        def check(rows, n):
+            df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                                       "id long, text string")
+            got = {r["id"]: r["g"] for r in
+                   df.select("id", text.word_ngrams("text", n).alias("g")).collect()}
+            for i, t in enumerate(rows):
+                toks = t.strip().split() if t.strip() else []
+                # Spark's split('', '\s+') yields [''] — a single empty
+                # token; mirror that exactly
+                if t.strip() == "":
+                    toks = [""]
+                want = [" ".join(toks[j:j + n]) for j in range(max(0, len(toks) - n + 1))]
+                assert got[i] == want, (t, n, got[i], want)
+
+        check()
