@@ -408,6 +408,37 @@ def token_budget_mix(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    seed: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every doc
+    gets a pseudo-random (shard, position) from ``md5(seed:id)`` — the
+    training-data ordering op (decorrelate adjacent source documents)
+    done WITHOUT rand(), so the permutation is reproducible across
+    engines, runs, and partitionings, and changing ``seed`` gives an
+    independent epoch order.
+
+    Scale shape: shard assignment is a pure projection; position is one
+    rank window PER SHARD (the same distributed window discipline as
+    sequence_packing — a single global ORDER BY would be the scale bug).
+    A reader streams shard s in position order; across shards any
+    interleave is valid because shard assignment is itself random.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards).cast("int")
+    out = df.select(F.col(id_col), key.alias("__k"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return out.select(
+        id_col, "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+
+
 # -- PII / pattern redaction -------------------------------------------------
 
 #: Redaction chain (ordered: structured patterns before the bare digit

@@ -132,6 +132,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       local parity suite and unit tests),
 #   e04 (the seed-path IVF is literally in-window e04b's first stage —
 #       e04b runs seed assignment then Lloyd-refines it, FULL oracle).
+# Registered late round 7, NOT yet windowed (round-8 rotation
+# candidates, the standing policy's next batch):
+#   x36_corpus_shuffle (deterministic epoch-order shuffle — FULL
+#       oracle, green in the local parity suite at three SFs),
+#   d18 stays in-window; d04/d05/d11/x30/e04/x31/x32/x33/d15/e03
+#       remain the transitively-held out-of-window set.
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",

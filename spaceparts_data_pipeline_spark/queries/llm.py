@@ -1397,3 +1397,33 @@ def d19_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x35_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return text.token_budget_mix(d, default_budget=700, budgets={"src0": 200})
+
+
+# ---------------------------------------------------------------------------
+# x36 — deterministic corpus shuffle: reproducible pseudo-random
+# (shard, position) training order from md5(seed:id) — no rand(), so
+# the permutation is engine/run/partitioning-stable and FULL-oracle.
+# One rank window per shard (never a global ORDER BY).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x36_corpus_shuffle",
+    r"""
+    WITH k AS (
+      SELECT doc_id,
+             md5('epoch0' || ':' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, key,
+             CAST(CAST(('0x' || substr(key, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS BIGINT) AS position
+    FROM s
+    """,
+)
+def x36_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.corpus_shuffle(d, seed="epoch0", n_shards=8)

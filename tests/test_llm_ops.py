@@ -1112,3 +1112,27 @@ class TestWordNgramsProperty:
                 assert got[i] == want, (t, n, got[i], want)
 
         check()
+
+
+class TestCorpusShuffle:
+    def test_deterministic_and_seed_sensitive(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        a1 = {(r["doc_id"], r["shard"], r["position"])
+              for r in text.corpus_shuffle(df, "epoch0").collect()}
+        a2 = {(r["doc_id"], r["shard"], r["position"])
+              for r in text.corpus_shuffle(df, "epoch0").collect()}
+        b = {(r["doc_id"], r["shard"], r["position"])
+             for r in text.corpus_shuffle(df, "epoch1").collect()}
+        assert a1 == a2                      # same seed -> identical order
+        assert a1 != b                       # new seed -> new epoch order
+        # positions are dense 0..n-1 within each shard; every doc placed
+        rows = text.corpus_shuffle(df, "epoch0").collect()
+        assert len(rows) == 200
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["position"])
+        for pos in by_shard.values():
+            assert sorted(pos) == list(range(len(pos)))
+        # the shuffle actually decorrelates: id order != position order
+        shard0 = sorted((p, d) for d, s, p in a1 if s == 0)
+        assert [d for _, d in shard0] != sorted(d for _, d in shard0)
