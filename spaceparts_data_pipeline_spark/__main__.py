@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
                         "exceeds this (append-only stores grow per run; compaction is the "
                         "crash-safe distinct-rewrite and never changes admit decisions); "
                         "0 disables")
+    p.add_argument("--shuffle-seed", default=None,
+                   help="corpus mode: build the packing manifest in the deterministic "
+                        "shuffled training order of corpus_shuffle(seed) instead of "
+                        "(source, id) order; change per epoch for a new order")
     p.add_argument("--quality-rules", choices=["basic", "gopher", "c4"], default="basic",
                    help="corpus mode: quality gate — 'basic' (token band + stopwords), "
                         "'gopher' (the seven Gopher rules), 'c4' (line/document cleanup; "
@@ -161,7 +165,7 @@ def _corpus_main(args) -> int:
     stats = run_corpus_ingest(
         spark, batch, args.corpus_out, args.run_id, benchmark=benchmark,
         compact_files_threshold=(args.store_compact_files or None),
-        quality_rules=args.quality_rules)
+        quality_rules=args.quality_rules, shuffle_seed=args.shuffle_seed)
     for p in parents:
         p.unpersist()
     print(json.dumps({

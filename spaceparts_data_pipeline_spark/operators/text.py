@@ -330,6 +330,7 @@ def sequence_packing(
     shard_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: within each shard, documents
     in id order are conceptually concatenated token-by-token and cut
@@ -344,6 +345,10 @@ def sequence_packing(
     ``shard_col`` and DISTRIBUTES — the global-order variant (one giant
     window partition) is exactly the scale bug to avoid at 100 TB;
     shard by source/date/bucket so one shard fits one task.
+
+    ``keep_cols``: extra columns carried through unchanged (e.g. the
+    original doc id when packing over a shuffled (shard, position)
+    order — see ``corpus_shuffle``).
     """
     from pyspark.sql import Window
 
@@ -352,14 +357,15 @@ def sequence_packing(
         Window.partitionBy(shard_col).orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    extras = [F.col(c) for c in keep_cols]
     out = (
-        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"), *extras)
         .filter(F.col("n_tokens") > 0)
         .withColumn("__cum", F.sum("n_tokens").over(w))
     )
     start = F.col("__cum") - F.col("n_tokens")
     return out.select(
-        id_col, shard_col, "n_tokens",
+        id_col, shard_col, "n_tokens", *keep_cols,
         F.floor(start / capacity).alias("start_seq"),
         (start % capacity).alias("start_offset"),
         F.floor((F.col("__cum") - 1) / capacity).alias("end_seq"),

@@ -55,6 +55,8 @@ def run_corpus_ingest(
     jaccard_threshold: float = 0.5,
     compact_files_threshold: int | None = 64,
     store_table_prefix: str | None = None,
+    shuffle_seed: str | None = None,
+    shuffle_shards: int = 8,
 ) -> dict:
     """Ingest one batch; returns per-stage counts (the funnel). Output
     layout under ``out_dir``::
@@ -87,6 +89,14 @@ def run_corpus_ingest(
       surviving docs continue with the CLEANED text (kept lines
       rejoined), so everything downstream — redaction, fingerprints,
       MinHash bands, packing — sees what training would see.
+
+    ``shuffle_seed``: when set, the packing manifest is built in the
+    DETERMINISTIC SHUFFLED training order of :func:`operators.text.
+    corpus_shuffle` (md5(seed:id) → (shard, position)) instead of
+    (source, id) order — adjacent training sequences then mix sources
+    instead of replaying one source's documents back to back. The
+    manifest keeps the original ``id_col`` as a passthrough column;
+    change the seed per epoch for an independent order.
 
     ``store_table_prefix``: store the screens in CATALOG TABLES
     ``{prefix}_fp_store`` / ``{prefix}_band_store`` instead of
@@ -219,10 +229,21 @@ def run_corpus_ingest(
                 return stats
             durable = spark.read.parquet(corpus_root).filter(
                 F.col("run_id") == run_id).drop("run_id")
-            text.sequence_packing(
-                durable, capacity=pack_capacity,
-                shard_col=shard_col, id_col=id_col, text_col=text_col,
-            ).withColumn("run_id", F.lit(run_id)).write.mode(
+            if shuffle_seed is not None:
+                order = text.corpus_shuffle(
+                    durable, shuffle_seed, n_shards=shuffle_shards, id_col=id_col)
+                manifest = text.sequence_packing(
+                    durable.join(order, id_col),
+                    capacity=pack_capacity, shard_col="shard",
+                    id_col="position", text_col=text_col,
+                    keep_cols=(id_col,),
+                )
+            else:
+                manifest = text.sequence_packing(
+                    durable, capacity=pack_capacity,
+                    shard_col=shard_col, id_col=id_col, text_col=text_col,
+                )
+            manifest.withColumn("run_id", F.lit(run_id)).write.mode(
                 "overwrite").partitionBy("run_id").parquet(manifest_root)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)

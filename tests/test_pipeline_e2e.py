@@ -595,3 +595,56 @@ class TestFunnelQualityRules:
         with _pytest.raises(ValueError, match="quality_rules"):
             run_corpus_ingest(spark, batch, str(tmp_path / "u"), "r1",
                               quality_rules="nope")
+
+
+def test_funnel_shuffled_manifest(spark, tmp_path):
+    """shuffle_seed on run_corpus_ingest: the packing manifest is built
+    in corpus_shuffle's deterministic epoch order — every admitted doc
+    placed exactly once, original doc_id carried through, running sums
+    consistent within each shuffle shard, and the order differs from
+    plain (source, id) packing."""
+    from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+    def doc(i):
+        # letters, not digits: the funnel fingerprints REDACTED text, and
+        # redact_pii maps digit runs to <NUM> — numeric differentiators
+        # would make every doc an exact dup of every other
+        tag = "".join(chr(ord("a") + int(c)) for c in str(i))
+        return (f"document tag {tag} with the and of to a in is plus enough "
+                f"unique words alpha{tag} beta{tag} gamma{tag} delta{tag} "
+                f"epsilon{tag} zeta{tag} eta{tag} theta{tag} iota{tag} "
+                f"kappa{tag} filler filler")
+
+    batch = spark.createDataFrame(
+        [(i, doc(i), f"s{i % 3}") for i in range(1, 41)],
+        "doc_id long, text string, source string")
+    out = str(tmp_path / "shuf")
+    s = run_corpus_ingest(spark, batch, out, "r1", near_dedup=False,
+                          shuffle_seed="epoch0", shuffle_shards=4)
+    assert s["admitted"] == 40
+    man = spark.read.parquet(out + "/manifest").collect()
+    assert len(man) == 40
+    assert {r["doc_id"] for r in man} == set(range(1, 41))
+    # running sums are consistent within each shuffle shard
+    by_shard = {}
+    for r in man:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["position"])
+        cum = 0
+        for r in rows:
+            assert r["start_seq"] * 512 + r["start_offset"] == cum
+            cum += r["n_tokens"]
+    # shuffled order differs from id order in at least one shard
+    assert any(
+        [r["doc_id"] for r in sorted(rows, key=lambda r: r["position"])]
+        != sorted(r["doc_id"] for r in rows)
+        for rows in by_shard.values() if len(rows) > 2
+    )
+    # replay with the same seed is byte-identical
+    s2 = run_corpus_ingest(spark, batch, out, "r1", near_dedup=False,
+                           shuffle_seed="epoch0", shuffle_shards=4)
+    assert s2["admitted"] == 0   # all screened
+    man2 = {(r["doc_id"], r["shard"], r["position"])
+            for r in spark.read.parquet(out + "/manifest").collect()}
+    assert man2 == {(r["doc_id"], r["shard"], r["position"]) for r in man}
