@@ -82,6 +82,10 @@ OPS = [
     # shuffle in the text family; the measurement to watch)
     "d17_gopher_quality",
     "d19_duplicate_passages",
+    # training-shaping pair: per-source budget window, per-shard
+    # epoch-shuffle rank window — both one-exchange window plans
+    "x35_token_budget_mix",
+    "x36_corpus_shuffle",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
