@@ -648,3 +648,71 @@ def test_funnel_shuffled_manifest(spark, tmp_path):
     man2 = {(r["doc_id"], r["shard"], r["position"])
             for r in spark.read.parquet(out + "/manifest").collect()}
     assert man2 == {(r["doc_id"], r["shard"], r["position"]) for r in man}
+
+
+def test_funnel_all_options_composed(spark, tmp_path):
+    """Kitchen-sink composition: gopher gate + NEAR-dup screening +
+    catalog-TABLE stores + contamination screen + epoch-shuffled
+    manifest, across two runs and a crash replay — the configuration a
+    real deployment turns on all at once, pinned as one path rather
+    than per-feature."""
+    from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+    LONG = ("the quick brown fox jumps over that lazy dog and runs with "
+            "great speed across a wide field near the river bank today " * 3)
+    FRESH = ("an entirely different document about catalyst optimizers and "
+             "adaptive query execution rewriting join strategies with the "
+             "runtime of large clusters that have many cores " * 3)
+
+    bench = spark.createDataFrame(
+        [(900, "benchmark eval question about ancient rivers and banks flowing "
+               "with the waters of that wide field")],
+        "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(1, LONG, "s1"),
+         (2, LONG.replace("lazy", "sleepy"), "s1"),     # near-dup of 1
+         (3, "too short", "s1"),                        # gopher-gated
+         (4, FRESH, "s2")],
+        "doc_id long, text string, source string")
+    NEW = ("fresh content concerning broadcast thresholds and partition "
+           "pruning behavior under dynamic overwrite modes in production "
+           "pipelines that have the operators everywhere " * 3)
+    b2 = spark.createDataFrame(
+        [(10, LONG, "s1"),                              # exact dup of 1
+         (11, LONG.replace("quick", "rapid"), "s1"),    # near-dup of 1
+         (12, NEW, "s2")],                              # genuinely fresh
+        "doc_id long, text string, source string")
+
+    prefix = "c_allopt_e2e"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            kind = "VIEW" if (t.tableType or "").upper() == "VIEW" else "TABLE"
+            spark.sql(f"DROP {kind} IF EXISTS {t.name}")
+    try:
+        out = str(tmp_path / "allopt")
+        kw = dict(benchmark=bench, quality_rules="gopher",
+                  store_table_prefix=prefix, shuffle_seed="epoch0",
+                  contamination_threshold=30)
+        s1 = run_corpus_ingest(spark, b1, out, "r1", **kw)
+        assert s1["after_quality"] == 3            # doc 3 gopher-gated
+        assert s1["after_near_dedup"] == 2         # 2 collapsed into 1
+        assert s1["admitted"] == 2                 # threshold 30: none contaminated
+        s2 = run_corpus_ingest(spark, b2, out, "r2", **kw)
+        assert s2["after_exact_dedup"] == 2        # 10 screened by fp table
+        assert s2["after_near_dedup"] == 1         # 11 screened by band table
+        assert s2["admitted"] == 1                 # 12 fresh -> admitted
+        corpus = spark.read.parquet(out + "/corpus")
+        ids = {r["doc_id"] for r in corpus.collect()}
+        assert 1 in ids and 4 in ids and len(ids) == 3
+        man = spark.read.parquet(out + "/manifest")
+        assert set(man.columns) >= {"doc_id", "shard", "position",
+                                    "n_tokens", "start_seq", "run_id"}
+        # replay run 2: table stores retained -> admits nothing, corpus stable
+        s2b = run_corpus_ingest(spark, b2, out, "r2", **kw)
+        assert s2b["admitted"] == 0
+        assert spark.read.parquet(out + "/corpus").count() == 3
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix):
+                kind = "VIEW" if (t.tableType or "").upper() == "VIEW" else "TABLE"
+                spark.sql(f"DROP {kind} IF EXISTS {t.name}")
