@@ -414,6 +414,38 @@ def token_budget_mix(
     )
 
 
+#: Demo blocklist for the C4-style term filter — real deployments pass
+#: their own list (C4 used a public profanity list; the operator is
+#: list-agnostic). Phrases allowed: matching is whole-word/phrase.
+DEFAULT_BLOCKLIST: tuple[str, ...] = (
+    "click here", "buy now", "limited offer", "free money", "winner winner",
+)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: tuple[str, ...] = DEFAULT_BLOCKLIST,
+) -> DataFrame:
+    """C4-style blocked-term document filter (Raffel et al. 2020 §2.2
+    removed pages containing any term from a public blocklist): per-doc
+    count of blocked word/phrase occurrences (word-boundary,
+    case-insensitive) and the ``blocked`` flag. One regex alternation,
+    pure projection, zero shuffle — the list is compiled into the
+    expression, so at 100 TB this rides the scan like every other gate.
+    Terms must be regex-safe words/phrases (spaces allowed); matching
+    stays in the Java∩RE2 subset so the oracle replays it exactly.
+    """
+    pattern = r"\b(" + "|".join(terms) + r")\b"
+    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pattern)).cast("long")
+    return df.select(
+        F.col(id_col),
+        hits.alias("n_blocked_terms"),
+        (hits > 0).alias("blocked"),
+    )
+
+
 def corpus_shuffle(
     df: DataFrame,
     seed: str,

@@ -136,6 +136,8 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # candidates, the standing policy's next batch):
 #   x36_corpus_shuffle (deterministic epoch-order shuffle — FULL
 #       oracle, green in the local parity suite at three SFs),
+#   d20_blocklist_filter (C4 blocked-term stage, list-parameterized —
+#       FULL oracle),
 #   d18 stays in-window; d04/d05/d11/x30/e04/x31/x32/x33/d15/e03
 #       remain the transitively-held out-of-window set.
 _PRIORITY = [

@@ -1427,3 +1427,28 @@ def x35_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x36_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return text.corpus_shuffle(d, seed="epoch0", n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# d20 — C4-style blocked-term filter: per-doc blocked word/phrase hit
+# count + flag (Raffel et al. 2020 §2.2's blocklist stage; the list is
+# a parameter — the demo list here is neutral). Pure projection, zero
+# shuffle; FULL oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d20_blocklist_filter",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '\b(click here|buy now|limited offer|free money|winner winner)\b')) AS BIGINT)
+             AS n_blocked_terms,
+           len(regexp_extract_all(lower(text),
+                '\b(click here|buy now|limited offer|free money|winner winner)\b')) > 0
+             AS blocked
+    FROM documents
+    """,
+)
+def d20_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.blocklist_filter(d)

@@ -1136,3 +1136,19 @@ class TestCorpusShuffle:
         # the shuffle actually decorrelates: id order != position order
         shard0 = sorted((p, d) for d, s, p in a1 if s == 0)
         assert [d for _, d in shard0] != sorted(d for _, d in shard0)
+
+
+class TestBlocklistFilter:
+    def test_hits_and_flag(self, spark):
+        df = spark.createDataFrame(
+            [(1, "please CLICK here now"),             # case-insensitive phrase hit
+             (2, "please Click Here to buy now fast"),
+             (3, "an ordinary document about spark"),
+             (4, "clickhere smushed does not count")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: (r["n_blocked_terms"], r["blocked"]) for r in
+               text.blocklist_filter(df).collect()}
+        assert out[1] == (1, True)        # lowered: "click here"
+        assert out[2] == (2, True)        # "click here" + "buy now"
+        assert out[3] == (0, False)
+        assert out[4] == (0, False)       # word boundaries: no substring match
