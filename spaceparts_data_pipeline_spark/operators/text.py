@@ -414,6 +414,53 @@ def token_budget_mix(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_line_threshold: float = 0.30,
+    dup_char_threshold: float = 0.20,
+) -> DataFrame:
+    """Line-level repetition rules (Rae et al. 2021 app. A1.1's other
+    repetition half — d11 covers the token level): fraction of
+    non-blank LINES that are duplicates of another line in the same
+    document, and the fraction of CHARACTERS living in duplicated
+    lines; flagged past Gopher's published thresholds (0.30 / 0.20).
+
+    Pure array lambdas, one projection, zero shuffle. The char fraction
+    is O(lines²) per document via a nested filter — lines per document
+    are small and bounded, and keeping it expression-only (vs an
+    explode + groupBy) means the gate rides the scan at 100 TB like
+    d17; documents with pathological line counts should be length-gated
+    first (d17's word-count band) anyway.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines).cast("long")
+    n_distinct = F.size(F.array_distinct(lines)).cast("long")
+    has = n_lines > 0
+    dup_line_frac = F.when(has, 1 - n_distinct / n_lines)
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    dup_chars = F.aggregate(
+        lines, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    dup_char_frac = F.when(has & (total_chars > 0), dup_chars / total_chars)
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_distinct.alias("n_distinct_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        (F.coalesce(dup_line_frac > dup_line_threshold, F.lit(False))
+         | F.coalesce(dup_char_frac > dup_char_threshold, F.lit(False))
+         ).alias("line_repetitive"),
+    )
+
+
 #: Demo blocklist for the C4-style term filter — real deployments pass
 #: their own list (C4 used a public profanity list; the operator is
 #: list-agnostic). Phrases allowed: matching is whole-word/phrase.

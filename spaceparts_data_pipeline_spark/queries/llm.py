@@ -1452,3 +1452,42 @@ def x36_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d20_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return text.blocklist_filter(d)
+
+
+# ---------------------------------------------------------------------------
+# d21 — line-level repetition rules (the Gopher repetition half d11's
+# token stats don't cover): duplicate-line fraction + duplicate-line
+# CHARACTER fraction, flagged past the published 0.30/0.20 thresholds.
+# Pure array lambdas; FULL oracle with the identical nested lambdas.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d21_line_repetition",
+    r"""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+             CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS total_chars,
+             CAST(COALESCE(list_sum(list_transform(lines,
+                  x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                            THEN length(x) ELSE 0 END)), 0) AS BIGINT) AS dup_chars
+      FROM l
+    )
+    SELECT doc_id, n_lines, n_distinct_lines,
+           CASE WHEN n_lines > 0 THEN 1 - n_distinct_lines / n_lines END AS dup_line_frac,
+           CASE WHEN n_lines > 0 AND total_chars > 0 THEN dup_chars / total_chars END AS dup_line_char_frac,
+           COALESCE(CASE WHEN n_lines > 0 THEN 1 - n_distinct_lines / n_lines END > 0.30, FALSE)
+             OR COALESCE(CASE WHEN n_lines > 0 AND total_chars > 0 THEN dup_chars / total_chars END > 0.20, FALSE)
+             AS line_repetitive
+    FROM m
+    """,
+)
+def d21_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.line_repetition_stats(d)

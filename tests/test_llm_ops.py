@@ -1152,3 +1152,54 @@ class TestBlocklistFilter:
         assert out[2] == (2, True)        # "click here" + "buy now"
         assert out[3] == (0, False)
         assert out[4] == (0, False)       # word boundaries: no substring match
+
+
+class TestLineRepetition:
+    def _docs(self, spark):
+        rep = "\n".join(["the same boilerplate header line",
+                         "unique content alpha goes here",
+                         "the same boilerplate header line",
+                         "unique content beta goes here",
+                         "the same boilerplate header line"])   # 3/5 duplicated
+        clean = "\n".join(["first distinct line", "second distinct line",
+                           "third distinct line"])
+        blanky = "one real line\n\n   \none real line"          # blanks ignored; dup pair
+        rows = [(1, rep, "en", "s1", len(rep)),
+                (2, clean, "en", "s1", len(clean)),
+                (3, blanky, "en", "s1", len(blanky)),
+                (4, "", "en", "s1", 0)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    def test_known_answers(self, spark):
+        out = {r["doc_id"]: r.asDict()
+               for r in text.line_repetition_stats(self._docs(spark)).collect()}
+        assert out[1]["n_lines"] == 5 and out[1]["n_distinct_lines"] == 3
+        assert abs(out[1]["dup_line_frac"] - 2 / 5) < 1e-12
+        assert out[1]["line_repetitive"] is True
+        assert out[2]["dup_line_frac"] == 0.0 and out[2]["line_repetitive"] is False
+        assert out[3]["n_lines"] == 2 and out[3]["n_distinct_lines"] == 1
+        assert out[3]["line_repetitive"] is True                # both lines duplicated
+        assert out[4]["n_lines"] == 0 and out[4]["dup_line_frac"] is None
+        assert out[4]["line_repetitive"] is False
+
+    def test_oracle_parity_on_crafted_docs(self, spark, tmp_path):
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as entry_mod
+        from tests.oracle_harness import TABLES, compare
+
+        sf_dir = str(tmp_path / "crafted_sf")
+        (tmp_path / "crafted_sf").mkdir()
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf_dir}/{t}.parquet")
+        pq.write_table(pa.Table.from_pandas(self._docs(spark).toPandas(),
+                                            preserve_index=False),
+                       f"{sf_dir}/documents.parquet")
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+        compare(spark, qs["d21_line_repetition"], oracles["d21_line_repetition"],
+                sf_dir, "d21")
