@@ -469,6 +469,16 @@ DEFAULT_BLOCKLIST: tuple[str, ...] = (
 )
 
 
+def blocked_expr(text_col: Column | str,
+                 terms: tuple[str, ...] = DEFAULT_BLOCKLIST) -> Column:
+    """Boolean column: text contains any blocked word/phrase
+    (word-boundary, case-insensitive) — shared by the d20 query and the
+    funnel's ``quality_rules='c4'`` stage."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    pattern = r"\b(" + "|".join(terms) + r")\b"
+    return F.regexp_count(F.lower(t), F.lit(pattern)).cast("long") > 0
+
+
 def blocklist_filter(
     df: DataFrame,
     id_col: str = "doc_id",

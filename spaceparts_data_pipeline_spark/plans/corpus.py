@@ -146,9 +146,13 @@ def run_corpus_ingest(
         elif quality_rules == "gopher":
             staged = staged.filter(text.gopher_gate(text_col))
         elif quality_rules == "c4":
+            # full C4 §2.2 chain: line gate + document gates + the
+            # blocked-term stage (list-parameterized; DEFAULT_BLOCKLIST
+            # is the neutral demo list — deployments pass their own)
             kept = text.c4_kept_lines(text_col)
             staged = (
-                staged.filter(text.c4_doc_ok(text_col) & (F.size(kept) >= 3))
+                staged.filter(text.c4_doc_ok(text_col) & (F.size(kept) >= 3)
+                              & ~text.blocked_expr(text_col))
                 .withColumn(text_col, F.array_join(kept, "\n"))
             )
         else:

@@ -573,7 +573,8 @@ class TestFunnelQualityRules:
         ])
         batch = spark.createDataFrame(
             [(1, good, "s1"),
-             (2, good + "\nfunction foo() { return 1; }", "s1")],  # '{' gate
+             (2, good + "\nfunction foo() { return 1; }", "s1"),   # '{' gate
+             (3, good.replace("proper", "Buy Now proper"), "s1")], # blocklist gate
             "doc_id long, text string, source string")
         s = run_corpus_ingest(spark, batch, str(tmp_path / "c"), "r1",
                               near_dedup=False, quality_rules="c4")
