@@ -86,6 +86,7 @@ OPS = [
     # epoch-shuffle rank window — both one-exchange window plans
     "x35_token_budget_mix",
     "x36_corpus_shuffle",
+    "d21_line_repetition",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
