@@ -379,6 +379,7 @@ def token_budget_mix(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_subshards: int = 32,
 ) -> DataFrame:
     """Data-mixture selection under per-source TOKEN budgets (the
     pretrain "mixing weights" op: cap each source's contribution —
@@ -392,25 +393,81 @@ def token_budget_mix(
 
     Output: (id, shard, n_tokens, cum_tokens) for every selected doc.
 
-    One running-sum window per source — the same distributed shape as
-    sequence_packing; budgets resolve to a literal when-chain, so the
-    whole op is a window plus a codegen filter, one shuffle on
-    ``shard_col``.
+    TWO-PHASE plan: ``shard_col`` has a handful of values (sources),
+    so a single running-sum window partitioned on it would sort each
+    entire source on ONE reducer — at 100 TB the web-crawl source is
+    most of the corpus on a single task. Instead the id range of each
+    source is cut into ``n_subshards`` order-aligned sub-shards
+    (monotone in ``id_col``, so sub-shard k's ids all precede k+1's):
+
+      1. per-(source, sub-shard) partial token sums — map-side
+         combinable, shuffles one row per (source, sub);
+      2. exclusive prefix offsets over that TINY partials frame,
+         broadcast back;
+      3. sub-shards whose offset already exceeds the budget are
+         pruned wholesale (at 100 TB with a small budget this drops
+         nearly everything before the sort);
+      4. per-(source, sub-shard) running-sum windows + offset — the
+         only big-data exchange, now n_subshards× wider than the
+         naive plan.
+
+    Long-integer sums are associative, so the result is bit-identical
+    to the one-window formulation (and to the SQL oracle). Requires a
+    numeric, totally-ordered ``id_col``.
     """
     from pyspark.sql import Window
 
     budget = F.lit(default_budget)
     for value, b in (budgets or {}).items():
         budget = F.when(F.col(shard_col) == value, F.lit(b)).otherwise(budget)
-    w = (
-        Window.partitionBy(shard_col).orderBy(id_col)
+    n_tok = token_count(text_col).cast("long")
+    toks = df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+
+    # Order-aligned sub-shard: min-max scale the id within its source.
+    # floor is monotone in id, so sub-shard order == id order.
+    bounds = toks.groupBy(shard_col).agg(
+        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+    span = (F.col("__hi") - F.col("__lo") + 1).cast("double")
+    sub = F.least(
+        F.lit(n_subshards - 1),
+        F.floor((F.col(id_col) - F.col("__lo")).cast("double")
+                * n_subshards / span),
+    ).cast("int")
+    sharded = (
+        toks.join(F.broadcast(bounds), shard_col)
+        .withColumn("__sub", sub)
+        .drop("__lo", "__hi")
+    )
+
+    # Phase 1: tiny partials frame (<= n_sources * n_subshards rows);
+    # exclusive prefix offsets over it. coalesce(sum, 0): an all-null
+    # sub-shard (every doc NULL-text) must not poison later offsets.
+    partials = sharded.groupBy(shard_col, "__sub").agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("__part"))
+    w_off = (
+        Window.partitionBy(shard_col).orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.withColumn(
+        "__offset",
+        F.coalesce(F.sum("__part").over(w_off), F.lit(0)).cast("long"),
+    ).drop("__part")
+
+    # Phase 2: prune past-budget sub-shards BEFORE the sort, then one
+    # window per (source, sub-shard) — the only exchange that carries
+    # document rows.
+    w2 = (
+        Window.partitionBy(shard_col, "__sub").orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    n_tok = token_count(text_col).cast("long")
     return (
-        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        sharded.join(F.broadcast(offsets), [shard_col, "__sub"])
+        .filter(F.col("__offset") < budget)
+        .withColumn(
+            "cum_tokens",
+            (F.col("__offset") + F.sum("n_tokens").over(w2)).cast("long"))
         .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, shard_col, "n_tokens", "cum_tokens")
     )
 
 

@@ -1117,12 +1117,16 @@ def d16_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           -- DuckDB SUM(BIGINT) returns HUGEINT (-> float64 in the compare
+           -- frame) where Spark emits bigint; the driver's value hash is
+           -- dtype-sensitive, so normalize with the same CAST(SUM AS BIGINT)
+           -- discipline every other oracle in the repo follows.
+           CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            MAX(n_chars) AS max_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY source
     """,

@@ -26,6 +26,10 @@ SCALE_OPS = [
     "x29_contamination_check",
     "e03_similar_pairs_lsh",
     "e04_knn_ivf",
+    # round-8: the two-phase token-budget mix — its shuffle structure
+    # (bounds agg, tiny partials/offsets, one doc-row exchange) must
+    # stay constant in data size like every other scale path
+    "x35_token_budget_mix",
 ]
 
 QUERIES = entry_mod.queries()
@@ -74,6 +78,24 @@ def test_multifile_layout_never_takes_parallelize_shim(spark, scale_dirs, name):
     df = QUERIES[name](spark, scale_dirs["x2"])
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "Repartition" not in analyzed, name
+
+
+def test_x35_no_bare_source_window(spark, scale_dirs):
+    """The two-phase token_budget_mix (round-7 verdict #3): the window
+    that carries DOCUMENT rows must partition on (source, __sub), never
+    on bare `source` ordered by the doc id — that shape sorts an entire
+    source on ONE reducer (the web-crawl source is most of a 100 TB
+    corpus). The only bare-source window allowed is the offsets prefix
+    sum over the tiny partials frame, which orders by __sub, not doc_id.
+    """
+    import re
+
+    plan = QUERIES["x35_token_budget_mix"](
+        spark, scale_dirs["x2"])._jdf.queryExecution().executedPlan().toString()
+    bad = re.findall(r"windowspecdefinition\(source#\d+, doc_id#\d+", plan)
+    assert not bad, f"bare-source window over doc rows: {bad}"
+    # and the doc-row window really is sub-sharded
+    assert re.search(r"windowspecdefinition\(source#\d+, __sub#\d+, doc_id#\d+", plan), plan
 
 
 def test_shard_transforms_preserve_within_shard_structure(spark, sf_small):
