@@ -132,7 +132,7 @@ def main() -> None:
     layer_rates = layer_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    doc = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -154,37 +154,74 @@ def main() -> None:
                  "median/spread under 1s — see query_dispersion; deltas inside a "
                  "query's spread are noise, not drift), Arrow-pool warmup, "
                  "best-single-run layer pair",
-    }))
+    }
+    print(json.dumps(doc))
+    # Persist the FULL output to a repo-local history file: the driver's
+    # BENCH_r*.json wrappers truncate bench stdout (r07 arrived with
+    # "parsed": null and only a tail fragment), which silently erased
+    # the round-over-round comparison — the local history is the source
+    # of truth vs_previous_round diffs against (round-7 verdict #6).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.jsonl"), "a") as fh:
+            fh.write(json.dumps({"ts": time.time(), **doc}) + "\n")
+    except OSError:
+        pass
 
 
-def vs_previous_round(timings: dict[str, float], layer_rates: dict | None = None) -> dict:
-    """Per-query delta (sec, negative = faster) vs the latest recorded
-    BENCH_r{N}.json, plus layer-throughput deltas (rows/h, positive =
-    faster), so a physical-layout regression in the write path is as
-    visible round-over-round as a query regression."""
+HISTORY_FILE = "BENCH_LOCAL.jsonl"
+
+
+def _previous_doc() -> tuple[str, dict] | None:
+    """Latest usable previous bench record: last valid line of the local
+    history first (full-fidelity), else the newest driver BENCH_r*.json
+    whose "parsed" payload survived capture (skip "parsed": null)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    hist = os.path.join(here, HISTORY_FILE)
+    if os.path.exists(hist):
+        with open(hist) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        for ln in reversed(lines):
+            try:
+                doc = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if doc.get("queries"):
+                return HISTORY_FILE, doc
     rounds = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        reverse=True,
     )
-    if not rounds:
+    for path in rounds:
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = doc.get("parsed", doc)  # driver wraps bench stdout under "parsed"
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            return os.path.basename(path), parsed
+    return None
+
+
+def vs_previous_round(timings: dict[str, float], layer_rates: dict | None = None) -> dict:
+    """Per-query delta (sec, negative = faster) vs the latest usable
+    bench record (local history first — see _previous_doc), plus
+    layer-throughput deltas (rows/h, positive = faster), so a
+    physical-layout regression in the write path is as visible
+    round-over-round as a query regression."""
+    found = _previous_doc()
+    if found is None:
         return {}
-    try:
-        with open(rounds[-1]) as fh:
-            doc = json.load(fh)
-        # the round driver wraps bench stdout under "parsed"
-        parsed_prev = doc.get("parsed", doc)
-        prev = {**parsed_prev.get("queries", {}),
-                **parsed_prev.get("queries_corpus", {})}
-    except Exception:
-        return {}
-    parsed = doc.get("parsed", doc)
+    baseline, parsed = found
+    prev = {**parsed.get("queries", {}), **parsed.get("queries_corpus", {})}
     prev_rates = parsed.get("layer_rows_per_hour", {})
     return {
-        "baseline": os.path.basename(rounds[-1]),
+        "baseline": baseline,
         "deltas": {q: round(t - prev[q], 3) for q, t in timings.items() if q in prev},
         "new": [q for q in timings if q not in prev],
         "layer_rows_per_hour_deltas": {

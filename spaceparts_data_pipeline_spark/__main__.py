@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus mode: quality gate — 'basic' (token band + stopwords), "
                         "'gopher' (the seven Gopher rules), 'c4' (line/document cleanup; "
                         "survivors continue with the CLEANED text)")
+    p.add_argument("--blocklist-term", action="append", default=None,
+                   help="corpus mode, c4 rules: blocked word/phrase (repeatable; matched "
+                        "literally, word-boundary, case-insensitive). Replaces the demo "
+                        "DEFAULT_BLOCKLIST — real c4 ingests should always pass their own "
+                        "list, the demo marketing phrases are placeholders")
     args = p.parse_args(argv)
 
     if args.corpus_out:
@@ -165,7 +170,9 @@ def _corpus_main(args) -> int:
     stats = run_corpus_ingest(
         spark, batch, args.corpus_out, args.run_id, benchmark=benchmark,
         compact_files_threshold=(args.store_compact_files or None),
-        quality_rules=args.quality_rules, shuffle_seed=args.shuffle_seed)
+        quality_rules=args.quality_rules,
+        blocklist_terms=(tuple(args.blocklist_term) if args.blocklist_term else None),
+        shuffle_seed=args.shuffle_seed)
     for p in parents:
         p.unpersist()
     print(json.dumps({

@@ -139,7 +139,11 @@ def _gopher_measures(text_col: Column | str) -> dict[str, Column]:
     w1 = F.greatest(n_words, F.lit(1))
     nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
     mean_wl = nonspace / w1
-    sym_ratio = F.regexp_count(t, F.lit("[#…]")).cast("long") / w1
+    # the ASCII three-dot ellipsis counts as ONE symbol, like the
+    # Unicode '…' (the ellipsis-line rule below already treats the two
+    # as equivalent; counting only '…' here let '...'-heavy docs pass
+    # a gate the paper's rule would fail)
+    sym_ratio = F.regexp_count(t, F.lit(r"(\.\.\.|[#…])")).cast("long") / w1
     # one synthetic leading separator so the first word is countable
     # without lookbehind; \S* cannot cross whitespace, so each word
     # yields at most one match
@@ -526,14 +530,35 @@ DEFAULT_BLOCKLIST: tuple[str, ...] = (
 )
 
 
+#: regex metacharacters of the Java∩RE2 common subset — every term is
+#: escaped against these before entering the alternation, so a term
+#: like 'c++' or '$9.99' matches LITERALLY instead of silently changing
+#: the pattern's semantics.
+_REGEX_META = set("\\.^$*+?()[]{}|")
+
+
+def _blocklist_pattern(terms: tuple[str, ...]) -> str:
+    """Word-boundary alternation over literally-escaped terms — the one
+    pattern builder both blocked_expr and blocklist_filter compile, so
+    the escaping discipline can't drift between the flag and the
+    filter."""
+    if not terms:
+        raise ValueError("blocklist needs at least one term")
+    escaped = (
+        "".join("\\" + c if c in _REGEX_META else c for c in term)
+        for term in terms
+    )
+    return r"\b(" + "|".join(escaped) + r")\b"
+
+
 def blocked_expr(text_col: Column | str,
                  terms: tuple[str, ...] = DEFAULT_BLOCKLIST) -> Column:
     """Boolean column: text contains any blocked word/phrase
     (word-boundary, case-insensitive) — shared by the d20 query and the
-    funnel's ``quality_rules='c4'`` stage."""
+    funnel's ``quality_rules='c4'`` stage. Terms are escaped to match
+    literally (see _blocklist_pattern)."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
-    pattern = r"\b(" + "|".join(terms) + r")\b"
-    return F.regexp_count(F.lower(t), F.lit(pattern)).cast("long") > 0
+    return F.regexp_count(F.lower(t), F.lit(_blocklist_pattern(terms))).cast("long") > 0
 
 
 def blocklist_filter(
@@ -548,11 +573,14 @@ def blocklist_filter(
     case-insensitive) and the ``blocked`` flag. One regex alternation,
     pure projection, zero shuffle — the list is compiled into the
     expression, so at 100 TB this rides the scan like every other gate.
-    Terms must be regex-safe words/phrases (spaces allowed); matching
-    stays in the Java∩RE2 subset so the oracle replays it exactly.
+    Terms are escaped to match literally, so lists containing regex
+    metacharacters ('c++', '$9.99') behave as word/phrase literals;
+    the compiled pattern stays in the Java∩RE2 subset so the oracle
+    replays it exactly.
     """
-    pattern = r"\b(" + "|".join(terms) + r")\b"
-    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pattern)).cast("long")
+    hits = F.regexp_count(
+        F.lower(F.col(text_col)),
+        F.lit(_blocklist_pattern(terms))).cast("long")
     return df.select(
         F.col(id_col),
         hits.alias("n_blocked_terms"),

@@ -47,6 +47,7 @@ def run_corpus_ingest(
     shard_col: str = "source",
     quality_gate: bool = True,
     quality_rules: str = "basic",
+    blocklist_terms: tuple[str, ...] | None = None,
     near_dedup: bool = True,
     contamination_threshold: int = 1,
     pack_capacity: int = 512,
@@ -89,6 +90,14 @@ def run_corpus_ingest(
       surviving docs continue with the CLEANED text (kept lines
       rejoined), so everything downstream — redaction, fingerprints,
       MinHash bands, packing — sees what training would see.
+
+    ``blocklist_terms``: the c4 mode's blocked-term list (real C4 used
+    a public profanity list). Defaults to the neutral demo
+    ``operators.text.DEFAULT_BLOCKLIST`` — production ingests pass
+    their own via this parameter / the CLI ``--blocklist-term`` flag,
+    since the demo marketing phrases would otherwise silently drop
+    legitimate docs. Terms match literally (regex metacharacters are
+    escaped). Ignored outside c4 mode.
 
     ``shuffle_seed``: when set, the packing manifest is built in the
     DETERMINISTIC SHUFFLED training order of :func:`operators.text.
@@ -147,12 +156,13 @@ def run_corpus_ingest(
             staged = staged.filter(text.gopher_gate(text_col))
         elif quality_rules == "c4":
             # full C4 §2.2 chain: line gate + document gates + the
-            # blocked-term stage (list-parameterized; DEFAULT_BLOCKLIST
-            # is the neutral demo list — deployments pass their own)
+            # blocked-term stage (list-parameterized via blocklist_terms;
+            # DEFAULT_BLOCKLIST is the neutral demo fallback)
+            terms = blocklist_terms if blocklist_terms else text.DEFAULT_BLOCKLIST
             kept = text.c4_kept_lines(text_col)
             staged = (
                 staged.filter(text.c4_doc_ok(text_col) & (F.size(kept) >= 3)
-                              & ~text.blocked_expr(text_col))
+                              & ~text.blocked_expr(text_col, terms=tuple(terms)))
                 .withColumn(text_col, F.array_join(kept, "\n"))
             )
         else:
@@ -194,7 +204,11 @@ def run_corpus_ingest(
     else:
         admitted = exact_survivors
 
-    # 5. contamination screen (only if a benchmark is registered)
+    # 5. contamination screen (only if a benchmark is registered).
+    # sec_contamination only exists when the screen actually RAN —
+    # otherwise the admitted.count() materialization below would be
+    # attributed to a stage that never executed (it lands in the
+    # always-present sec_admitted_count instead).
     if benchmark is not None:
         flags = dedup_fuzzy.contamination_check(
             admitted, benchmark, id_col=id_col, text_col=text_col)
@@ -203,8 +217,11 @@ def run_corpus_ingest(
         ).select(id_col)
         admitted = admitted.join(clean_ids, id_col, "left_semi").persist()
         persisted.append(admitted)
-    stats["admitted"] = admitted.count()
-    stats["sec_contamination"] = _tick()
+        stats["admitted"] = admitted.count()
+        stats["sec_contamination"] = _tick()
+    else:
+        stats["admitted"] = admitted.count()
+        stats["sec_admitted_count"] = _tick()
 
     # 6. durable outputs FIRST, store updates after — the exact crash
     # ordering proven in stream_ingest_dedup: the corpus is partitioned

@@ -132,14 +132,36 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       local parity suite and unit tests),
 #   e04 (the seed-path IVF is literally in-window e04b's first stage —
 #       e04b runs seed assignment then Lloyd-refines it, FULL oracle).
-# Registered late round 7, NOT yet windowed (round-8 rotation
-# candidates, the standing policy's next batch):
-#   x36_corpus_shuffle (deterministic epoch-order shuffle — FULL
-#       oracle, green in the local parity suite at three SFs),
-#   d20_blocklist_filter (C4 blocked-term stage, list-parameterized —
-#       FULL oracle),
-#   d18 stays in-window; d04/d05/d11/x30/e04/x31/x32/x33/d15/e03
-#       remain the transitively-held out-of-window set.
+# Round-8 rotation (round-7 verdict next-round #5 — zero the
+# never-driver-checked set, which was exactly the three late-round-7
+# additions). IN, all FULL-oracle:
+#   x36_corpus_shuffle (deterministic epoch-order shuffle — md5(seed:id)
+#       per-shard rank windows),
+#   d20_blocklist_filter (C4 blocked-term stage, list-parameterized),
+#   d21_line_repetition (line-level Gopher repetition rules — dup-line
+#       and dup-line-char fractions).
+# OUT, coverage retained transitively, all r07-green and still checked
+# by the local parity suite every round:
+#   q21 (O1 ordering held by in-window q03's orderBy; O3 TOP-n is
+#       exactly q03's top-10-by-revenue shape; the S7 sample-scan
+#       source path is every in-window query's scan + q15's probes),
+#   d12 (its md5-bucket assignment mechanism is the body of incoming
+#       x36's md5(seed:id) shuffle — same determinism evidence, now
+#       value-checked through x36's rank windows),
+#   x07 (tokenize→explode→agg held by in-window x31b's bigram
+#       explode→count→top-k two-pass, plus d19's gram pipeline).
+# Round-8 second swap (round-7 verdict #7 — driver-check the funnel's
+# --quality-rules composition): IN c01b_corpus_funnel_c4 (the funnel in
+# C4 mode — line gate + doc gates + parameterized blocklist as a
+# TRANSFORMATION, then redact → store-screened dedup → durable corpus;
+# FULL oracle replaying every stage over the multi-line fixture
+# derivation). OUT d08_simhash: a rows-only row (xxhash SimHash is not
+# SQL-expressible) whose Hamming-similarity semantics are pinned by
+# crafted-doc property tests locally; swapping it for a FULL-oracle
+# composed-funnel row trades weak driver evidence for strong, and
+# shrinks the in-window no_oracle set to 5.
+# d18 stays in-window; d04/d05/d11/x30/e04/x31/x32/x33/d15/e03/d08
+# remain the transitively-held or locally-pinned out-of-window set.
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -148,23 +170,24 @@ _PRIORITY = [
     "q10_watermark_max", "q11_changed_keys_semi", "q12_union_upsert",
     "q13_merge_upsert", "q14_calendar_dim", "q15_profile_customer",
     "q16_budget_variance_monthly", "q17_otd_quality", "q18_sales_measures",
-    "q21_sample_scan",
     "q22_dim_product_enrich", "q23_dedup_latest_agg",
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
     "d17_gopher_quality", "d18_c4_line_filter",
-    "d07_minhash_lsh_pairs", "d08_simhash",
+    "d20_blocklist_filter", "d21_line_repetition",
+    "d07_minhash_lsh_pairs",
     "d10_embed_near_dup",
-    "d19_duplicate_passages", "d12_stratified_sample", "d13_canonical_corpus",
+    "d19_duplicate_passages", "d13_canonical_corpus",
     "d14_canonical_corpus_lsh", "d16_incremental_near_dedup",
     "x29_contamination_check", "x35_token_budget_mix",
+    "x36_corpus_shuffle",
     "x31b_bigram_topk_twopass", "x34_corpus_summary",
-    "c01_corpus_funnel",
+    "c01_corpus_funnel", "c01b_corpus_funnel_c4",
     # LLM data ops: similarity / ANN family
     "e01_knn_topk", "e03b_similar_pairs_lsh_recall",
     "s05_stream_ingest_near_dedup", "e04b_knn_ivf_refined",
     # LLM data ops: multimodal + corpus extensions
-    "m01_binary_bytes", "x07_tfidf_topterms",
+    "m01_binary_bytes",
     # windowed sessionization (guards the NTZ-safe epoch-micros path)
     "x01_event_sessions",
     # temporal joins + structured streaming (beyond-reference, first-class)

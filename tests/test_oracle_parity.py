@@ -25,7 +25,10 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_has_oracle_or_is_approximate(spark):
-    approximate = {"d07_minhash_lsh_pairs", "d08_simhash", "d14_canonical_corpus_lsh",
+    # d14 left this set in round 8: it carries d13's exact-path oracle at
+    # its own threshold (survivor-set equality is a tested property at
+    # the oracle SFs — see the registration comment in queries/llm.py)
+    approximate = {"d07_minhash_lsh_pairs", "d08_simhash",
                    "e03_similar_pairs_lsh",
                    "e03b_similar_pairs_lsh_recall", "e04_knn_ivf", "x18_approx_quantiles",
                    "d16_incremental_near_dedup",
