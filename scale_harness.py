@@ -209,7 +209,8 @@ FUNNEL_STAGES = ("sec_input", "sec_quality_redact", "sec_exact_dedup",
                  "sec_store_append", "sec_compact")
 
 
-def run_funnel(spark, base: str, scale: str, n_batches: int = 5) -> list[dict]:
+def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
+               backend: str = "path") -> list[dict]:
     """Round-6 verdict next-round #3: measure the COMPOSED
     plans.corpus.run_corpus_ingest funnel — persist boundaries, store
     read-modify-write cycle, five chained stages — over a multi-batch
@@ -243,16 +244,28 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5) -> list[dict]:
     counts at both scales). The gate is a scan-bound pure projection
     whose scaling d04/d17 measure standalone; disabling it here keeps
     the dedup/contamination/store stages at honest 8x volume.
+
+    backend='table' runs the SAME sequence on the catalog-table screen
+    stores (store_table_prefix; compaction = atomic view repoint) —
+    the round-7 verdict #8 soak. Store growth is then reported from the
+    table's resolved storage stats instead of the path listing.
     """
     import pyspark.sql.functions as F
 
-    from spaceparts_data_pipeline_spark.operators import dedup
+    from spaceparts_data_pipeline_spark.operators import dedup, maintenance
     from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
 
     sf_dir = os.path.join(base, scale)
-    out = os.path.join(base, f"funnel_{scale}")
+    out = os.path.join(base, f"funnel_{backend}_{scale}")
     if os.path.isdir(out):
         shutil.rmtree(out)
+    table_prefix = None
+    if backend == "table":
+        table_prefix = f"scale_funnel_{scale}"
+        for t in spark.catalog.listTables():
+            if t.name.startswith(table_prefix):
+                kind = "VIEW" if (t.tableType or "").upper() == "VIEW" else "TABLE"
+                spark.sql(f"DROP {kind} IF EXISTS {t.name}")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     benchmark = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     rest = docs.filter(F.col("doc_id") % 20 != 0)
@@ -264,19 +277,26 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5) -> list[dict]:
         before = _stage_totals(spark)
         t0 = time.perf_counter()
         stats = run_corpus_ingest(spark, batch, out, f"b{b}", benchmark=benchmark,
-                                  contamination_threshold=30, quality_gate=False)
+                                  contamination_threshold=30, quality_gate=False,
+                                  store_table_prefix=table_prefix)
         wall = time.perf_counter() - t0
         after = _stage_totals(spark)
         row = {
-            "scale": scale, "batch": b, "sec": round(wall, 3),
+            "scale": scale, "backend": backend, "batch": b, "sec": round(wall, 3),
             **{k: stats[k] for k in stats},
             "shuffle_read_mb": round((after["shuffle_read"] - before["shuffle_read"]) / 1e6, 2),
             "shuffle_write_mb": round((after["shuffle_write"] - before["shuffle_write"]) / 1e6, 2),
         }
         for store in ("fp_store", "band_store"):
-            p = os.path.join(out, store)
-            sdf = dedup.read_store(spark, p)  # None until first admit
-            row[f"{store}_files"] = dedup.data_file_count(spark, p) if sdf is not None else 0
+            if table_prefix:
+                tbl = f"{table_prefix}_{store}"
+                sdf = dedup.read_store_table(spark, tbl)  # None until first admit
+                row[f"{store}_files"] = (
+                    maintenance.file_stats(spark, tbl)["n_files"] if sdf is not None else 0)
+            else:
+                p = os.path.join(out, store)
+                sdf = dedup.read_store(spark, p)  # None until first admit
+                row[f"{store}_files"] = dedup.data_file_count(spark, p) if sdf is not None else 0
             row[f"{store}_rows"] = sdf.count() if sdf is not None else 0
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -353,6 +373,10 @@ def main() -> None:
     ap.add_argument("--ops", nargs="*", default=OPS)
     ap.add_argument("--funnel", action="store_true",
                     help="measure the composed corpus-ingest funnel instead of the op list")
+    ap.add_argument("--funnel-backend", choices=["path", "table"], default="path",
+                    help="screen-store backend for --funnel: path-backed parquet dirs "
+                         "(rename-swap compaction) or catalog tables (view-repoint "
+                         "compaction, the object-store-safe backend)")
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--recall-e03b", action="store_true",
                     help="re-assert e03b's recall floor at Nx against replicated 1x brute-force truth")
@@ -381,7 +405,8 @@ def main() -> None:
     if args.funnel:
         per_scale = {}
         for scale in ("x1", f"x{args.factor}"):
-            per_scale[scale] = run_funnel(spark, base, scale, args.batches)
+            per_scale[scale] = run_funnel(spark, base, scale, args.batches,
+                                          backend=args.funnel_backend)
         print_funnel_tables(per_scale, args.factor)
         return
 

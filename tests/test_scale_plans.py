@@ -96,6 +96,31 @@ def test_x35_no_bare_source_window(spark, scale_dirs):
     assert not bad, f"bare-source window over doc rows: {bad}"
     # and the doc-row window really is sub-sharded
     assert re.search(r"windowspecdefinition\(source#\d+, __sub#\d+, doc_id#\d+", plan), plan
+    # empirical spread: the sort work must land on MORE reducers than
+    # there are sources (the naive plan caps non-empty partitions at the
+    # source cardinality; (source, __sub) keys spread over the full
+    # shuffle width). AQE's partition coalescing is disabled for the
+    # materialization — on KB-sized test data it folds everything into
+    # one partition and would measure the fixture, not the plan.
+    # (an uncapped budget keeps every sub-shard's rows — the driver
+    # query's small budget would leave only each source's first
+    # sub-shard after the filter and measure the output, not the sort)
+    from spaceparts_data_pipeline_spark.operators import text
+
+    docs = spark.read.parquet(
+        os.path.join(scale_dirs["x2"], "documents.parquet"))
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prior = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        df = text.token_budget_mix(docs, default_budget=10**12)
+        n_sources = docs.select("source").distinct().count()
+        non_empty = sum(
+            1 for n in df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+            if n > 0)
+    finally:
+        spark.conf.set(coalesce_key, prior)
+    assert non_empty > n_sources, (n_sources, non_empty)
 
 
 def test_shard_transforms_preserve_within_shard_structure(spark, sf_small):
