@@ -541,14 +541,24 @@ def _blocklist_pattern(terms: tuple[str, ...]) -> str:
     """Word-boundary alternation over literally-escaped terms — the one
     pattern builder both blocked_expr and blocklist_filter compile, so
     the escaping discipline can't drift between the flag and the
-    filter."""
+    filter.
+
+    ``\\b`` anchors are PER TERM and only where the term's edge is a
+    word character: ``\\b`` between two non-word chars never matches
+    (Java and RE2 agree), so a blanket ``\\b(...)\\b`` would silently
+    make terms like 'c++' or '$9.99' unmatchable.
+    """
     if not terms:
         raise ValueError("blocklist needs at least one term")
-    escaped = (
-        "".join("\\" + c if c in _REGEX_META else c for c in term)
-        for term in terms
-    )
-    return r"\b(" + "|".join(escaped) + r")\b"
+
+    def _alt(term: str) -> str:
+        esc = "".join("\\" + c if c in _REGEX_META else c for c in term)
+        word = lambda ch: ch.isalnum() or ch == "_"  # noqa: E731
+        pre = r"\b" if term and word(term[0]) else ""
+        suf = r"\b" if term and word(term[-1]) else ""
+        return pre + esc + suf
+
+    return "(" + "|".join(_alt(t) for t in terms) + ")"
 
 
 def blocked_expr(text_col: Column | str,
@@ -606,6 +616,12 @@ def corpus_shuffle(
     sequence_packing — a single global ORDER BY would be the scale bug).
     A reader streams shard s in position order; across shards any
     interleave is valid because shard assignment is itself random.
+
+    SIZE ``n_shards`` TO THE CORPUS: one shard is one window partition
+    = one reducer's sort, so a shard should hold at most a few million
+    docs (rows/cluster-cores is a good start; the default 8 is
+    demo-scale only). More shards never hurt correctness — any
+    cross-shard interleave is a valid shuffle — so err high.
     """
     from pyspark.sql import Window
 

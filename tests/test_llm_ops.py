@@ -993,6 +993,18 @@ class TestQualityFilters:
         assert out[6]["symbol_word_ratio"] > 0.1 and out[6]["gopher_pass"] is False
         assert out[7]["mean_word_len"] > 10 and out[7]["gopher_pass"] is False
 
+    def test_ascii_ellipsis_counts_as_symbol(self, spark):
+        """ADVICE r07: '...'-heavy docs must fail the symbol gate like
+        '…'-heavy ones (one '...' = ONE symbol, not zero and not
+        three)."""
+        doc = "word ... " * 30          # 60 words, 30 symbols -> ratio 0.5
+        df = spark.createDataFrame(
+            [(1, doc, "en", "s1", len(doc))],
+            "doc_id long, text string, lang string, source string, n_chars long")
+        out = text.gopher_quality(df).collect()[0]
+        assert abs(out["symbol_word_ratio"] - 0.5) < 1e-12
+        assert out["gopher_pass"] is False
+
     def test_c4_line_filter(self, spark):
         good = "\n".join([
             "this is a proper sentence with enough words.",
@@ -1152,6 +1164,30 @@ class TestBlocklistFilter:
         assert out[2] == (2, True)        # "click here" + "buy now"
         assert out[3] == (0, False)
         assert out[4] == (0, False)       # word boundaries: no substring match
+
+    def test_metacharacter_terms_match_literally(self, spark):
+        """ADVICE r07: terms containing regex metacharacters ('c++',
+        '$9.99') must match as literals, not silently reshape the
+        alternation ('c++' as a regex would also match bare 'c')."""
+        df = spark.createDataFrame(
+            [(1, "i write c++ for a living"),
+             (2, "plain c code only here"),          # must NOT match 'c++'
+             (3, "the price is $9.99 today"),
+             (4, "the price is $9x99 today")],       # '.' must not be a wildcard
+            "doc_id long, text string")
+        out = {r["doc_id"]: (r["n_blocked_terms"], r["blocked"]) for r in
+               text.blocklist_filter(df, terms=("c++", "$9.99")).collect()}
+        assert out[1] == (1, True)
+        assert out[2] == (0, False)
+        assert out[3] == (1, True)
+        assert out[4] == (0, False)
+
+    def test_empty_blocklist_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            text.blocklist_filter(df, terms=())
 
 
 class TestLineRepetition:

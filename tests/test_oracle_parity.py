@@ -24,6 +24,27 @@ def test_entry_smoke(spark):
     assert df.columns == ["document_category", "sales_eur", "cogs_eur", "gross_margin", "line_count"]
 
 
+def test_dtype_gate_catches_hugeint_float_mismatch():
+    """Regression for the r07 x34 red row: DuckDB SUM(BIGINT) returns
+    HUGEINT (float64 in the compare frame) where Spark emits int64;
+    every value compares equal under Python ==, but the driver's hash
+    is dtype-sensitive. The local gate must fail on that shape BEFORE
+    it burns a driver round."""
+    import pandas as pd
+    import pytest
+
+    from tests.oracle_harness import assert_dtype_compatible
+
+    sdf = pd.DataFrame({"source": ["a"], "total": pd.array([5], dtype="int64")})
+    odf = pd.DataFrame({"source": ["a"], "total": pd.array([5.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype"):
+        assert_dtype_compatible(sdf, odf, "hugeint-regression")
+    # equal families pass (int32 vs int64 is fine; so is the identity)
+    assert_dtype_compatible(sdf, sdf, "identity")
+    odf_ok = odf.assign(total=odf["total"].astype("int32"))
+    assert_dtype_compatible(sdf, odf_ok, "int-family")
+
+
 def test_every_query_has_oracle_or_is_approximate(spark):
     # d14 left this set in round 8: it carries d13's exact-path oracle at
     # its own threshold (survivor-set equality is a tested property at
