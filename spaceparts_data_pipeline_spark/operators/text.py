@@ -488,29 +488,45 @@ def line_repetition_stats(
     document, and the fraction of CHARACTERS living in duplicated
     lines; flagged past Gopher's published thresholds (0.30 / 0.20).
 
-    Pure array lambdas, one projection, zero shuffle. The char fraction
-    is O(lines²) per document via a nested filter — lines per document
-    are small and bounded, and keeping it expression-only (vs an
-    explode + groupBy) means the gate rides the scan at 100 TB like
-    d17; documents with pathological line counts should be length-gated
-    first (d17's word-count band) anyway.
+    Pure array lambdas, zero shuffle — the gate rides the scan at
+    100 TB like d17. The char fraction is computed on a PROJECTED
+    sorted copy of the lines: a line is duplicated iff it equals a
+    sorted neighbor, so one ``array_sort`` plus an index-lambda pass
+    replaces the first draft's nested ``filter(lines, y == x)`` —
+    which was both O(lines²) comparisons AND re-evaluated the
+    un-projected split per inner element (the d19 lambda-CSE trap;
+    measured 3.45× wall at 8× on multi-line input, see SCALING.md).
+    Projecting ``__ls`` first keeps it a per-row bound reference
+    inside the lambdas (CollapseProject leaves multiply-referenced
+    non-trivial aliases alone), so the whole gate is O(L log L) per
+    document.
     """
     t = F.col(text_col)
     lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
-    n_lines = F.size(lines).cast("long")
-    n_distinct = F.size(F.array_distinct(lines)).cast("long")
+    staged = df.select(
+        F.col(id_col), F.array_sort(lines).alias("__ls"))
+    ls = F.col("__ls")
+    n_lines = F.size(ls).cast("long")
+    n_distinct = F.size(F.array_distinct(ls)).cast("long")
     has = n_lines > 0
     dup_line_frac = F.when(has, 1 - n_distinct / n_lines)
     total_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        ls, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    # sorted-adjacent duplicate test: OOB F.get is NULL, NULL == x is
+    # NULL, and when(NULL) falls to the 0 branch — edges are safe.
     dup_chars = F.aggregate(
-        lines, F.lit(0).cast("long"),
-        lambda acc, x: acc + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(F.lit(0)),
+        F.transform(
+            ls,
+            lambda x, i: F.when(
+                (x == F.get(ls, i - 1)) | (x == F.get(ls, i + 1)),
+                F.length(x).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     dup_char_frac = F.when(has & (total_chars > 0), dup_chars / total_chars)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_lines.alias("n_lines"),
         n_distinct.alias("n_distinct_lines"),
