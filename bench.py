@@ -162,9 +162,13 @@ def main() -> None:
     # the round-over-round comparison — the local history is the source
     # of truth vs_previous_round diffs against (round-7 verdict #6).
     try:
+        record = {"ts": time.time(), **doc}
+        round_tag = os.environ.get("SPARK_GRAFT_ROUND")
+        if round_tag:
+            record["round"] = round_tag
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.jsonl"), "a") as fh:
-            fh.write(json.dumps({"ts": time.time(), **doc}) + "\n")
+            fh.write(json.dumps(record) + "\n")
     except OSError:
         pass
 
@@ -190,7 +194,12 @@ def _previous_doc() -> tuple[str, dict] | None:
             except json.JSONDecodeError:
                 continue
             if doc.get("queries"):
-                return HISTORY_FILE, doc
+                # Identify WHICH run the deltas are against — a bare
+                # filename label can't distinguish the previous round
+                # from an ad-hoc partial local run.
+                tag = doc.get("round") or doc.get("ts")
+                label = f"{HISTORY_FILE}@{tag}" if tag else HISTORY_FILE
+                return label, doc
     rounds = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),

@@ -418,19 +418,29 @@ def token_budget_mix(
     Long-integer sums are associative, so the result is bit-identical
     to the one-window formulation (and to the SQL oracle). Requires a
     numeric, totally-ordered ``id_col``.
+
+    NULL handling is EXPLICIT so both formulations agree row-for-row:
+    NULL text counts 0 tokens (``coalesce``, matching the oracle's
+    ``COALESCE(..., 0)``) — a running SUM that skipped NULLs would keep
+    the doc while ``offset + NULL`` dropped it; a NULL ``shard_col`` is
+    its own group under the DEFAULT budget (null-safe joins, matching
+    the window/GROUP BY treatment of NULL keys); and the sub-shard
+    prune is ``offset <= budget`` so zero-token docs sitting exactly on
+    the budget line survive, as they do under ``cum <= budget``.
     """
     from pyspark.sql import Window
 
     budget = F.lit(default_budget)
     for value, b in (budgets or {}).items():
         budget = F.when(F.col(shard_col) == value, F.lit(b)).otherwise(budget)
-    n_tok = token_count(text_col).cast("long")
+    n_tok = F.coalesce(token_count(text_col).cast("long"), F.lit(0))
     toks = df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
 
     # Order-aligned sub-shard: min-max scale the id within its source.
     # floor is monotone in id, so sub-shard order == id order.
     bounds = toks.groupBy(shard_col).agg(
-        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"),
+    ).withColumnRenamed(shard_col, "__bshard")
     span = (F.col("__hi") - F.col("__lo") + 1).cast("double")
     sub = F.least(
         F.lit(n_subshards - 1),
@@ -438,24 +448,29 @@ def token_budget_mix(
                 * n_subshards / span),
     ).cast("int")
     sharded = (
-        toks.join(F.broadcast(bounds), shard_col)
+        toks.join(F.broadcast(bounds),
+                  F.col(shard_col).eqNullSafe(F.col("__bshard")))
         .withColumn("__sub", sub)
-        .drop("__lo", "__hi")
+        .drop("__bshard", "__lo", "__hi")
     )
 
     # Phase 1: tiny partials frame (<= n_sources * n_subshards rows);
-    # exclusive prefix offsets over it. coalesce(sum, 0): an all-null
-    # sub-shard (every doc NULL-text) must not poison later offsets.
+    # exclusive prefix offsets over it. All n_tokens are non-null by
+    # construction, so the partial sums are too.
     partials = sharded.groupBy(shard_col, "__sub").agg(
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("__part"))
+        F.sum("n_tokens").cast("long").alias("__part"))
     w_off = (
         Window.partitionBy(shard_col).orderBy("__sub")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = partials.withColumn(
-        "__offset",
-        F.coalesce(F.sum("__part").over(w_off), F.lit(0)).cast("long"),
-    ).drop("__part")
+    offsets = (
+        partials.withColumn(
+            "__offset",
+            F.coalesce(F.sum("__part").over(w_off), F.lit(0)).cast("long"))
+        .drop("__part")
+        .withColumnRenamed(shard_col, "__oshard")
+        .withColumnRenamed("__sub", "__osub")
+    )
 
     # Phase 2: prune past-budget sub-shards BEFORE the sort, then one
     # window per (source, sub-shard) — the only exchange that carries
@@ -465,8 +480,12 @@ def token_budget_mix(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        sharded.join(F.broadcast(offsets), [shard_col, "__sub"])
-        .filter(F.col("__offset") < budget)
+        sharded.join(
+            F.broadcast(offsets),
+            F.col(shard_col).eqNullSafe(F.col("__oshard"))
+            & (F.col("__sub") == F.col("__osub")))
+        .drop("__oshard", "__osub")
+        .filter(F.col("__offset") <= budget)
         .withColumn(
             "cum_tokens",
             (F.col("__offset") + F.sum("n_tokens").over(w2)).cast("long"))
@@ -563,13 +582,22 @@ def _blocklist_pattern(terms: tuple[str, ...]) -> str:
     word character: ``\\b`` between two non-word chars never matches
     (Java and RE2 agree), so a blanket ``\\b(...)\\b`` would silently
     make terms like 'c++' or '$9.99' unmatchable.
+
+    Matching is case-INSENSITIVE end to end: callers lowercase the
+    text, so each term is lowercased HERE — otherwise a list entry
+    like 'Buy Now' would silently never match. The word-char test is
+    ASCII ``[A-Za-z0-9_]`` (not Python's Unicode ``isalnum``) because
+    Java/RE2 ``\\b`` is ASCII-word-based: a ``\\b`` next to 'é' in
+    'café' would never match, so accented-edge terms get no anchor and
+    match as substrings — the engine-faithful behavior.
     """
     if not terms:
         raise ValueError("blocklist needs at least one term")
 
     def _alt(term: str) -> str:
+        term = term.lower()
         esc = "".join("\\" + c if c in _REGEX_META else c for c in term)
-        word = lambda ch: ch.isalnum() or ch == "_"  # noqa: E731
+        word = lambda ch: ("a" <= ch <= "z") or ("0" <= ch <= "9") or ch == "_"  # noqa: E731
         pre = r"\b" if term and word(term[0]) else ""
         suf = r"\b" if term and word(term[-1]) else ""
         return pre + esc + suf

@@ -1590,7 +1590,7 @@ def d19_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, source,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
       FROM documents
     ),

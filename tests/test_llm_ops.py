@@ -1070,6 +1070,44 @@ class TestMixAndPassages:
                text.token_budget_mix(df, default_budget=25, budgets={"B": 10}).collect()}
         assert out == {1: 10, 2: 20, 11: 10}
 
+    def test_null_text_and_null_source_match_one_window(self, spark):
+        """ADVICE r08 bit-identity repro: (a) a NULL-text doc landing on
+        a sub-shard HEAD must not poison the running sum (offset + NULL
+        = NULL dropped the doc; the one-window SUM skips NULLs and
+        keeps it) — NULL text counts 0 tokens explicitly; (b) a
+        zero-token doc whose sub-shard offset EQUALS the budget must
+        survive the prune (cum == budget is kept by <=); (c) NULL
+        source is its own group under the default budget, not dropped
+        by an inner join."""
+        from pyspark.sql import Window as W
+
+        ten = " ".join(f"w{i}" for i in range(10))
+        five = " ".join(f"v{i}" for i in range(5))
+        rows = (
+            # source A, budget 20: with n_subshards=2 ids 1-2 land in
+            # sub 0 and ids 3-4 in sub 1, so the NULL-text doc 3 is a
+            # sub-shard head; doc 4 (cum 20) sits exactly on the line.
+            [(1, ten, "A"), (2, ten, "A"), (3, None, "A"), (4, None, "A")]
+            # NULL source, default budget 12: keeps 5-token doc 21 and
+            # 5-token doc 22 (cum 10), drops doc 23 (cum 15).
+            + [(21, five, None), (22, five, None), (23, five, None)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {(r["doc_id"], r["cum_tokens"]) for r in
+               text.token_budget_mix(df, default_budget=12, budgets={"A": 20},
+                                     n_subshards=2).collect()}
+        # one-window reference computed with the naive formulation
+        n_tok = F.coalesce(text.token_count("text").cast("long"), F.lit(0))
+        w = (W.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(W.unboundedPreceding, 0))
+        ref = (df.select("doc_id", "source", n_tok.alias("n"))
+               .withColumn("cum", F.sum("n").over(w))
+               .filter(F.col("cum") <= F.when(F.col("source") == "A", 20).otherwise(12)))
+        want = {(r["doc_id"], r["cum"]) for r in ref.collect()}
+        assert got == want
+        assert (3, 20) in got and (4, 20) in got   # NULL-text docs kept
+        assert (21, 5) in got and (22, 10) in got and (23, 15) not in got
+
     def test_duplicate_passages_known_answer(self, spark):
         # doc 1 and doc 2 share one exact 5-gram span ("a b c d e");
         # doc 3 is fully unique; doc 4 is too short for any 5-gram.
@@ -1188,6 +1226,32 @@ class TestBlocklistFilter:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             text.blocklist_filter(df, terms=())
+
+    def test_uppercase_terms_match(self, spark):
+        """ADVICE r08: matching is documented case-insensitive, so a
+        LIST entry with uppercase ('Buy Now') must hit lowercase text —
+        the term is lowercased inside the pattern builder, not just the
+        text side."""
+        df = spark.createDataFrame(
+            [(1, "please buy now today"), (2, "nothing to see")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["blocked"] for r in
+               text.blocklist_filter(df, terms=("Buy Now", "C++")).collect()}
+        assert out[1] is True
+        assert out[2] is False
+
+    def test_non_ascii_edge_term_matches(self, spark):
+        """ADVICE r08: Java/RE2 \\b is ASCII-word-based, so a term edged
+        with an accented letter ('café') must NOT get a \\b anchor (it
+        would never match); it matches as a substring instead."""
+        df = spark.createDataFrame(
+            [(1, "meet me at the café tomorrow"),
+             (2, "plain coffee shop")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["blocked"] for r in
+               text.blocklist_filter(df, terms=("café",)).collect()}
+        assert out[1] is True
+        assert out[2] is False
 
 
 class TestLineRepetition:
