@@ -53,6 +53,9 @@ CORPUS = [
     # duplicated-passage window plan (the heaviest linear text shuffle)
     "c01_corpus_funnel",
     "d19_duplicate_passages",
+    # round 9: the substring REMOVAL built on d19's gram window — the
+    # cleaned-corpus path a Lee-et-al dedup actually ships
+    "d22_substring_dedup",
 ]
 
 

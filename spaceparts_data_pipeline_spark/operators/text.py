@@ -839,6 +839,91 @@ def duplicate_passages(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the dedup Lee et al. 2021
+    actually run (and :func:`duplicate_passages` only profiles): cut
+    every duplicated passage out of every document, at word-``k``-gram
+    granularity. A token is removed iff it is covered by ANY ``k``-gram
+    whose exact text occurs more than once corpus-wide (so both copies
+    of a boilerplate span are cut, same as the published pipeline); the
+    surviving tokens are rejoined with single spaces. Whole-document
+    duplicates (d13-d16) reduce to the special case where every
+    position is covered.
+
+    Output per doc: ``clean_text`` (NULL text stays NULL; a fully
+    duplicated doc becomes ''), ``n_tokens`` (pre-removal, 0 for
+    blank/NULL), ``n_removed_tokens``.
+
+    Scale shape — same discipline as :func:`duplicate_passages`, whose
+    gram window this extends: grams leave the row only as md5 hashes,
+    corpus-global occurrence counting is the ONE gram-scale exchange
+    (``count(*) over (partition by hash)``), and only DUPLICATED gram
+    start positions flow into the per-doc aggregate (tiny for mostly-
+    clean corpora — exactly the 100 TB case). Reconstruction is pure
+    per-doc array work with no lambda-CSE trap: the token array is
+    projected ONCE, covered positions expand via ``sequence`` (O(dup
+    starts × k)), and the kept-index set is ``array_except`` — hash-set
+    based, linear in tokens — so a document costs O(T + D·k), never
+    O(T·D). Boundary semantics at window edges: a duplicated gram
+    covers exactly its ``k`` tokens, so a unique suffix shorter than
+    ``k`` that merely OVERLAPS a duplicated window survives unless one
+    of its own grams is itself duplicated.
+
+    md5 (not xxhash) for the same oracle-replayability trade d19/x29
+    make; swap to xxhash64 at petabyte gram volumes and accept a
+    rows-only check.
+    """
+    from pyspark.sql import Window
+
+    from spaceparts_data_pipeline_spark.operators.similarity import _ensure_parallel
+
+    base = _ensure_parallel(df.select(F.col(id_col), F.col(text_col)))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, k)).alias("__p", "__g"),
+    ).select(id_col, "__p", F.md5("__g").alias("__h"))
+    dup_starts = (
+        grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("__h")))
+        .filter(F.col("__c") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("__p").alias("__starts"))
+    )
+
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+    staged = (
+        base.join(dup_starts, id_col, "left")
+        .withColumn("__t", toks)
+        .withColumn("__n", F.coalesce(F.size("__t"), F.lit(0)))
+    )
+    removed = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+        lambda p: F.sequence(p, p + F.lit(k - 1)),
+    )))
+    all_idx = F.when(F.col("__n") > 0,
+                     F.sequence(F.lit(0), F.col("__n") - 1).cast("array<int>")) \
+               .otherwise(F.array().cast("array<int>"))
+    kept = F.array_except(all_idx, F.col("__removed"))
+    clean = F.array_join(
+        F.transform(kept, lambda j: F.element_at(F.col("__t"), j + F.lit(1))), " ")
+    return (
+        staged.withColumn("__removed", removed)
+        .select(
+            F.col(id_col),
+            F.when(F.col(text_col).isNotNull(), clean).alias("clean_text"),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.size("__removed").cast("long").alias("n_removed_tokens"),
+        )
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     group_col: str,

@@ -159,9 +159,38 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # SQL-expressible) whose Hamming-similarity semantics are pinned by
 # crafted-doc property tests locally; swapping it for a FULL-oracle
 # composed-funnel row trades weak driver evidence for strong, and
-# shrinks the in-window no_oracle set to 5.
+# shrinks the in-window no_oracle set to 4 (d07/d16/e03b/s05, r8 count).
 # d18 stays in-window; d04/d05/d11/x30/e04/x31/x32/x33/d15/e03/d08
 # remain the transitively-held or locally-pinned out-of-window set.
+# Round-9 rotation (round-8 verdict #2 + #4 — ship the substring
+# REMOVAL op and rotate the round-1-stale analytic tail in). IN:
+#   d22_substring_dedup (NEW — Lee et al.'s actual dedup, completing
+#       d19: duplicated 5-gram passages CUT; FULL oracle, straight in
+#       per the rotation policy's first-appearance rule),
+#   x02_rolling_events, x11_cube_counts, x12_price_percentiles,
+#   x15_json_extract, x21_ranking_functions (last driver rows r01 —
+#       seven rounds stale, the oldest evidence in the registry; all
+#       FULL-oracle and green in every local parity run since).
+# OUT, coverage retained transitively, all r08-green (so ≤3-rounds
+# stale through r11) and still in the local parity suite every round:
+#   d07 (rows-only pair list; the minhash/band machinery it drove is
+#       now VALUE-checked through d14/d16/s05's exact-path oracles,
+#       and its pair semantics stay property-pinned locally — the d08
+#       precedent: swap weak driver evidence for strong. In-window
+#       no_oracle shrinks to {e03b}, which is recall-pinned by design),
+#   d13 (d14 carries the IDENTICAL recursive-CTE oracle at the same
+#       threshold in-window; d13 is its bounded-input twin and stays a
+#       bench headliner timed every round),
+#   d19 (its gram-window oracle body is replayed VERBATIM inside
+#       incoming d22's CTE chain — d22 is d19 plus the removal),
+#   d20 (its escaped-alternation blocklist body runs inside in-window
+#       c01b's blocklist stage under a FULL oracle),
+#   x34 (map-side multi-agg; its token-count body is x35/x33/c01's CTE
+#       and per-source grouping is the q-family's bread and butter),
+#   x36 (its md5(seed:id) per-shard rank body is composed into the
+#       funnel's packing manifest; determinism pinned by unit tests +
+#       local parity; d12's transitive chain now routes through the
+#       local suite).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -174,15 +203,16 @@ _PRIORITY = [
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
     "d17_gopher_quality", "d18_c4_line_filter",
-    "d20_blocklist_filter", "d21_line_repetition",
-    "d07_minhash_lsh_pairs",
+    "d21_line_repetition",
     "d10_embed_near_dup",
-    "d19_duplicate_passages", "d13_canonical_corpus",
+    "d22_substring_dedup",
     "d14_canonical_corpus_lsh", "d16_incremental_near_dedup",
     "x29_contamination_check", "x35_token_budget_mix",
-    "x36_corpus_shuffle",
-    "x31b_bigram_topk_twopass", "x34_corpus_summary",
+    "x31b_bigram_topk_twopass",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4",
+    # analytic-extension tail rotation (round-9: stalest driver rows)
+    "x02_rolling_events", "x11_cube_counts", "x12_price_percentiles",
+    "x15_json_extract", "x21_ranking_functions",
     # LLM data ops: similarity / ANN family
     "e01_knn_topk", "e03b_similar_pairs_lsh_recall",
     "s05_stream_ingest_near_dedup", "e04b_knn_ivf_refined",

@@ -1181,18 +1181,96 @@ def x33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d16 — cross-run NEAR-dup dedup against a MinHash band store (the
 # FineWeb/RefinedWeb cross-dump pattern): within-batch LSH dedup with
 # exact verify, then a band-collision screen against signatures of
-# everything prior runs admitted — no prior text needed. Rows-only
-# (xxhash signatures are not SQL-expressible); the semantic guarantees
-# (exact dup always screened, near-dup screened at the pinned profile,
-# unrelated docs admitted) are pinned in tests/test_llm_ops.py.
+# everything prior runs admitted — no prior text needed.
+#
+# ORACLE NOTE (the d14 playbook, round 9): the SQL below is the
+# EXACT-path twin — within-batch exact-Jaccard dedup (d13's recursive
+# CTE over the batch deciles) followed by an exact-Jaccard>=0.5 screen
+# against the STORE deciles' md5 shingles — not a SQL transcription of
+# the band screen (xxhash64 signatures are not SQL-expressible). Using
+# it as d16's value oracle is sound because ADMIT-SET EQUALITY between
+# the LSH route and the exact route at threshold 0.5 with the pinned
+# num_perm=32 / rows_per_band=4 profile is a TESTED PROPERTY at the
+# oracle SFs (tests/test_llm_ops.py::
+# test_incremental_near_dedup_equals_exact_screen, run at sf0.01 and
+# the sf0.1 stretch). The profile matters on BOTH sides: 8 bands of 4
+# rows keeps per-band false-collision probability at J~0.05 near 1e-5
+# (rows_per_band=2 deterministically over-screens 3 fixture docs whose
+# max store-J is <=0.053; rows_per_band=1 over-screens ~95% of the
+# batch), while an exact duplicate still collides in every band. It is
+# a property pinned at these SFs/profile, not an identity — at other
+# data or profiles the band screen may legitimately differ.
 # ---------------------------------------------------------------------------
 
-@register("d16_incremental_near_dedup")
+@register(
+    "d16_incremental_near_dedup",
+    r"""
+    WITH RECURSIVE
+    b AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE doc_id % 10 >= 4),
+    docs AS (SELECT doc_id, t FROM b WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM docs
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b2 ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE inter / (ca.n + cb.n - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sim
+      UNION ALL
+      SELECT id_b, id_a FROM sim
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM b
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    surv AS (
+      SELECT b.doc_id, b.lang FROM b JOIN comp USING (doc_id)
+      WHERE comp.component = comp.doc_id
+    ),
+    stoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id % 10 < 6),
+    ssh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM stoks WHERE len(t) >= 3
+    ),
+    scnt AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+    xpairs AS (
+      SELECT a.doc_id AS bid, s.doc_id AS sid, COUNT(*) AS inter
+      FROM sh a JOIN ssh s ON a.shingle = s.shingle
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT DISTINCT bid FROM xpairs
+      JOIN cnt ON bid = cnt.doc_id
+      JOIN scnt ON sid = scnt.doc_id
+      WHERE inter / (cnt.n + scnt.n - inter) >= 0.5
+    )
+    SELECT doc_id, lang FROM surv
+    WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.bid = surv.doc_id)
+    """,
+)
 def d16_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    store = dedup_fuzzy.band_table(d.filter(F.col("doc_id") % 10 < 6))
+    store = dedup_fuzzy.band_table(
+        d.filter(F.col("doc_id") % 10 < 6), num_perm=32, rows_per_band=4)
     batch = d.filter(F.col("doc_id") % 10 >= 4)
-    admitted, _bands = dedup_fuzzy.incremental_near_dedup(batch, store)
+    admitted, _bands = dedup_fuzzy.incremental_near_dedup(
+        batch, store, num_perm=32, rows_per_band=4)
     return admitted.select("doc_id", "lang")
 
 
@@ -1576,6 +1654,73 @@ def d18_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d19_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return text.duplicate_passages(d, k=5, flag_threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# d22 — exact-substring dedup REMOVAL (round-9 verdict #2): the dedup
+# Lee et al. 2021 actually run, completing d19's profile — duplicated
+# word-5-gram passages are CUT from every document (both copies, as
+# published), unique text survives, whole-doc dups reduce to ''. Same
+# single gram-scale md5 window as d19; reconstruction is per-doc array
+# work (hash-based array_except — O(T + dups·k), no lambda-CSE trap).
+# FULL oracle: the removal decision is relational (positions covered
+# by a >1-count gram), so DuckDB replays it with joins + string_agg.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d22_substring_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) - 3)) - 1 AS p,
+             unnest(list_transform(range(1, len(t) - 3),
+                                   i -> md5(array_to_string(t[i:i+4], ' ')))) AS h
+      FROM toks
+    ),
+    c AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS c_glob FROM g),
+    dup AS (SELECT doc_id, p FROM c WHERE c_glob > 1),
+    tok AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) + 1)) - 1 AS j,
+             unnest(t) AS w
+      FROM toks
+    ),
+    removed AS (
+      SELECT DISTINCT tok.doc_id, tok.j
+      FROM tok JOIN dup ON dup.doc_id = tok.doc_id
+                        AND tok.j BETWEEN dup.p AND dup.p + 4
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.j, tok.w FROM tok
+      WHERE NOT EXISTS (SELECT 1 FROM removed r
+                        WHERE r.doc_id = tok.doc_id AND r.j = tok.j)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM removed GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(agg.clean_text, '') END AS clean_text,
+           CAST(CASE WHEN t.t IS NULL THEN 0 ELSE len(t.t) END AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed_tokens
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN agg USING (doc_id)
+    LEFT JOIN rem USING (doc_id)
+    """,
+)
+def d22_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.substring_dedup(d, k=5)
 
 
 # ---------------------------------------------------------------------------

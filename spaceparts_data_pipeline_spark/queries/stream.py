@@ -279,16 +279,102 @@ def s04_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s05_stream_ingest_near_dedup")
+@register(
+    "s05_stream_ingest_near_dedup",
+    r"""
+    WITH RECURSIVE
+    store AS (
+      SELECT DISTINCT md5(text) AS fingerprint
+      FROM documents WHERE doc_id % 10 < 6
+    ),
+    fpb AS (
+      SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint
+      FROM documents WHERE doc_id % 10 >= 4 AND text IS NOT NULL
+      GROUP BY md5(text)
+    ),
+    ex AS (
+      SELECT doc_id, fingerprint FROM fpb b
+      WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = b.fingerprint)
+    ),
+    b AS (
+      SELECT e.doc_id, e.fingerprint,
+             string_split_regex(trim(d.text), '\s+') AS t
+      FROM ex e JOIN documents d USING (doc_id)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM b WHERE len(t) >= 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b2 ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE inter / (ca.n + cb.n - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sim
+      UNION ALL
+      SELECT id_b, id_a FROM sim
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM b
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    surv AS (
+      SELECT b.doc_id, b.fingerprint FROM b JOIN comp USING (doc_id)
+      WHERE comp.component = comp.doc_id
+    ),
+    stoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id % 10 < 6),
+    ssh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM stoks WHERE len(t) >= 3
+    ),
+    scnt AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+    xpairs AS (
+      SELECT a.doc_id AS bid, s.doc_id AS sid, COUNT(*) AS inter
+      FROM sh a JOIN ssh s ON a.shingle = s.shingle
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT DISTINCT bid FROM xpairs
+      JOIN cnt ON bid = cnt.doc_id
+      JOIN scnt ON sid = scnt.doc_id
+      WHERE inter / (cnt.n + scnt.n - inter) >= 0.5
+    )
+    SELECT doc_id, fingerprint FROM surv
+    WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.bid = surv.doc_id)
+    """,
+)
 def s05_stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus ingestion with the NEAR-dup screen (d16's
     streaming twin): stream_ingest_dedup with a band store — each
     micro-batch is exact-screened, within-batch LSH-deduplicated, then
     band-screened against everything prior runs admitted; survivors
-    land in the corpus and extend BOTH stores. Rows-only by design
-    (the band screen is xxhash MinHash — same inherent reason as
-    d14/d16); the exact-dup-always-screened and replay-idempotence
-    guarantees are pinned in tests/test_streaming.py."""
+    land in the corpus and extend BOTH stores.
+
+    ORACLE NOTE (the d14/d16 playbook, round 9): the SQL above replays
+    the whole single-micro-batch composition on the EXACT path — s04's
+    fingerprint screen, then d13's recursive-CTE components over the
+    exact-screen survivors, then an exact-Jaccard>=0.5 screen against
+    the store deciles — sound because (a) one landing file → one
+    micro-batch BY CONSTRUCTION (s04's argument), and (b) admit-set
+    equality between the band screen at the pinned num_perm=32 /
+    rows_per_band=4 profile and the exact screen is a TESTED PROPERTY
+    at the oracle SFs (tests/test_llm_ops.py::
+    test_stream_near_dedup_composition_equals_exact_screen). Multi-
+    batch behavior and replay idempotence stay pinned in
+    tests/test_streaming.py."""
     import hashlib
     import shutil
 
@@ -314,7 +400,7 @@ def s05_stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed both stores as prior runs would have left them
     prior = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 6)
     prior.select(F.md5("text").alias("fingerprint")).write.parquet(store_path)
-    dedup_fuzzy.band_table(prior).write.parquet(band_store_path)
+    dedup_fuzzy.band_table(prior, num_perm=32, rows_per_band=4).write.parquet(band_store_path)
 
     stream = (
         spark.readStream.schema(schema).parquet(stream_dir)
@@ -324,6 +410,7 @@ def s05_stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stream, store_path, corpus_path,
         checkpoint_dir=os.path.join(work, "ckpt"),
         band_store_path=band_store_path,
+        num_perm=32, rows_per_band=4,
     )
     q.awaitTermination()
     return (

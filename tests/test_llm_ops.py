@@ -523,6 +523,86 @@ class TestCorpusOps:
         assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
         assert lsh.count() < d.count()  # it actually removed near-dups
 
+    @staticmethod
+    def _exact_cross_screen_hits(survivors, store_docs, threshold=0.5):
+        """Exact-path twin of the band-collision screen: survivor ids
+        whose true Jaccard vs ANY store doc is >= threshold, computed
+        on md5 shingles (an independent Spark formulation of the
+        DuckDB oracle's xpairs/hits CTEs)."""
+        from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
+
+        sh = dedup_fuzzy.word_shingles(survivors, "doc_id", "text", 3).select(
+            "doc_id", F.md5("shingle").alias("h"))
+        ssh = dedup_fuzzy.word_shingles(store_docs, "doc_id", "text", 3).select(
+            F.col("doc_id").alias("sid"), F.md5("shingle").alias("h"))
+        cnt = sh.groupBy("doc_id").count().withColumnRenamed("count", "na")
+        scnt = ssh.groupBy("sid").count().withColumnRenamed("count", "nb")
+        jac = (sh.join(ssh, "h").groupBy("doc_id", "sid")
+               .count().withColumnRenamed("count", "inter")
+               .join(cnt, "doc_id").join(scnt, "sid")
+               .withColumn("j", F.col("inter")
+                           / (F.col("na") + F.col("nb") - F.col("inter"))))
+        return {r["doc_id"] for r in
+                jac.filter(F.col("j") >= threshold).select("doc_id").distinct().collect()}
+
+    def test_incremental_near_dedup_equals_exact_screen(self, spark, sf_oracle):
+        """The d14 playbook applied to d16 (round-9 verdict #1): at the
+        pinned num_perm=32 / rows_per_band=4 profile the cross-run LSH
+        screen's ADMIT SET equals the exact path — exact-Jaccard
+        within-batch dedup followed by an exact-Jaccard>=0.5 screen
+        against the store deciles. This property is what makes d16's
+        exact-path SQL oracle sound (queries/llm.py ORACLE NOTE). The
+        profile matters: 8 bands of 4 rows pushes the per-band false-
+        collision probability at the fixture's J<=0.053 background to
+        ~1e-5 (rows_per_band=2 deterministically over-screens 3 docs;
+        rows_per_band=1 over-screens ~95%), while exact duplicates
+        still collide in every band."""
+        from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
+
+        d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        store_docs = d.filter(F.col("doc_id") % 10 < 6)
+        batch = d.filter(F.col("doc_id") % 10 >= 4)
+
+        store = dedup_fuzzy.band_table(store_docs, num_perm=32, rows_per_band=4)
+        admitted, _ = dedup_fuzzy.incremental_near_dedup(
+            batch, store, num_perm=32, rows_per_band=4)
+        lsh_admit = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+
+        exact_surv = dedup_fuzzy.canonical_corpus(
+            batch, dedup_fuzzy.jaccard_pairs(batch, threshold=0.5))
+        surv_ids = {r["doc_id"] for r in exact_surv.select("doc_id").collect()}
+        hits = self._exact_cross_screen_hits(exact_surv, store_docs)
+        assert lsh_admit == surv_ids - hits
+        assert len(hits) > 0                  # the screen did real work
+        assert len(lsh_admit) < batch.count() # and so did the dedup
+
+    def test_stream_near_dedup_composition_equals_exact_screen(self, spark, sf_oracle):
+        """s05's single-micro-batch decision function — exact fingerprint
+        screen, then within-survivor LSH dedup, then the band screen at
+        the pinned 32/4 profile — equals the all-exact path; this is
+        what makes s05's composed SQL oracle sound (queries/stream.py
+        ORACLE NOTE). Runs the same operators the foreachBatch body
+        calls, on batch DataFrames (multi-batch replay idempotence is
+        pinned in tests/test_streaming.py)."""
+        from spaceparts_data_pipeline_spark.operators import dedup, dedup_fuzzy
+
+        d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        store_docs = d.filter(F.col("doc_id") % 10 < 6)
+        batch = d.filter(F.col("doc_id") % 10 >= 4)
+        fp_store = store_docs.select(F.md5("text").alias("fingerprint"))
+
+        ex = dedup.incremental_dedup(batch, fp_store).join(batch, "doc_id")
+        band_store = dedup_fuzzy.band_table(store_docs, num_perm=32, rows_per_band=4)
+        admitted, _ = dedup_fuzzy.incremental_near_dedup(
+            ex, band_store, num_perm=32, rows_per_band=4)
+        lsh_admit = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+
+        exact_surv = dedup_fuzzy.canonical_corpus(
+            ex, dedup_fuzzy.jaccard_pairs(ex, threshold=0.5))
+        surv_ids = {r["doc_id"] for r in exact_surv.select("doc_id").collect()}
+        hits = self._exact_cross_screen_hits(exact_surv, store_docs)
+        assert lsh_admit == surv_ids - hits
+
     def test_contamination_counts_shared_shingles(self, spark):
         from spaceparts_data_pipeline_spark.operators import dedup_fuzzy
 
@@ -1132,6 +1212,44 @@ class TestMixAndPassages:
             "doc_id long, text string")
         r = text.duplicate_passages(df, k=5).collect()[0]
         assert r["n_grams"] == 6 and r["n_dup_grams"] == 2
+
+    def test_substring_dedup_known_answer(self, spark):
+        """d22 (round-9 verdict #2): duplicated 5-gram passages are CUT
+        (both copies, per Lee et al.), unique text survives verbatim,
+        within-doc repeats empty the doc, short/blank/NULL docs pass
+        through with the documented boundary semantics."""
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"),          # shares "a b c d e" with doc 2
+             (2, "x a b c d e y"),
+             (3, "p q r s t u"),            # fully unique
+             (4, "too short"),              # < k tokens: no grams
+             (5, "a b c d e a b c d e"),    # self-repeat: fully covered
+             (6, None),
+             (7, "   ")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict() for r in text.substring_dedup(df, k=5).collect()}
+        assert (out[1]["clean_text"], out[1]["n_tokens"], out[1]["n_removed_tokens"]) == ("f g", 7, 5)
+        assert (out[2]["clean_text"], out[2]["n_removed_tokens"]) == ("x y", 5)
+        assert (out[3]["clean_text"], out[3]["n_removed_tokens"]) == ("p q r s t u", 0)
+        assert (out[4]["clean_text"], out[4]["n_removed_tokens"]) == ("too short", 0)
+        assert (out[5]["clean_text"], out[5]["n_removed_tokens"]) == ("", 10)
+        assert (out[6]["clean_text"], out[6]["n_tokens"]) == (None, 0)
+        assert (out[7]["clean_text"], out[7]["n_tokens"]) == ("", 0)
+
+    def test_substring_dedup_unique_suffix_survives(self, spark):
+        """Window-edge boundary: a unique tail shorter than k that
+        overlaps NO duplicated gram of its own survives even when it
+        directly abuts a cut passage."""
+        df = spark.createDataFrame(
+            [(1, "h1 h2 h3 h4 h5 tail1 tail2"),   # header dup'd, tail unique
+             (2, "h1 h2 h3 h4 h5 other stuff")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["clean_text"] for r in
+               text.substring_dedup(df, k=5).collect()}
+        # only gram pos 0 (h1..h5) is duplicated in each doc: grams
+        # crossing into the tails are unique, so tokens 5,6 survive
+        assert out[1] == "tail1 tail2"
+        assert out[2] == "other stuff"
 
 
 class TestWordNgramsProperty:

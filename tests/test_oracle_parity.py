@@ -46,14 +46,15 @@ def test_dtype_gate_catches_hugeint_float_mismatch():
 
 
 def test_every_query_has_oracle_or_is_approximate(spark):
-    # d14 left this set in round 8: it carries d13's exact-path oracle at
-    # its own threshold (survivor-set equality is a tested property at
-    # the oracle SFs — see the registration comment in queries/llm.py)
+    # d14 left this set in round 8; d16 and s05 left in round 9 (the
+    # same playbook: admit-set equality with the exact path is a tested
+    # property at the oracle SFs, so each carries the exact-path SQL as
+    # its value oracle — see the ORACLE NOTEs in queries/llm.py and
+    # queries/stream.py). What remains is genuinely hash-OUTPUT-valued
+    # (pair lists / signatures xxhash emits) or approximate by contract.
     approximate = {"d07_minhash_lsh_pairs", "d08_simhash",
                    "e03_similar_pairs_lsh",
-                   "e03b_similar_pairs_lsh_recall", "e04_knn_ivf", "x18_approx_quantiles",
-                   "d16_incremental_near_dedup",
-                   # s05 = d16's band screen inside foreachBatch (xxhash)
-                   "s05_stream_ingest_near_dedup"}
+                   "e03b_similar_pairs_lsh_recall", "e04_knn_ivf",
+                   "x18_approx_quantiles"}
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries lacking oracles: {missing}"
