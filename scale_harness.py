@@ -82,6 +82,9 @@ OPS = [
     # shuffle in the text family; the measurement to watch)
     "d17_gopher_quality",
     "d19_duplicate_passages",
+    # round-9: the substring REMOVAL on d19's gram window — must ride
+    # the same single gram-scale exchange (target ratio <= d19's)
+    "d22_substring_dedup",
     # training-shaping pair: per-source budget window, per-shard
     # epoch-shuffle rank window — both one-exchange window plans
     "x35_token_budget_mix",
@@ -209,8 +212,98 @@ FUNNEL_STAGES = ("sec_input", "sec_quality_redact", "sec_exact_dedup",
                  "sec_store_append", "sec_compact")
 
 
+#: words the quality gates key on — the union of the Gopher rule set's
+#: stopwords and the basic gate's English list. The GATED shard builder
+#: below preserves these verbatim while rotating every other token, so
+#: a shard>0 doc keeps its stopword signal and the gate does real work
+#: at Nx (round-8 verdict #3: the plain alphabet rotation destroyed the
+#: signal and silently ran the "8x" gated funnel at 1x volume).
+GATE_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is",
+                  "be", "that", "have", "with")
+
+
+def _gated_docs(spark, base: str, scale: str, factor: int) -> str:
+    """Build (once per scale) the documents variant the QUALITY-GATED
+    funnel runs on, and return its path.
+
+    Two deliberate differences from the standard shard synthesis:
+
+    Three deliberate differences from the standard shard synthesis:
+
+    - SCATTERED stopword injection: the fixture's word-soup vocabulary
+      contains only 'the' of the Gopher stopword set, so the gate's
+      `>=2 distinct stopwords` rule rejects 100% of docs at EVERY
+      scale and the gated funnel would measure an empty pipeline.
+      Every 7th token is replaced (position-based, cycling the stop
+      list) — replacement, not insertion, so word counts and the
+      >=50-words rule (the REAL discriminator: ~55% pass) are
+      untouched, and scattered single tokens (never a shared phrase)
+      mean no two docs gain a common 3-gram that wasn't already
+      common: the near-dup structure is preserved (a shared contiguous
+      sentence would instead make every doc a band-collision candidate
+      of every other — the 'tag' trap the module docstring documents);
+    - multi-line derivation (every 8 tokens one '.'-terminated line —
+      the same _multiline the d18/d21/c01b driver rows use): the raw
+      fixture is single-line and punctuation-free, so the C4 line gate
+      would reject 100% and measure nothing. \\s+ tokenizers see the
+      SAME tokens either way, so every dedup/shingle structure
+      downstream is unchanged by the derivation;
+    - token-wise rotation that PRESERVES GATE_STOPWORDS (matched on
+      the token's letters, so 'The,' survives too): gate decisions are
+      then identical per shard copy and stage-1 rejections scale ~Nx.
+      Cost: 3-grams of consecutive preserved stopwords are no longer
+      shard-disjoint — rare with 7-apart injection and far below the
+      0.5 Jaccard threshold, so the near-dup structure stays N copies;
+      the contamination screen absorbs the few shared shingles inside
+      its fixture-calibrated threshold (30).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.queries.llm import _multiline
+
+    out = os.path.join(base, f"documents_gated_{scale}")
+    if os.path.isdir(out):
+        return out
+    raw = spark.read.parquet(os.path.join(base, "x1", "documents.parquet"))
+    stops = F.array(*[F.lit(w) for w in GATE_STOPWORDS])
+    injected = F.array_join(
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda w, i: F.when(
+                i % 7 == 0,
+                F.element_at(stops, (F.floor(i / 7) % len(GATE_STOPWORDS))
+                             .cast("int") + 1),
+            ).otherwise(w)), " ")
+    src = raw.withColumn(
+        "text", F.when(F.col("text").isNotNull(), injected))
+
+    def gated_shard(shard: int):
+        df = src
+        if shard:
+            rot = ALPHA[shard % 26:] + ALPHA[: shard % 26]
+            core = lambda w: F.regexp_replace(F.lower(w), "[^a-z]", "")  # noqa: E731
+            rotated = F.array_join(
+                F.transform(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda w: F.when(core(w).isin(*GATE_STOPWORDS), w)
+                    .otherwise(F.translate(w, ALPHA + ALPHA.upper(),
+                                           rot + rot.upper()))), " ")
+            df = (df.withColumn("doc_id", F.col("doc_id") + shard * ID_STRIDE)
+                    .withColumn("text", rotated))
+        return _multiline(df, every=8)
+
+    n = 1 if scale == "x1" else factor
+    docs = reduce(lambda a, b: a.unionByName(b),
+                  [gated_shard(s) for s in range(n)])
+    docs.repartition(N_FILES).write.mode("overwrite").parquet(out)
+    return out
+
+
 def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
-               backend: str = "path") -> list[dict]:
+               backend: str = "path", quality: str = "off",
+               factor: int = 8) -> list[dict]:
     """Round-6 verdict next-round #3: measure the COMPOSED
     plans.corpus.run_corpus_ingest funnel — persist boundaries, store
     read-modify-write cycle, five chained stages — over a multi-batch
@@ -249,6 +342,13 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
     stores (store_table_prefix; compaction = atomic view repoint) —
     the round-7 verdict #8 soak. Store growth is then reported from the
     table's resolved storage stats instead of the path listing.
+
+    quality='gopher'|'c4' (round-8 verdict #3) runs the funnel WITH the
+    quality gate doing real work at every scale: the input switches to
+    the stopword-preserving multi-line shards of :func:`_gated_docs`
+    (the plain rotation destroyed the stopword signal, so the gate
+    rejected every shard>0 doc and the "Nx" run was 1x past stage 1),
+    and run_corpus_ingest gets quality_gate=True with that rule set.
     """
     import pyspark.sql.functions as F
 
@@ -256,7 +356,8 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
     from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
 
     sf_dir = os.path.join(base, scale)
-    out = os.path.join(base, f"funnel_{backend}_{scale}")
+    out = os.path.join(base, f"funnel_{backend}_{quality}_{scale}"
+                       if quality != "off" else f"funnel_{backend}_{scale}")
     if os.path.isdir(out):
         shutil.rmtree(out)
     table_prefix = None
@@ -266,7 +367,10 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
             if t.name.startswith(table_prefix):
                 kind = "VIEW" if (t.tableType or "").upper() == "VIEW" else "TABLE"
                 spark.sql(f"DROP {kind} IF EXISTS {t.name}")
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if quality != "off":
+        docs = spark.read.parquet(_gated_docs(spark, base, scale, factor))
+    else:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     benchmark = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     rest = docs.filter(F.col("doc_id") % 20 != 0)
 
@@ -277,7 +381,9 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
         before = _stage_totals(spark)
         t0 = time.perf_counter()
         stats = run_corpus_ingest(spark, batch, out, f"b{b}", benchmark=benchmark,
-                                  contamination_threshold=30, quality_gate=False,
+                                  contamination_threshold=30,
+                                  quality_gate=(quality != "off"),
+                                  quality_rules=quality if quality != "off" else "basic",
                                   store_table_prefix=table_prefix)
         wall = time.perf_counter() - t0
         after = _stage_totals(spark)
@@ -304,14 +410,15 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
 
 
 def print_funnel_tables(per_scale: dict[str, list[dict]], factor: int) -> None:
-    print("\n| scale | batch | in | admitted | " +
+    print("\n| scale | batch | in | after_q | admitted | " +
           " | ".join(s[4:] for s in FUNNEL_STAGES) +
           " | total s | shuf W MB | band files | band rows |")
-    print("|" + "---|" * (len(FUNNEL_STAGES) + 8))
+    print("|" + "---|" * (len(FUNNEL_STAGES) + 9))
     for scale, rows in per_scale.items():
         for r in rows:
             stage_cells = " | ".join(str(r.get(s, "-")) for s in FUNNEL_STAGES)
-            print(f"| {scale} | {r['batch']} | {r['input']} | {r['admitted']} | "
+            print(f"| {scale} | {r['batch']} | {r['input']} | "
+                  f"{r.get('after_quality', '-')} | {r['admitted']} | "
                   f"{stage_cells} | {r['sec']} | {r['shuffle_write_mb']} | "
                   f"{r['band_store_files']} | {r['band_store_rows']} |")
     scales = list(per_scale)
@@ -377,6 +484,10 @@ def main() -> None:
                     help="screen-store backend for --funnel: path-backed parquet dirs "
                          "(rename-swap compaction) or catalog tables (view-repoint "
                          "compaction, the object-store-safe backend)")
+    ap.add_argument("--funnel-quality", choices=["off", "gopher", "c4"], default="off",
+                    help="run --funnel WITH this quality gate over the stopword-"
+                         "preserving multi-line shards (gate rejections scale with "
+                         "data instead of eliminating every shard>0 doc)")
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--recall-e03b", action="store_true",
                     help="re-assert e03b's recall floor at Nx against replicated 1x brute-force truth")
@@ -406,7 +517,9 @@ def main() -> None:
         per_scale = {}
         for scale in ("x1", f"x{args.factor}"):
             per_scale[scale] = run_funnel(spark, base, scale, args.batches,
-                                          backend=args.funnel_backend)
+                                          backend=args.funnel_backend,
+                                          quality=args.funnel_quality,
+                                          factor=args.factor)
         print_funnel_tables(per_scale, args.factor)
         return
 

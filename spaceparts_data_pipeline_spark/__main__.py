@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus mode: quality gate — 'basic' (token band + stopwords), "
                         "'gopher' (the seven Gopher rules), 'c4' (line/document cleanup; "
                         "survivors continue with the CLEANED text)")
+    p.add_argument("--substring-dedup-k", type=int, default=None,
+                   help="corpus mode: after the ingest, run the corpus-WIDE exact-"
+                        "substring dedup pass (Lee et al.; d22) at this word-k-gram "
+                        "size over ALL runs under --corpus-out, landing the cleaned "
+                        "corpus in corpus_clean/. A separate global pass by design — "
+                        "per-batch cutting would make fingerprints batch-dependent "
+                        "and bypass the cross-run screens")
     p.add_argument("--blocklist-term", action="append", default=None,
                    help="corpus mode, c4 rules: blocked word/phrase (repeatable; matched "
                         "literally, word-boundary, case-insensitive). Replaces the demo "
@@ -173,6 +180,11 @@ def _corpus_main(args) -> int:
         quality_rules=args.quality_rules,
         blocklist_terms=(tuple(args.blocklist_term) if args.blocklist_term else None),
         shuffle_seed=args.shuffle_seed)
+    substring_stats = None
+    if args.substring_dedup_k:
+        from spaceparts_data_pipeline_spark.plans.corpus import run_substring_dedup_pass
+        substring_stats = run_substring_dedup_pass(
+            spark, args.corpus_out, k=args.substring_dedup_k)
     for p in parents:
         p.unpersist()
     print(json.dumps({
@@ -181,6 +193,7 @@ def _corpus_main(args) -> int:
         "out": args.corpus_out,
         **({"landing_quarantined": landing_quarantined} if landing_quarantined else {}),
         "funnel": stats,
+        **({"substring_dedup": substring_stats} if substring_stats else {}),
     }, default=str))
     return 0
 

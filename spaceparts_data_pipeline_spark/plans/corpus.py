@@ -294,3 +294,56 @@ def run_corpus_ingest(
         for df in persisted:
             df.unpersist()
     return stats
+
+
+def run_substring_dedup_pass(
+    spark: SparkSession,
+    out_dir: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 1,
+) -> dict:
+    """Corpus-WIDE exact-substring dedup (d22, Lee et al. 2021) over the
+    assembled corpus under ``out_dir`` — duplicated word-``k``-gram
+    passages are cut from every document across ALL runs, and the
+    cleaned corpus lands under ``corpus_clean/`` (same run_id
+    partitioning; docs whose cleaned text drops below ``min_tokens``
+    tokens are removed entirely).
+
+    DELIBERATELY a separate pass, not a ``run_corpus_ingest`` stage:
+    a document's cut spans depend on every OTHER document's grams, so
+    per-batch cutting would make the admitted text — and therefore the
+    md5 fingerprints the cross-run stores screen on — depend on batch
+    composition: the same raw document arriving in two different
+    batches would fingerprint differently and silently bypass the
+    exact screen. The published pipeline has the same order (assemble
+    the deduplicated corpus, then cut duplicated substrings globally),
+    and the stores stay bound to the text the screens actually saw.
+    Scale shape is d22's: one gram-scale md5 window, per-doc
+    reconstruction linear in tokens; rerunning the pass overwrites
+    ``corpus_clean/`` idempotently.
+    """
+    corpus_root = os.path.join(out_dir, "corpus")
+    clean_root = os.path.join(out_dir, "corpus_clean")
+    if not dedup.has_data_files(spark, corpus_root):
+        return {"input": 0, "kept": 0, "tokens_removed": 0}
+    corpus = spark.read.parquet(corpus_root)
+    cleaned = text.substring_dedup(corpus, id_col=id_col, text_col=text_col, k=k)
+    out = (
+        corpus.drop(text_col)
+        .join(cleaned, id_col)
+        .withColumnRenamed("clean_text", text_col)
+        .filter((F.col("n_tokens") - F.col("n_removed_tokens")) >= min_tokens)
+    )
+    out.write.mode("overwrite").partitionBy("run_id").parquet(clean_root)
+    stats_row = spark.read.parquet(clean_root).agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.coalesce(F.sum("n_removed_tokens"), F.lit(0)).alias("tokens_removed"),
+    ).collect()[0]
+    return {
+        "input": corpus.count(),
+        "kept": stats_row["kept"],
+        "tokens_removed": stats_row["tokens_removed"],
+        "out": clean_root,
+    }

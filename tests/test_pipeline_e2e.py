@@ -491,6 +491,47 @@ class TestCorpusIngestPipeline:
         assert {r["doc_id"] for r in corpus.collect()} == {2}
 
 
+def test_substring_dedup_pass_over_assembled_corpus(spark, tmp_path):
+    """run_substring_dedup_pass (d22's funnel hook): after two ingest
+    runs, the corpus-WIDE pass cuts passages duplicated ACROSS runs —
+    which per-batch cutting could never see — lands corpus_clean/, and
+    drops docs cleaned below min_tokens."""
+    from spaceparts_data_pipeline_spark.plans.corpus import (
+        run_corpus_ingest, run_substring_dedup_pass)
+
+    out = str(tmp_path / "corpus_out")
+    boiler = "standard license header all rights reserved by the foundation"
+    uniq1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+            "covering joins shuffles windows and adaptive execution plans " \
+            "with the usual stopwords of to a in is and more distinct tokens"
+    uniq2 = "one two three four five six seven eight nine ten eleven twelve " \
+            "thirteen fourteen fifteen sixteen seventeen eighteen nineteen " \
+            "twenty is a number to count in and every gram here stays fresh " \
+            "because that vocabulary never repeats run one phrasing at all"
+    b1 = spark.createDataFrame([(1, f"{boiler} {uniq1}", "s1")],
+                               "doc_id long, text string, source string")
+    b2 = spark.createDataFrame([(2, f"{boiler} {uniq2}", "s1")],
+                               "doc_id long, text string, source string")
+    # the 32/4 band profile (d16/s05's pinned precision point): at the
+    # default 16/2, doc 2's ~0.12 boilerplate Jaccard has an ~11%
+    # band-collision chance and deterministically screens here
+    prof = {"num_perm": 32, "rows_per_band": 4}
+    assert run_corpus_ingest(spark, b1, out, "r1", **prof)["admitted"] == 1
+    assert run_corpus_ingest(spark, b2, out, "r2", **prof)["admitted"] == 1
+
+    stats = run_substring_dedup_pass(spark, out, k=5)
+    assert stats["input"] == 2 and stats["kept"] == 2
+    assert stats["tokens_removed"] >= 18          # both boilerplate copies cut
+    clean = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(out + "/corpus_clean").collect()}
+    assert "license header" not in clean[1] and "license header" not in clean[2]
+    assert "alpha beta gamma" in clean[1]         # unique text survives
+    assert "one two three" in clean[2]
+    # idempotent overwrite
+    stats2 = run_substring_dedup_pass(spark, out, k=5)
+    assert stats2["kept"] == 2
+
+
 def test_cli_corpus_ingest_mode(spark, tmp_path):
     """python -m spaceparts_data_pipeline_spark --corpus-out: the funnel
     driven through the CLI over a landing dir (in-process main() call —

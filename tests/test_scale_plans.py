@@ -32,6 +32,13 @@ SCALE_OPS = [
     "x35_token_budget_mix",
 ]
 
+#: gram-window text ops: pinned for exchange-count constancy only —
+#: on the 4-file fixture their `_ensure_parallel` scan shim fires by
+#: design (4 files/row-groups < half the 32 local cores), so the
+#: no-Repartition check doesn't apply; on production multi-file
+#: layouts the shim no-ops (its own unit tests cover that)
+GRAM_OPS = ["d19_duplicate_passages", "d22_substring_dedup"]
+
 QUERIES = entry_mod.queries()
 
 
@@ -59,7 +66,7 @@ def _exchanges(spark, name, sf_dir):
     return plan.count("Exchange hashpartitioning"), plan
 
 
-@pytest.mark.parametrize("name", SCALE_OPS)
+@pytest.mark.parametrize("name", SCALE_OPS + GRAM_OPS)
 def test_exchange_count_constant_in_data_size(spark, scale_dirs, name):
     n1, p1 = _exchanges(spark, name, scale_dirs["x1"])
     n2, p2 = _exchanges(spark, name, scale_dirs["x2"])
