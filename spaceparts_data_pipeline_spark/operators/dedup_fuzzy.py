@@ -499,7 +499,14 @@ def incremental_near_dedup(
        (num_perm, rows_per_band) for the wanted recall/precision point
        (the e03b pinned-profile pattern). An exact duplicate of a
        stored doc is ALWAYS screened: identical text → identical
-       signature → collision in every band.
+       signature → collision in every band. At num_perm=32 /
+       rows_per_band=4 (8 bands of 4 rows) the screen's admit set
+       EQUALS the exact-Jaccard>=0.5 screen on the oracle fixtures —
+       the property that gives the d16/s05 driver queries their
+       exact-path value oracles (tests/test_llm_ops.py::
+       test_incremental_near_dedup_equals_exact_screen); the default
+       16/2 profile trades a few percent of low-J false screens for
+       half the hashing.
 
     Returns ``(admitted, admitted_bands)`` — full-schema admitted rows
     plus their band table; append ``admitted_bands`` to the store

@@ -191,6 +191,15 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       funnel's packing manifest; determinism pinned by unit tests +
 #       local parity; d12's transitive chain now routes through the
 #       local suite).
+# ROTATION BACKLOG (oldest driver rows first, all green in every local
+# parity run — drain ~5/round through the analytic-tail slots so no
+# query's driver evidence ages past a few rounds):
+#   r01: x03 rollup, x04 topk/group, x08 pivot, x09 histogram, x10 key
+#        set ops, x13 moments, x17 date parts, x20 having, x22
+#        above-average, x24 unpivot
+#   r02: x16 string kit, x18 approx quantiles (rows-only by contract)
+#   r04: d06, e02, x06, x19, x23
+#   r05+: q19, q20, q24, x05, x14, d01-d03, d09, e05, ...
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",

@@ -34,9 +34,133 @@ class TestMultimodal:
         again = {r["asset_id"]: r["feature_hash"] for r in multimodal.extract_features(assets).collect()}
         assert again == {k: v["feature_hash"] for k, v in out.items()}
 
-    def test_real_decode_is_stubbed(self):
+    def test_real_decode_boundary(self):
+        # non-PNG image bytes and non-image media stay behind the
+        # honest NotImplementedError
         with pytest.raises(NotImplementedError):
-            multimodal.real_decode(b"x", "image")
+            multimodal.real_decode(b"\xff\xd8\xff jpegish", "image")
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode(b"RIFF....WAVE", "audio")
+
+    @staticmethod
+    def _encode_png(img, color_type=2, filters=None):
+        """Minimal test-side PNG encoder applying the REQUESTED filter
+        per scanline (forward transform per RFC 2083 §6), so decode_png's
+        unfilters are checked against an independent implementation."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = img.shape
+        flat = img.reshape(h, w * ch).astype(np.int32)
+        bpp = ch
+        filters = filters if filters is not None else [0] * h
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur, f = flat[y], filters[y]
+            enc = cur.copy()
+            if f == 1:
+                enc[bpp:] = (cur[bpp:] - cur[:-bpp]) & 0xFF
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            elif f == 3:
+                for x in range(len(cur)):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    enc[x] = (cur[x] - ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:
+                for x in range(len(cur)):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (cur[x] - pred) & 0xFF
+            raw += bytes([f]) + bytes(enc.astype(np.uint8))
+            prev = cur
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+    def test_decode_png_all_filters_roundtrip(self):
+        """Round-9 verdict #5: decode_png inverts every scanline filter
+        (None/Sub/Up/Average/Paeth) on an image written by the test's
+        own independent encoder."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        png = self._encode_png(img, color_type=2, filters=[0, 1, 2, 3, 4])
+        out = multimodal.decode_png(png)
+        assert out is not None and out.shape == (5, 6, 3)
+        assert np.array_equal(out, img)
+        # and through the real_decode boundary
+        assert np.array_equal(multimodal.real_decode(png, "image"), img)
+
+    def test_decode_png_color_types(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        # RGBA: alpha dropped
+        rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+        out = multimodal.decode_png(
+            self._encode_png(rgba, color_type=6, filters=[0, 2, 1]))
+        assert np.array_equal(out, rgba[:, :, :3])
+        # grayscale: replicated to RGB
+        gray = rng.integers(0, 256, size=(3, 4, 1), dtype=np.uint8)
+        out = multimodal.decode_png(
+            self._encode_png(gray, color_type=0, filters=[0, 4, 3]))
+        assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+        # corrupt payloads return None, unsupported subsets raise
+        assert multimodal.decode_png(b"not a png") is None
+        with pytest.raises(NotImplementedError):
+            # palette color (type 3) is outside the codec-free subset
+            import struct
+            import zlib
+
+            def chunk(typ, data):
+                return (struct.pack(">I", len(data)) + typ + data
+                        + struct.pack(">I", zlib.crc32(typ + data)))
+            bad = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02")))
+            multimodal.decode_png(bad)
+
+    def test_decode_png_assets_feeds_resize(self, spark):
+        """The decode stage produces exactly what resize_images consumes:
+        PNG payload → raw RGB + true dims → nearest-neighbor resize —
+        the image pipeline end to end on a real PNG written by the test."""
+        import numpy as np
+
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        img[0, 0] = (255, 0, 0)
+        img[0, 1] = (0, 255, 0)
+        img[1, 0] = (0, 0, 255)
+        img[1, 1] = (255, 255, 255)
+        png = self._encode_png(img, color_type=2, filters=[1, 4])
+        rows = [(1, "image", bytearray(png), None, None, None),
+                (2, "image", bytearray(b"garbage"), None, None, None),
+                (3, "image", None, None, None, None)]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        decoded = multimodal.decode_png_assets(assets)
+        got = {r["asset_id"]: r for r in decoded.collect()}
+        assert bytes(got[1]["payload"]) == img.tobytes()
+        assert (got[1]["meta_width"], got[1]["meta_height"]) == (2, 2)
+        assert got[2]["payload"] is None and got[3]["payload"] is None
+
+        resized = multimodal.resize_images(
+            decoded.withColumn("media_type", F.lit("image")), out_w=4, out_h=4)
+        r1 = {r["asset_id"]: r for r in resized.collect()}[1]
+        top = bytes(img[0, 0]) * 2 + bytes(img[0, 1]) * 2
+        bot = bytes(img[1, 0]) * 2 + bytes(img[1, 1]) * 2
+        assert bytes(r1["payload"]) == top * 2 + bot * 2
 
     def test_frame_sample_plan(self, spark, assets):
         plan = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
