@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                         "corpus in corpus_clean/. A separate global pass by design — "
                         "per-batch cutting would make fingerprints batch-dependent "
                         "and bypass the cross-run screens")
+    p.add_argument("--substring-dedup-skew-safe", action="store_true",
+                   help="corpus mode: run the substring pass on the zipfian-safe "
+                        "groupBy-count plan (no per-gram window partition — use when "
+                        "boilerplate grams dominate, e.g. licence blocks on web crawl)")
     p.add_argument("--blocklist-term", action="append", default=None,
                    help="corpus mode, c4 rules: blocked word/phrase (repeatable; matched "
                         "literally, word-boundary, case-insensitive). Replaces the demo "
@@ -184,7 +188,8 @@ def _corpus_main(args) -> int:
     if args.substring_dedup_k:
         from spaceparts_data_pipeline_spark.plans.corpus import run_substring_dedup_pass
         substring_stats = run_substring_dedup_pass(
-            spark, args.corpus_out, k=args.substring_dedup_k)
+            spark, args.corpus_out, k=args.substring_dedup_k,
+            skew_safe=args.substring_dedup_skew_safe)
     for p in parents:
         p.unpersist()
     print(json.dumps({

@@ -127,6 +127,50 @@ def resolve_physical(spark: SparkSession, table: str) -> str:
     return f"{table}__v{v}" if v is not None else table
 
 
+def _is_version_race_error(exc: Exception, table: str) -> bool:
+    """True when ``exc`` looks like the documented slow-consumer race on
+    a version-managed table: the reader resolved the view to
+    ``{table}__v{N}`` and N was pruned before (or while) the job ran.
+    Matched permissively on the failure text — resolution failures
+    (TABLE_OR_VIEW_NOT_FOUND on the version table) and scan-time
+    failures (the version table's files deleted under a running job)
+    both qualify; anything else (genuinely missing base table, bad SQL,
+    executor OOM) must surface to the caller."""
+    _, t = _split_db(table)
+    msg = str(exc)
+    if f"{t}__v" in msg:
+        return True
+    return any(tok in msg for tok in (
+        "TABLE_OR_VIEW_NOT_FOUND", "PATH_NOT_FOUND",
+        "FileNotFoundException", "FILE_NOT_FOUND",
+    ))
+
+
+def read_with_retry(spark: SparkSession, table: str, action=None, retries: int = 2):
+    """READ PATH for version-managed tables: run ``action(spark.table(
+    table))`` — default action collects — re-resolving and retrying when
+    the versioned swap's slow-consumer race fires (the reader's resolved
+    ``__v{N}`` snapshot was pruned mid-read because the read spanned
+    more than ``retain_versions − 1`` swap cycles). Each retry resolves
+    the view afresh, so the action lands on a complete CURRENT snapshot
+    — the race can only recur if another ``retain_versions − 1`` swap
+    cycles complete within the single retry's runtime, shrinking the
+    failure window geometrically per retry. Errors that don't match the
+    race signature propagate immediately. Readers whose job latency is
+    comparable to the refresh interval should ALSO raise
+    ``retain_versions`` (the durable fix); this helper is the
+    last-line-of-defense the guarantee docstring points at."""
+    if action is None:
+        action = lambda df: df.collect()  # noqa: E731
+    for attempt in range(retries + 1):
+        try:
+            return action(spark.table(table))
+        except Exception as exc:  # noqa: BLE001 — filtered by signature below
+            if attempt >= retries or not _is_version_race_error(exc, table):
+                raise
+    raise AssertionError("unreachable")
+
+
 def table_location(spark: SparkSession, table: str, raw: bool = False) -> str | None:
     """The table's storage location — resolved through the version view
     when ``table`` is version-managed (a view has no Location row).
@@ -311,6 +355,16 @@ def overwrite_via_staging(
        full swap cycles and still resolve its snapshot. Raise the depth
        per-call or via ``spark.spaceparts.retainVersions`` for slow
        consumers (BI extracts mid-refresh).
+
+    THE GUARANTEE IS DEPTH-BOUNDED: reader isolation holds for any
+    single read whose runtime spans at most ``retain_versions − 1``
+    swap cycles. A slower read (or a faster refresh cadence) can have
+    its resolved ``__v{N}`` snapshot pruned mid-job — the documented
+    slow-consumer limit, NOT a crash-safety hole (the view itself stays
+    resolvable throughout; only the reader's stale snapshot dies).
+    Readers that may exceed the bound either raise ``retain_versions``
+    or read through :func:`read_with_retry`, which re-resolves the view
+    and re-runs the action when the race's failure signature fires.
 
     No step ever leaves zero complete copies, and (unlike the previous
     rename-pair layout) no step ever makes ``{table}`` unresolvable. A

@@ -58,11 +58,13 @@ def decode_png(payload: bytes):
     PNG scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
     Gray and gray+alpha replicate to RGB; RGBA drops alpha.
 
-    Returns None for non-PNG/corrupt payloads; raises
-    NotImplementedError for valid PNGs outside the supported subset
-    (bit depth ≠ 8, palette color, interlaced) — those need a real
-    codec library, which is the boundary :func:`real_decode` keeps
-    honest. Unfiltering of Sub/Average/Paeth rows is a per-byte Python
+    Returns None for non-PNG/corrupt payloads — including bit-flipped
+    chunks: every chunk's CRC32 (over type+data, per the PNG spec) is
+    verified, so corruption that would still inflate cleanly cannot
+    silently decode to wrong pixels. Raises NotImplementedError for
+    valid PNGs outside the supported subset (bit depth ≠ 8, palette
+    color, interlaced) — those need a real codec library, which is the
+    boundary :func:`real_decode` keeps honest. Unfiltering of Sub/Average/Paeth rows is a per-byte Python
     loop (each byte depends on the previous reconstructed byte) — fine
     for the thumbnail/metadata scale this pipeline handles in-cluster;
     bulk image decode belongs behind a native codec.
@@ -78,7 +80,12 @@ def decode_png(payload: bytes):
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos:pos + 4], "big")
         typ = payload[pos + 4:pos + 8]
+        if pos + 12 + ln > len(payload):
+            return None  # truncated chunk: explicit, not a downstream zlib error
         data = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            return None  # bit-flipped chunk that might still inflate cleanly
         pos += 12 + ln  # length + type + data + crc
         if typ == b"IHDR":
             ihdr = data

@@ -780,6 +780,7 @@ def duplicate_passages(
     text_col: str = "text",
     k: int = 5,
     flag_threshold: float = 0.3,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Duplicated-passage profile (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better"): substring-level
@@ -798,12 +799,27 @@ def duplicate_passages(
     before its (tiny) shuffle. The first formulation of this operator
     (pre-agg per (doc, hash) → global agg → join back → doc agg) had
     FOUR gram-scale exchanges and measured 3.9× wall at 8× data; the
-    window form is the plan you'd run at 100 TB, and DuckDB supports
-    the identical window, so the oracle survives the rewrite. md5 (not
-    xxhash) so the oracle replays the grouping key exactly — the same
-    trade x29 makes; at petabyte gram volumes swap the expression for
-    xxhash64 (8-byte shuffle keys, ~2.5× fewer bytes, same plan) and
-    accept a rows-only check.
+    window form is the measured-best plan on roughly-uniform gram
+    frequencies, and DuckDB supports the identical window, so the
+    oracle survives the rewrite. md5 (not xxhash) so the oracle replays
+    the grouping key exactly — the same trade x29 makes; at petabyte
+    gram volumes swap the expression for xxhash64 (8-byte shuffle keys,
+    ~2.5× fewer bytes, same plan) and accept a rows-only check.
+
+    ``skew_safe=True`` — the zipfian-corpus route: real web corpora
+    have boilerplate grams (licence blocks, templated headers)
+    occurring 10⁸-10⁹ times at 100 TB, and the window's
+    ``PARTITION BY hash`` ships EVERY instance of such a gram to one
+    reducer — a straggler AQE cannot split (window partitions, unlike
+    join partitions, are indivisible). The safe route replaces the
+    window with a global ``groupBy(hash).count()`` — map-side partial
+    combine collapses the hot gram to ONE row per map task, so no
+    reducer ever sees more rows than there are map tasks — then joins
+    the duplicated-hash set back to the gram stream with a sort-merge
+    join, which AQE's skew-join optimization CAN split. Identical
+    semantics (same oracle); costs a second gram-scale exchange, so
+    it's opt-in — SCALING.md's round-10 skew fixture measures both
+    routes.
     """
     from pyspark.sql import Window
 
@@ -816,11 +832,21 @@ def duplicate_passages(
         F.col(id_col),
         F.explode(word_ngrams(text_col, k)).alias("__gram"),
     ).select(id_col, F.md5("__gram").alias("__h"))
-    counted = grams.withColumn(
-        "__c_glob", F.count(F.lit(1)).over(Window.partitionBy("__h")))
+    if skew_safe:
+        dup_h = (
+            grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .select("__h", F.lit(1).alias("__dup"))
+        )
+        counted = grams.join(dup_h, "__h", "left")
+        dup_pred = F.col("__dup") == 1
+    else:
+        counted = grams.withColumn(
+            "__c_glob", F.count(F.lit(1)).over(Window.partitionBy("__h")))
+        dup_pred = F.col("__c_glob") > 1
     per_doc = counted.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum(F.when(F.col("__c_glob") > 1, F.lit(1)).otherwise(F.lit(0)))
+        F.sum(F.when(dup_pred, F.lit(1)).otherwise(F.lit(0)))
         .cast("long").alias("n_dup_grams"),
     )
     n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
@@ -844,6 +870,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup REMOVAL — the dedup Lee et al. 2021
     actually run (and :func:`duplicate_passages` only profiles): cut
@@ -877,6 +904,16 @@ def substring_dedup(
     md5 (not xxhash) for the same oracle-replayability trade d19/x29
     make; swap to xxhash64 at petabyte gram volumes and accept a
     rows-only check.
+
+    ``skew_safe=True`` swaps the gram window for the zipfian-corpus
+    plan shared with :func:`duplicate_passages`: global
+    ``groupBy(hash).count()`` (map-side partial combine collapses a
+    boilerplate gram to one row per map task) → duplicated-hash set →
+    AQE-skew-splittable sort-merge LEFT SEMI back to the (id, pos,
+    hash) stream. Same semantics and oracle; one extra gram-scale
+    exchange; no indivisible window partition for a hot gram to
+    serialize. Measured against the window route on a skewed fixture
+    in SCALING.md round-10.
     """
     from pyspark.sql import Window
 
@@ -887,13 +924,18 @@ def substring_dedup(
         F.col(id_col),
         F.posexplode(word_ngrams(text_col, k)).alias("__p", "__g"),
     ).select(id_col, "__p", F.md5("__g").alias("__h"))
-    dup_starts = (
-        grams.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("__h")))
-        .filter(F.col("__c") > 1)
-        .groupBy(id_col)
-        .agg(F.collect_list("__p").alias("__starts"))
-    )
+    if skew_safe:
+        dup_h = (
+            grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1).select("__h")
+        )
+        dup_grams = grams.join(dup_h, "__h", "left_semi")
+    else:
+        dup_grams = grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        ).filter(F.col("__c") > 1)
+    dup_starts = dup_grams.groupBy(id_col).agg(
+        F.collect_list("__p").alias("__starts"))
 
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \

@@ -303,6 +303,7 @@ def run_substring_dedup_pass(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 1,
+    skew_safe: bool = False,
 ) -> dict:
     """Corpus-WIDE exact-substring dedup (d22, Lee et al. 2021) over the
     assembled corpus under ``out_dir`` — duplicated word-``k``-gram
@@ -320,19 +321,31 @@ def run_substring_dedup_pass(
     exact screen. The published pipeline has the same order (assemble
     the deduplicated corpus, then cut duplicated substrings globally),
     and the stores stay bound to the text the screens actually saw.
-    Scale shape is d22's: one gram-scale md5 window, per-doc
-    reconstruction linear in tokens; rerunning the pass overwrites
-    ``corpus_clean/`` idempotently.
+    Scale shape is d22's: one gram-scale md5 window (or the
+    ``skew_safe=True`` groupBy-count route for zipfian corpora — see
+    :func:`..operators.text.substring_dedup`); rerunning the pass
+    overwrites ``corpus_clean/`` idempotently.
+
+    Identity: ``doc_id`` is unique only WITHIN a run (the cross-run
+    screens dedupe by text fingerprint, not id), so the dedup and the
+    join back both key on the composite ``(run_id, doc_id)`` — two
+    runs admitting different docs under one doc_id stay two documents
+    with independent cut spans, and the join can never fan out.
     """
     corpus_root = os.path.join(out_dir, "corpus")
     clean_root = os.path.join(out_dir, "corpus_clean")
     if not dedup.has_data_files(spark, corpus_root):
         return {"input": 0, "kept": 0, "tokens_removed": 0}
-    corpus = spark.read.parquet(corpus_root)
-    cleaned = text.substring_dedup(corpus, id_col=id_col, text_col=text_col, k=k)
+    # \x01 separator: absent from run_id/doc_id content, so the
+    # composite key cannot collide across (run, doc) pairs
+    corpus = spark.read.parquet(corpus_root).withColumn(
+        "__uid", F.concat_ws("", F.col("run_id"), F.col(id_col)))
+    cleaned = text.substring_dedup(
+        corpus, id_col="__uid", text_col=text_col, k=k, skew_safe=skew_safe)
     out = (
         corpus.drop(text_col)
-        .join(cleaned, id_col)
+        .join(cleaned, "__uid")
+        .drop("__uid")
         .withColumnRenamed("clean_text", text_col)
         .filter((F.col("n_tokens") - F.col("n_removed_tokens")) >= min_tokens)
     )

@@ -104,6 +104,27 @@ class TestMultimodal:
         # and through the real_decode boundary
         assert np.array_equal(multimodal.real_decode(png, "image"), img)
 
+    def test_decode_png_rejects_bit_flip_and_truncation(self):
+        """Round-10 ADVICE: chunk CRCs are verified, so a bit-flipped
+        IDAT that still inflates cleanly returns None instead of
+        silently decoding wrong pixels; a truncated trailing chunk is
+        rejected explicitly at the chunk walk, not via a downstream
+        zlib error."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        png = bytearray(self._encode_png(img, color_type=2))
+        assert multimodal.decode_png(bytes(png)) is not None
+        # flip one bit inside the IDAT data (past the 8-byte magic +
+        # 25-byte IHDR chunk + 8-byte IDAT header)
+        flipped = bytearray(png)
+        flipped[8 + 25 + 8 + 5] ^= 0x01
+        assert multimodal.decode_png(bytes(flipped)) is None
+        # truncate mid-IDAT (drop IEND's 12 bytes plus the IDAT tail):
+        # the declared chunk length runs past the payload end
+        assert multimodal.decode_png(bytes(png[: len(png) - 20])) is None
+
     def test_decode_png_color_types(self):
         import numpy as np
 
@@ -1374,6 +1395,27 @@ class TestMixAndPassages:
         # crossing into the tails are unique, so tokens 5,6 survive
         assert out[1] == "tail1 tail2"
         assert out[2] == "other stuff"
+
+    def test_skew_safe_route_identical_and_window_free(self, spark):
+        """round-10 verdict #2: the zipfian-safe groupBy-count route is
+        result-identical to the window route for BOTH gram ops (every
+        edge case of the known-answer fixtures plus a hot boilerplate
+        gram shared by many docs), and its physical plan contains NO
+        window over the gram hash — the indivisible-partition straggler
+        the route exists to eliminate."""
+        boiler = "end user licence agreement applies here"
+        rows = [(i, f"unique{i} tokens {boiler} doc body {i}") for i in range(20)]
+        rows += [(100, "a b c d e f g"), (101, "x a b c d e y"),
+                 (102, "p q r s t u"), (103, "too short"),
+                 (104, "a b c d e a b c d e"), (105, None), (106, "   ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        for fn in (text.duplicate_passages, text.substring_dedup):
+            base = {tuple(r) for r in fn(df, k=5).collect()}
+            safe_df = fn(df, k=5, skew_safe=True)
+            assert {tuple(r) for r in safe_df.collect()} == base, fn.__name__
+            plan = safe_df._jdf.queryExecution().executedPlan().toString()
+            assert "Window" not in plan, f"{fn.__name__}: hot-gram window survived"
 
 
 class TestWordNgramsProperty:

