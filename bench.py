@@ -46,6 +46,11 @@ CORPUS = [
     "x29_contamination_check",
     # late round 6: the cross-run ingestion screens
     "d15_incremental_dedup",
+    # NOTE d16 stepped ~4.0 -> ~5 s in round 9 BY DESIGN: its MinHash
+    # profile doubled to 32 perms / 4 rows-per-band — the pinned
+    # profile whose admit set is provably equal to an exact-Jaccard
+    # screen, buying the FULL value-hash oracle (SCALING.md round-9).
+    # Not a plan regression; the 8x scaling class is unchanged.
     "d16_incremental_near_dedup",
     # round 7: the COMPOSED ingest funnel (exact-only mode, the c01
     # driver query) — tracked per round so drift in the end-to-end

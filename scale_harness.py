@@ -226,8 +226,6 @@ def _gated_docs(spark, base: str, scale: str, factor: int) -> str:
     """Build (once per scale) the documents variant the QUALITY-GATED
     funnel runs on, and return its path.
 
-    Two deliberate differences from the standard shard synthesis:
-
     Three deliberate differences from the standard shard synthesis:
 
     - SCATTERED stopword injection: the fixture's word-soup vocabulary
@@ -432,6 +430,134 @@ def print_funnel_tables(per_scale: dict[str, list[dict]], factor: int) -> None:
               f"{wa:.1f} -> {wb:.1f} MB (ratio {wb / wa:.2f})")
 
 
+def _skewed_docs(spark, base: str, scale: str, repeat: int = 10) -> str:
+    """Build (once per scale) the ZIPFIAN documents variant the gram-skew
+    measurement runs on, and return its path.
+
+    The standard shards are gram-uniform by construction (the alphabet
+    rotation keeps shards shingle-disjoint), so the d19/d22 hot-gram
+    hazard — one boilerplate gram occurring 10⁸-10⁹ times at 100 TB,
+    serializing the window's single indivisible reducer — never fires
+    on them. This variant injects a 5-token licence passage repeated
+    ``repeat`` times contiguously at the head of 30% of docs
+    (doc_id % 10 < 3 — ID_STRIDE-aligned, so the injected set scales
+    with the factor): the contiguous repeat makes all 5 rotations of
+    the passage hot grams, each with 0.3 · n_docs · repeat instances —
+    at 8x that is ~120k rows per hot hash against a ~60k-row median
+    shuffle partition, a genuine straggler for the window route while
+    the groupBy route's map-side combine collapses each hot hash to
+    one row per map task.
+    """
+    import pyspark.sql.functions as F
+
+    out = os.path.join(base, f"documents_skew_{scale}")
+    if os.path.isdir(out):
+        return out
+    docs = spark.read.parquet(os.path.join(base, scale, "documents.parquet"))
+    passage = " ".join(f"lic{i}" for i in range(5))
+    boiler = " ".join([passage] * repeat)
+    skewed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 < 3,
+               F.concat(F.lit(boiler + " "), F.coalesce(F.col("text"), F.lit(""))))
+        .otherwise(F.col("text")))
+    skewed.repartition(N_FILES).write.mode("overwrite").parquet(out)
+    print(f"built {out}", file=sys.stderr)
+    return out
+
+
+def measure_gram_skew(spark, base: str, factor: int) -> list[dict]:
+    """Round-9 verdict #2: measure BOTH d22 routes (gram-count window
+    vs skew_safe groupBy-count + join-back) at 1x and Nx on the zipfian
+    fixture, plus a result-equality check between them at Nx. The
+    window route pays the indivisible hot-gram partition; the safe
+    route pays a second gram-scale exchange — this prints what each
+    costs so SCALING.md documents the trade with numbers. d19 shares
+    the identical stage (duplicate_passages is d22 minus the removal),
+    so one op's measurement covers both."""
+    from spaceparts_data_pipeline_spark.operators import text as T
+
+    rows = []
+    for scale in ("x1", f"x{factor}"):
+        path = _skewed_docs(spark, base, scale)
+        docs = spark.read.parquet(path)
+        for route, safe in (("window", False), ("skew_safe", True)):
+            spark.catalog.clearCache()
+            before = _stage_totals(spark)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = T.substring_dedup(docs, k=5, skew_safe=safe)
+                df.write.format("noop").mode("overwrite").save()
+                times.append(round(time.perf_counter() - t0, 3))
+            after = _stage_totals(spark)
+            row = {"check": "gram_skew", "scale": scale, "route": route,
+                   "sec": min(times), "sec_all": times,
+                   "shuffle_read_mb": round(
+                       (after["shuffle_read"] - before["shuffle_read"]) / 1e6 / 3, 2),
+                   "shuffle_write_mb": round(
+                       (after["shuffle_write"] - before["shuffle_write"]) / 1e6 / 3, 2)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    # semantic guard at Nx: both routes produce identical results on
+    # the skewed fixture (the unit test pins small inputs; this pins
+    # the measured one)
+    big = spark.read.parquet(_skewed_docs(spark, base, f"x{factor}"))
+    a = T.substring_dedup(big, k=5, skew_safe=False)
+    b = T.substring_dedup(big, k=5, skew_safe=True)
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert diff == 0, f"skew_safe route diverged on the skewed fixture: {diff} rows"
+    print(json.dumps({"check": "gram_skew_equal", "factor": factor, "diff": 0}),
+          flush=True)
+    by = {(r["scale"], r["route"]): r for r in rows}
+    print("\n| route | 1x sec | %dx sec | ratio | %dx shuf W MB |" % (factor, factor))
+    print("|---|---|---|---|---|")
+    for route in ("window", "skew_safe"):
+        a1, aN = by[("x1", route)], by[(f"x{factor}", route)]
+        print(f"| {route} | {a1['sec']} | {aN['sec']} | "
+              f"{round(aN['sec'] / a1['sec'], 2)} | {aN['shuffle_write_mb']} |")
+    return rows
+
+
+def measure_substring_pass(spark, base: str, factor: int, n_batches: int = 5) -> list[dict]:
+    """Round-9 verdict #4: scale row for the corpus-WIDE substring pass
+    (plans.corpus.run_substring_dedup_pass) — the join-back + rewrite of
+    the ASSEMBLED multi-run corpus that the op-level d22 row excludes.
+    Reuses (or builds) the 5-batch funnel corpus at each scale, then
+    times the global pass over all runs."""
+    from spaceparts_data_pipeline_spark.plans.corpus import run_substring_dedup_pass
+
+    rows = []
+    for scale in ("x1", f"x{factor}"):
+        out = os.path.join(base, f"funnel_path_{scale}")
+        if not os.path.isdir(os.path.join(out, "corpus")):
+            run_funnel(spark, base, scale, n_batches, backend="path", factor=factor)
+        # clear any prior pass output so the overwrite cost is identical
+        clean = os.path.join(out, "corpus_clean")
+        if os.path.isdir(clean):
+            shutil.rmtree(clean)
+        spark.catalog.clearCache()
+        before = _stage_totals(spark)
+        t0 = time.perf_counter()
+        stats = run_substring_dedup_pass(spark, out, k=5)
+        wall = time.perf_counter() - t0
+        after = _stage_totals(spark)
+        row = {"check": "substring_pass", "scale": scale, "sec": round(wall, 3),
+               **stats,
+               "shuffle_read_mb": round(
+                   (after["shuffle_read"] - before["shuffle_read"]) / 1e6, 2),
+               "shuffle_write_mb": round(
+                   (after["shuffle_write"] - before["shuffle_write"]) / 1e6, 2)}
+        rows.append(row)
+        print(json.dumps(row, default=str), flush=True)
+    a, b = rows[0], rows[1]
+    print(f"\nsubstring pass: x1 {a['sec']}s / x{factor} {b['sec']}s "
+          f"(ratio {round(b['sec'] / a['sec'], 2)}); tokens_removed "
+          f"{a['tokens_removed']} -> {b['tokens_removed']}; shuffle W "
+          f"{a['shuffle_write_mb']} -> {b['shuffle_write_mb']} MB")
+    return rows
+
+
 def recall_e03b(spark, base: str, factor: int) -> dict:
     """Re-assert e03b's ≥0.9 recall floor at Nx (round-6 verdict #6).
 
@@ -457,18 +583,38 @@ def recall_e03b(spark, base: str, factor: int) -> dict:
                 for s in range(factor) for r in truth_1x}
 
     big = spark.read.parquet(os.path.join(base, f"x{factor}", "embeddings.parquet"))
-    found_rows = similarity.similar_pairs_lsh(
+    found_df = similarity.similar_pairs_lsh(
         big, threshold=0.35, n_hint=one.count() * factor,
         **similarity.HIGH_RECALL_LSH,
     ).select(F.least("id_a", "id_b").alias("a"),
-             F.greatest("id_a", "id_b").alias("b")).collect()
-    found = {(r["a"], r["b"]) for r in found_rows}
+             F.greatest("id_a", "id_b").alias("b")).persist()
+    found = {(r["a"], r["b"]) for r in found_df.collect()}
+    # Precision pin (round-9 verdict #7): the docstring's "no false
+    # positives" claim is ASSERTED, not assumed — every emitted pair is
+    # re-scored with the JVM-side `cosine` expression on a join back to
+    # the embeddings table, independent of the pandas gram-matmul
+    # kernel that produced it. A kernel regression that starts leaking
+    # sub-threshold candidates fails HERE before SCALING.md's
+    # found_pairs>expected caveat can silently rot.
+    emb = big.select("vec_id", "embedding")
+    rescored = (
+        found_df
+        .join(emb.select(F.col("vec_id").alias("a"),
+                         F.col("embedding").alias("__ea")), "a")
+        .join(emb.select(F.col("vec_id").alias("b"),
+                         F.col("embedding").alias("__eb")), "b")
+        .withColumn("__cos", similarity.cosine(F.col("__ea"), F.col("__eb")))
+    )
+    false_pos = rescored.filter(F.col("__cos") < 0.35 - 1e-9).count()
+    found_df.unpersist()
     hit = len(found & expected)
     rec = hit / len(expected) if expected else float("nan")
     out = {"check": "e03b_recall", "factor": factor,
            "expected_pairs": len(expected), "found_pairs": len(found),
-           "hit": hit, "recall": round(rec, 4)}
+           "hit": hit, "recall": round(rec, 4), "false_positives": false_pos}
     print(json.dumps(out), flush=True)
+    assert false_pos == 0, \
+        f"e03b precision broken at {factor}x: {false_pos} sub-threshold pairs emitted"
     assert rec >= 0.9, f"e03b recall floor broken at {factor}x: {rec:.3f}"
     return out
 
@@ -491,6 +637,12 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--recall-e03b", action="store_true",
                     help="re-assert e03b's recall floor at Nx against replicated 1x brute-force truth")
+    ap.add_argument("--skew-gram", action="store_true",
+                    help="measure d22's window vs skew_safe routes on the zipfian "
+                         "boilerplate-gram fixture (hot-gram straggler evidence)")
+    ap.add_argument("--substring-pass", action="store_true",
+                    help="measure the corpus-WIDE substring dedup pass over the "
+                         "assembled 5-batch funnel corpus at 1x and Nx")
     args = ap.parse_args()
 
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -511,6 +663,14 @@ def main() -> None:
 
     if args.recall_e03b:
         recall_e03b(spark, base, args.factor)
+        return
+
+    if args.skew_gram:
+        measure_gram_skew(spark, base, args.factor)
+        return
+
+    if args.substring_pass:
+        measure_substring_pass(spark, base, args.factor, args.batches)
         return
 
     if args.funnel:

@@ -4,10 +4,11 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 The heavy decode libraries (PIL/ffmpeg/librosa) are NOT in this
 container. PNG decode is REAL anyway (stdlib zlib inflate + scanline
 unfilter, :func:`decode_png`); the remaining codecs (JPEG, audio,
-video) stay stubbed behind import guards / deterministic fakes — the
-Spark-side contract (schemas, batch iteration, partitioning, UDF
-signatures) is real and tested either way, so swapping a stub for a
-real decoder changes nothing structurally.
+video) stay behind the honest :func:`real_decode` boundary, which
+accepts an INJECTED ``decoder`` callable — a codec-equipped deployment
+plugs its library in there and every Spark stage (schemas, batch
+iteration, partitioning, UDF signatures) is already real and tested,
+so nothing structural changes.
 
 Scale notes: mapInPandas streams Arrow batches — peak memory is one
 batch per core, not one partition; repartition upstream by size so
@@ -36,7 +37,10 @@ ASSET_SCHEMA = StructType([
     StructField("meta_duration_ms", IntegerType(), True),
 ])
 
-FEATURE_SCHEMA = "asset_id long, media_type string, n_bytes long, feature_hash long, decoded string"
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, feature_hash long, "
+    "decoded string, mean_r double, mean_g double, mean_b double, luma_mean double"
+)
 
 
 def _fake_decode(payload: bytes, media_type: str) -> str:
@@ -151,13 +155,30 @@ def decode_png(payload: bytes):
     return img
 
 
-def real_decode(payload: bytes, media_type: str):
+def real_decode(payload: bytes, media_type: str, decoder=None):
     """Real decoder boundary. PNG images decode HERE, codec-free
     (:func:`decode_png` — stdlib zlib inflate + scanline unfilter);
     everything else (JPEG, audio, video) stays behind the honest
-    NotImplementedError until a codec library is present."""
+    NotImplementedError until a codec library is present.
+
+    ``decoder`` is the pluggable seam: a codec-equipped deployment
+    injects ``Callable[[bytes, str], ndarray]`` (e.g. a PIL/ffmpeg
+    wrapper) and it handles everything the codec-free path can't —
+    PNGs still take the built-in fast path first, the injected decoder
+    sees only non-PNG payloads and unsupported PNG subsets. Returning
+    None from the injected decoder means "can't decode" and falls
+    through to the NotImplementedError. The same parameter threads
+    through :func:`decode_png_assets`, so swapping in a real codec
+    never touches the Spark stages."""
     if media_type == "image":
-        img = decode_png(payload)
+        try:
+            img = decode_png(payload)
+        except NotImplementedError:
+            img = None  # valid PNG outside the subset: defer to the seam
+        if img is not None:
+            return img
+    if decoder is not None:
+        img = decoder(payload, media_type)
         if img is not None:
             return img
     raise NotImplementedError(
@@ -169,23 +190,34 @@ def decode_png_assets(
     assets: DataFrame,
     id_col: str = "asset_id",
     bin_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
-    """mapInPandas stage turning PNG payloads into the RAW interleaved-
-    RGB payloads (+ true dims) that :func:`resize_images` consumes —
-    the decode step of the image pipeline, now REAL for PNGs. Non-PNG /
-    corrupt / unsupported-subset payloads yield a NULL payload row
-    (poisoning a 100 TB batch on one bad file is the failure mode this
-    avoids); same Arrow-batched constant-memory shape as the other
-    multimodal stages."""
+    """mapInPandas stage turning image payloads into the RAW
+    interleaved-RGB payloads (+ true dims) that :func:`resize_images`
+    consumes — the decode step of the image pipeline, REAL for PNGs.
+    Payloads nothing can decode (non-PNG with no injected ``decoder``,
+    corrupt, unsupported subset) yield a NULL payload row (poisoning a
+    100 TB batch on one bad file is the failure mode this avoids); same
+    Arrow-batched constant-memory shape as the other multimodal stages.
+
+    ``decoder`` is :func:`real_decode`'s pluggable seam threaded
+    through to the executors: inject ``Callable[[bytes, str],
+    ndarray]`` and JPEG/WEBP/... flow through this SAME stage into
+    resize with zero Spark-side changes. The callable must be
+    picklable (a module-level function, not a lambda closing over a
+    session) since it ships inside the mapInPandas closure."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, widths, heights = [], [], []
             for p in pdf[bin_col]:
-                try:
-                    img = decode_png(None if p is None else bytes(p))
-                except NotImplementedError:
+                if p is None:
                     img = None
+                else:
+                    try:
+                        img = real_decode(bytes(p), "image", decoder)
+                    except NotImplementedError:
+                        img = None
                 if img is None:
                     payloads.append(None)
                     widths.append(None)
@@ -236,13 +268,41 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode/feature-extract assets via Arrow-batched mapInPandas.
 
     Yields one output row per asset: byte length, a 64-bit feature hash
-    of the payload, and the (stubbed) decode token. The UDF is a
-    generator over pandas batches — constant memory per core.
+    of the payload, a decode token, and — for image payloads that
+    clear the codec-free PNG decoder — REAL pixel features: per-channel
+    means and mean Rec.601 luminance (``0.299R + 0.587G + 0.114B``)
+    over the decoded RGB array. The decode token is ``png:<w>x<h>``
+    for real decodes; everything past the codec boundary (JPEG, audio,
+    video, unsupported PNG subsets) keeps the clearly-marked fake
+    token with NULL pixel features. The UDF is a generator over pandas
+    batches — constant memory per core.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            decoded, mr, mg, mb, luma = [], [], [], [], []
+            for p, m in zip(payloads, pdf["media_type"]):
+                b = None if p is None else bytes(p)
+                img = None
+                if m == "image" and b is not None:
+                    try:
+                        img = decode_png(b)
+                    except NotImplementedError:
+                        img = None
+                if img is None:
+                    decoded.append(_fake_decode(b, m))
+                    mr.append(None); mg.append(None); mb.append(None)
+                    luma.append(None)
+                else:
+                    h, w = img.shape[:2]
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    decoded.append(f"png:{w}x{h}")
+                    mr.append(float(means[0]))
+                    mg.append(float(means[1]))
+                    mb.append(float(means[2]))
+                    luma.append(float(
+                        0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]))
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
@@ -252,10 +312,11 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         hashlib.md5(bytes(p)).digest()[:8], "big"
                     ) & 0x7FFFFFFFFFFFFFFF
                 ).astype("int64"),
-                "decoded": [
-                    _fake_decode(None if p is None else bytes(p), m)
-                    for p, m in zip(payloads, pdf["media_type"])
-                ],
+                "decoded": decoded,
+                "mean_r": pd.array(mr, dtype="float64"),
+                "mean_g": pd.array(mg, dtype="float64"),
+                "mean_b": pd.array(mb, dtype="float64"),
+                "luma_mean": pd.array(luma, dtype="float64"),
             })
 
     return assets.mapInPandas(fn, FEATURE_SCHEMA)

@@ -191,37 +191,79 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       funnel's packing manifest; determinism pinned by unit tests +
 #       local parity; d12's transitive chain now routes through the
 #       local suite).
+# Round-10 rotation (round-9 verdict #3 — drain the rotation backlog's
+# second tranche in ONE sweep: the whole r01-stale set plus x16). IN,
+# all FULL-oracle, all green in every local parity run since r01:
+#   x03_rollup_revenue, x04_topk_per_group, x08_pivot_revenue,
+#   x09_price_histogram, x10_key_set_ops, x13_stats_moments,
+#   x16_string_kit, x17_date_parts, x20_having_filter,
+#   x22_above_average_orders, x24_unpivot_metrics.
+# x18_approx_quantiles deliberately STAYS out-of-window: it is
+# rows-only BY CONTRACT (approx_percentile), so a driver row adds only
+# a row-count check on top of the local suite — the d07/d08 policy
+# (don't spend window slots on weak evidence) applies; its quantile
+# semantics are pinned by the local parity suite every round.
+# OUT, coverage retained transitively, all r09 full-hash green (so
+# ≤1-round-stale driver evidence through r11):
+#   q01 (G-family group-agg summary — the agg body is q15/q16/q17's
+#       bread and butter; q01 stays a bench HEADLINE, timed every
+#       round),
+#   q10 (G2 max-ts watermark — the max-aggregate body is q15's min/max
+#       profiling; the watermark PREDICATE path stays in-window via
+#       q08, and the control-row read via q09),
+#   q18 (§2.10 measure stack — Sales Only/GM held by in-window q04,
+#       Achievement %/variance by in-window q16; q18's oracle replays
+#       their expression bodies verbatim),
+#   q23 (agg-flavored keep-latest dedup — W1/W2 held by in-window q05
+#       (row_number flavor) + q12 + p01's silver pipeline e2e),
+#   x02 (RANGE rolling windows — held by in-window x01's lag+cumsum
+#       sessions, the same rationale that retired x14 in r6),
+#   x11 (cube/grouping-sets — incoming x03's ROLLUP + grouping_id is
+#       the same grouping-sets machinery, value-checked in-window),
+#   x12 (exact percentile windows — distribution-stats evidence held
+#       by incoming x13's moments + x09's histogram buckets),
+#   x15 (scalar JSON extraction — pure expression-level
+#       (get_json_object), no shuffle/operator machinery; pinned by
+#       the local parity suite + unit tests),
+#   x21 (rank/dense_rank/ntile — ranking-window family held by q05's
+#       row_number dedup and incoming x04's top-k-per-group rank),
+#   x31b (two-pass hash-count top-k — boundary-tie equality with x31
+#       pinned in tests/test_llm_ops.py::TestNgramTopkTwoPass, oracle
+#       text shared with x31 (green r06-r09); gram-explode machinery
+#       stays in-window via d22),
+#   d18 (C4 line filter — its line-gate + doc-gate body runs VERBATIM
+#       inside in-window c01b's funnel under a FULL oracle, the same
+#       containment that retired d20 in r9).
 # ROTATION BACKLOG (oldest driver rows first, all green in every local
 # parity run — drain ~5/round through the analytic-tail slots so no
 # query's driver evidence ages past a few rounds):
-#   r01: x03 rollup, x04 topk/group, x08 pivot, x09 histogram, x10 key
-#        set ops, x13 moments, x17 date parts, x20 having, x22
-#        above-average, x24 unpivot
-#   r02: x16 string kit, x18 approx quantiles (rows-only by contract)
+#   r02: x18 approx quantiles (stays out by the weak-evidence policy
+#        above)
 #   r04: d06, e02, x06, x19, x23
 #   r05+: q19, q20, q24, x05, x14, d01-d03, d09, e05, ...
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
-    "q01_pricing_summary", "q02_dim_customer_enrich", "q03_top_revenue_orders",
+    "q02_dim_customer_enrich", "q03_top_revenue_orders",
     "q04_flagship_sales_eur", "q05_dedup_latest_events", "q06_quarantine_orders",
     "q07_null_standardize", "q08_watermark_scan", "q09_latest_control_row",
-    "q10_watermark_max", "q11_changed_keys_semi", "q12_union_upsert",
+    "q11_changed_keys_semi", "q12_union_upsert",
     "q13_merge_upsert", "q14_calendar_dim", "q15_profile_customer",
-    "q16_budget_variance_monthly", "q17_otd_quality", "q18_sales_measures",
-    "q22_dim_product_enrich", "q23_dedup_latest_agg",
+    "q16_budget_variance_monthly", "q17_otd_quality",
+    "q22_dim_product_enrich",
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
-    "d17_gopher_quality", "d18_c4_line_filter",
+    "d17_gopher_quality",
     "d21_line_repetition",
     "d10_embed_near_dup",
     "d22_substring_dedup",
     "d14_canonical_corpus_lsh", "d16_incremental_near_dedup",
     "x29_contamination_check", "x35_token_budget_mix",
-    "x31b_bigram_topk_twopass",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4",
-    # analytic-extension tail rotation (round-9: stalest driver rows)
-    "x02_rolling_events", "x11_cube_counts", "x12_price_percentiles",
-    "x15_json_extract", "x21_ranking_functions",
+    # analytic-extension tail rotation (round-10: the r01-stale tranche)
+    "x03_rollup_revenue", "x04_topk_per_group", "x08_pivot_revenue",
+    "x09_price_histogram", "x10_key_set_ops", "x13_stats_moments",
+    "x16_string_kit", "x17_date_parts", "x20_having_filter",
+    "x22_above_average_orders", "x24_unpivot_metrics",
     # LLM data ops: similarity / ANN family
     "e01_knn_topk", "e03b_similar_pairs_lsh_recall",
     "s05_stream_ingest_near_dedup", "e04b_knn_ivf_refined",

@@ -12,6 +12,17 @@ from pyspark.sql.types import (
 from spaceparts_data_pipeline_spark.operators import dedup_fuzzy, multimodal, similarity, text
 
 
+def _fake_jpeg_decoder(payload, media_type):
+    """Module-level (picklable) injected decoder for the codec seam
+    tests: 'decodes' any payload starting with the JPEG SOI marker to a
+    deterministic 2x3 RGB ramp; returns None for everything else."""
+    import numpy as np
+
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        return np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    return None
+
+
 @pytest.fixture(scope="module")
 def assets(spark):
     rows = [
@@ -182,6 +193,64 @@ class TestMultimodal:
         top = bytes(img[0, 0]) * 2 + bytes(img[0, 1]) * 2
         bot = bytes(img[1, 0]) * 2 + bytes(img[1, 1]) * 2
         assert bytes(r1["payload"]) == top * 2 + bot * 2
+
+    def test_extract_features_real_png_pixels(self, spark):
+        """Round-10 verdict #5: extract_features routes image payloads
+        through decode_png — per-channel means and Rec.601 luminance
+        equal numpy ground truth on a test-encoded PNG; non-decodable
+        payloads keep the fake token with NULL pixel features."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        png = self._encode_png(img, color_type=2, filters=[0, 1, 2, 3, 4, 2])
+        rows = [(1, "image", bytearray(png), None, None, None),
+                (2, "image", b"\xff\xd8 jpeg-ish", None, None, None),
+                (3, "audio", b"RIFF fake", None, None, 1000)]
+        out = {r["asset_id"]: r for r in multimodal.extract_features(
+            spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)).collect()}
+        want = img.reshape(-1, 3).mean(axis=0)
+        assert out[1]["decoded"] == "png:5x6"
+        assert abs(out[1]["mean_r"] - want[0]) < 1e-9
+        assert abs(out[1]["mean_g"] - want[1]) < 1e-9
+        assert abs(out[1]["mean_b"] - want[2]) < 1e-9
+        assert abs(out[1]["luma_mean"]
+                   - (0.299 * want[0] + 0.587 * want[1] + 0.114 * want[2])) < 1e-9
+        assert out[2]["decoded"].startswith("decode:image:") and out[2]["mean_r"] is None
+        assert out[3]["decoded"].startswith("decode:audio:") and out[3]["luma_mean"] is None
+
+    def test_injected_decoder_seam_end_to_end(self, spark):
+        """Round-10 verdict #6: a codec-equipped deployment injects a
+        decoder at the real_decode boundary and JPEG flows through
+        decode_png_assets into resize_images with zero Spark-side
+        changes; PNGs still take the built-in path, undecodable
+        payloads still null out."""
+        import numpy as np
+
+        png_img = np.full((2, 2, 3), 9, dtype=np.uint8)
+        rows = [(1, "image", b"\xff\xd8 jpeg payload", None, None, None),
+                (2, "image", bytearray(self._encode_png(png_img)), None, None, None),
+                (3, "image", b"neither format", None, None, None)]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        decoded = multimodal.decode_png_assets(assets, decoder=_fake_jpeg_decoder)
+        got = {r["asset_id"]: r for r in decoded.collect()}
+        jpeg_img = _fake_jpeg_decoder(b"\xff\xd8", "image")
+        assert bytes(got[1]["payload"]) == jpeg_img.tobytes()
+        assert (got[1]["meta_width"], got[1]["meta_height"]) == (3, 2)
+        assert bytes(got[2]["payload"]) == png_img.tobytes()
+        assert got[3]["payload"] is None
+        # and on through resize: the seam's output is resize's input
+        resized = {r["asset_id"]: r for r in multimodal.resize_images(
+            decoded, out_w=6, out_h=4).collect()}
+        want = jpeg_img[(np.arange(4) * 2) // 4][:, (np.arange(6) * 3) // 6]
+        assert bytes(resized[1]["payload"]) == want.tobytes()
+        assert resized[3]["payload"] is None
+        # direct boundary check: injected decoder fires only past the
+        # codec-free path; returning None still raises
+        out = multimodal.real_decode(b"\xff\xd8 x", "image", _fake_jpeg_decoder)
+        assert np.array_equal(out, jpeg_img)
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode(b"neither", "image", _fake_jpeg_decoder)
 
     def test_frame_sample_plan(self, spark, assets):
         plan = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
