@@ -3,7 +3,10 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The heavy decode libraries (PIL/ffmpeg/librosa) are NOT in this
 container. PNG decode is REAL anyway (stdlib zlib inflate + scanline
-unfilter, :func:`decode_png`); the remaining codecs (JPEG, audio,
+unfilter, :func:`decode_png`), and so are baseline JPEG
+(``operators.jpeg.decode_jpeg`` — huffman + IDCT, no codec library)
+and PCM16 WAV audio (:func:`decode_wav` — RIFF chunk walk +
+frombuffer); the remaining codecs (progressive JPEG, compressed audio,
 video) stay behind the honest :func:`real_decode` boundary, which
 accepts an INJECTED ``decoder`` callable — a codec-equipped deployment
 plugs its library in there and every Spark stage (schemas, batch
@@ -155,11 +158,108 @@ def decode_png(payload: bytes):
     return img
 
 
+_RIFF_MAGIC = b"RIFF"
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM16 payload to (samples, sample_rate) using
+    ONLY byte slicing + numpy — no codec: RIFF header check, chunk walk
+    (``fmt `` / ``data``), then one ``frombuffer``. ``samples`` is an
+    int16 array shaped (n_frames, n_channels). This makes the audio
+    half of the :func:`real_decode` boundary REAL for uncompressed WAV
+    — the dominant landing format for raw audio — while compressed
+    codecs (MP3/AAC/FLAC) stay behind the injected-decoder seam.
+
+    Returns None for non-WAV/corrupt/truncated payloads (including a
+    declared chunk length running past the payload end — explicit, same
+    policy as :func:`decode_png`); raises NotImplementedError for valid
+    WAVs outside the subset (compressed format codes, bit depth ≠ 16)
+    — those need a real codec library.
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        return None
+    payload = bytes(payload)
+    if payload[:4] != _RIFF_MAGIC or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + ln > len(payload):
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = payload[pos + 8:pos + 8 + ln]
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV subset: format={audio_format} bits={bits} needs a real codec")
+    if n_channels < 1:
+        return None
+    usable = len(data) - (len(data) % (2 * n_channels))
+    samples = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, n_channels)
+    return samples, sample_rate
+
+
+def decode_wav_assets(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas stage turning WAV payloads into the RAW little-endian
+    PCM16 payloads that :func:`audio_rms_windows` consumes (channels
+    mean-mixed to mono so window RMS is channel-count-independent),
+    plus real sample_rate and duration — the audio twin of
+    :func:`decode_png_assets`. Undecodable payloads yield NULL rows
+    instead of poisoning the batch."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates, durs = [], [], []
+            for p in pdf[bin_col]:
+                try:
+                    dec = decode_wav(None if p is None else bytes(p))
+                except NotImplementedError:
+                    dec = None
+                if dec is None:
+                    payloads.append(None); rates.append(None); durs.append(None)
+                else:
+                    samples, rate = dec
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    payloads.append(np.round(mono).astype("<i2").tobytes())
+                    rates.append(rate)
+                    durs.append(int(len(samples) * 1000 / rate) if rate else None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": payloads,
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "meta_duration_ms": pd.array(durs, dtype="Int32"),
+            })
+
+    return assets.mapInPandas(
+        fn, f"{id_col} long, payload binary, sample_rate int, meta_duration_ms int")
+
+
 def real_decode(payload: bytes, media_type: str, decoder=None):
-    """Real decoder boundary. PNG images decode HERE, codec-free
-    (:func:`decode_png` — stdlib zlib inflate + scanline unfilter);
-    everything else (JPEG, audio, video) stays behind the honest
-    NotImplementedError until a codec library is present.
+    """Real decoder boundary. PNG images (:func:`decode_png` — stdlib
+    zlib inflate + scanline unfilter), baseline JPEG images
+    (:func:`operators.jpeg.decode_jpeg` — full T.81 baseline: huffman
+    entropy decode, dequant, vectorized IDCT, chroma upsample, YCbCr→
+    RGB), and PCM16 WAV audio (:func:`decode_wav` — RIFF chunk walk,
+    returns the (frames, channels) int16 sample array) decode HERE,
+    codec-free; the remainder (progressive/arithmetic JPEG, compressed
+    audio, video) stays behind the honest NotImplementedError until a
+    codec library is present.
 
     ``decoder`` is the pluggable seam: a codec-equipped deployment
     injects ``Callable[[bytes, str], ndarray]`` (e.g. a PIL/ffmpeg
@@ -175,15 +275,29 @@ def real_decode(payload: bytes, media_type: str, decoder=None):
             img = decode_png(payload)
         except NotImplementedError:
             img = None  # valid PNG outside the subset: defer to the seam
+        if img is None:
+            from spaceparts_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+            try:
+                img = decode_jpeg(payload)
+            except NotImplementedError:
+                img = None  # progressive/12-bit/CMYK: defer to the seam
         if img is not None:
             return img
+    if media_type == "audio":
+        try:
+            dec = decode_wav(payload)
+        except NotImplementedError:
+            dec = None  # valid WAV outside the subset: defer to the seam
+        if dec is not None:
+            return dec[0]
     if decoder is not None:
         img = decoder(payload, media_type)
         if img is not None:
             return img
     raise NotImplementedError(
-        "only 8-bit non-interlaced PNG decodes codec-free; JPEG/audio/"
-        "video codecs are not available in this environment")
+        "codec-free subset is 8-bit non-interlaced PNG, baseline JPEG, "
+        "and PCM16 WAV; other codecs need an injected decoder")
 
 
 def decode_png_assets(
@@ -269,14 +383,16 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     Yields one output row per asset: byte length, a 64-bit feature hash
     of the payload, a decode token, and — for image payloads that
-    clear the codec-free PNG decoder — REAL pixel features: per-channel
-    means and mean Rec.601 luminance (``0.299R + 0.587G + 0.114B``)
-    over the decoded RGB array. The decode token is ``png:<w>x<h>``
-    for real decodes; everything past the codec boundary (JPEG, audio,
-    video, unsupported PNG subsets) keeps the clearly-marked fake
+    clear the codec-free decoders (PNG or baseline JPEG) — REAL pixel
+    features: per-channel means and mean Rec.601 luminance
+    (``0.299R + 0.587G + 0.114B``) over the decoded RGB array. The
+    decode token is ``png:<w>x<h>`` / ``jpeg:<w>x<h>`` for real
+    decodes; everything past the codec boundary (compressed audio,
+    video, unsupported image subsets) keeps the clearly-marked fake
     token with NULL pixel features. The UDF is a generator over pandas
     batches — constant memory per core.
     """
+    from spaceparts_data_pipeline_spark.operators.jpeg import decode_jpeg
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -284,12 +400,17 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
             decoded, mr, mg, mb, luma = [], [], [], [], []
             for p, m in zip(payloads, pdf["media_type"]):
                 b = None if p is None else bytes(p)
-                img = None
+                img, fmt = None, None
                 if m == "image" and b is not None:
                     try:
-                        img = decode_png(b)
+                        img, fmt = decode_png(b), "png"
                     except NotImplementedError:
                         img = None
+                    if img is None:
+                        try:
+                            img, fmt = decode_jpeg(b), "jpeg"
+                        except NotImplementedError:
+                            img = None
                 if img is None:
                     decoded.append(_fake_decode(b, m))
                     mr.append(None); mg.append(None); mb.append(None)
@@ -297,7 +418,7 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 else:
                     h, w = img.shape[:2]
                     means = img.reshape(-1, 3).mean(axis=0)
-                    decoded.append(f"png:{w}x{h}")
+                    decoded.append(f"{fmt}:{w}x{h}")
                     mr.append(float(means[0]))
                     mg.append(float(means[1]))
                     mb.append(float(means[2]))

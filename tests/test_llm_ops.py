@@ -252,6 +252,146 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal.real_decode(b"neither", "image", _fake_jpeg_decoder)
 
+    def test_decode_jpeg_roundtrip_matrix(self):
+        """Codec-free baseline JPEG decoder vs the independent
+        test-side encoder (standard Annex K tables, separate forward-
+        DCT implementation): bounded reconstruction error across
+        grayscale/color, all three samplings, odd dimensions, and
+        restart intervals; DC-only images recover exactly."""
+        import numpy as np
+
+        from spaceparts_data_pipeline_spark.operators.jpeg import decode_jpeg
+        from tests.jpeg_ref_encoder import encode_jpeg
+
+        flat = np.full((16, 16), 100, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(flat))
+        assert out.shape == (16, 16, 3) and np.abs(out.astype(int) - 100).max() == 0
+
+        h, w = 37, 53                       # off-MCU-grid dims: pad + crop
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 5) % 256, (yy * 7) % 256,
+                        ((xx + yy) * 3) % 256], axis=2).astype(np.uint8)
+        for sub, dri, bound in (("444", 0, 6), ("422", 0, 8), ("420", 0, 9),
+                                ("420", 2, 9), ("422", 3, 8)):
+            out = decode_jpeg(encode_jpeg(img, sub, restart_interval=dri))
+            assert out is not None and out.shape == img.shape, (sub, dri)
+            err = np.abs(out.astype(int) - img.astype(int)).mean()
+            assert err < bound, (sub, dri, err)
+
+    def test_decode_jpeg_rejection_and_subset(self):
+        """Non-JPEG and truncated payloads return None; progressive
+        marker raises NotImplementedError (the codec-boundary policy)."""
+        import numpy as np
+        import pytest as _pytest
+
+        from spaceparts_data_pipeline_spark.operators.jpeg import decode_jpeg
+        from tests.jpeg_ref_encoder import encode_jpeg
+
+        img = np.full((8, 8, 3), 50, dtype=np.uint8)
+        jp = encode_jpeg(img)
+        assert decode_jpeg(b"not a jpeg") is None
+        assert decode_jpeg(jp[: len(jp) // 2]) is None
+        prog = bytearray(jp)
+        i = prog.find(b"\xff\xc0")
+        prog[i + 1] = 0xC2
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(prog))
+
+    def test_jpeg_through_image_pipeline(self, spark):
+        """JPEG payloads flow through the SAME Spark stages as PNG with
+        no injected decoder: decode_png_assets (which routes via
+        real_decode) → resize_images, and extract_features emits real
+        pixel features with a jpeg:<w>x<h> token."""
+        import numpy as np
+
+        from tests.jpeg_ref_encoder import encode_jpeg
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:8] = (200, 40, 40)
+        img[8:] = (40, 40, 200)
+        jp = encode_jpeg(img, "444")
+        rows = [(1, "image", bytearray(jp), None, None, None)]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        decoded = multimodal.decode_png_assets(assets).collect()[0]
+        assert (decoded["meta_width"], decoded["meta_height"]) == (16, 16)
+        raw = np.frombuffer(bytes(decoded["payload"]), dtype=np.uint8).reshape(16, 16, 3)
+        assert np.abs(raw.astype(int) - img.astype(int)).mean() < 6
+        resized = multimodal.resize_images(
+            multimodal.decode_png_assets(assets), out_w=8, out_h=8).collect()[0]
+        assert (resized["meta_width"], resized["meta_height"]) == (8, 8)
+        feats = multimodal.extract_features(assets).collect()[0]
+        assert feats["decoded"] == "jpeg:16x16"
+        want = img.reshape(-1, 3).mean(axis=0)
+        assert abs(feats["mean_r"] - want[0]) < 4
+        assert abs(feats["mean_b"] - want[2]) < 4
+
+    @staticmethod
+    def _encode_wav(samples, rate=16000):
+        """Independent test-side WAV encoder: the stdlib `wave` module,
+        so decode_wav is checked against a reference implementation —
+        and PCM16 round-trips LOSSLESSLY, so equality is exact."""
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(samples.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def test_decode_wav_roundtrip_and_boundary(self):
+        """decode_wav inverts the stdlib wave encoder exactly (PCM16 is
+        lossless), rejects corrupt/truncated payloads, and keeps
+        non-PCM16 subsets behind NotImplementedError."""
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        stereo = rng.integers(-32768, 32768, size=(500, 2), dtype=np.int16)
+        wav = self._encode_wav(stereo, rate=8000)
+        samples, rate = multimodal.decode_wav(wav)
+        assert rate == 8000 and np.array_equal(samples, stereo)
+        # and through the real_decode boundary (audio returns samples)
+        assert np.array_equal(multimodal.real_decode(wav, "audio"), stereo)
+        assert multimodal.decode_wav(b"not riff") is None
+        assert multimodal.decode_wav(wav[:30]) is None   # truncated chunk
+        # 8-bit WAV: valid but outside the codec-free subset
+        import io
+        import wave as wv
+        buf = io.BytesIO()
+        with wv.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+            w.writeframes(bytes(100))
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_wav(buf.getvalue())
+
+    def test_decode_wav_assets_feeds_rms(self, spark):
+        """The WAV decode stage produces exactly what audio_rms_windows
+        consumes: WAV payload → mono PCM16 + rate/duration → window RMS
+        — the audio pipeline end to end on a real WAV written by the
+        stdlib encoder."""
+        import numpy as np
+
+        t = np.arange(2048)
+        mono = (10000 * np.sin(2 * np.pi * t / 64)).astype(np.int16).reshape(-1, 1)
+        stereo = np.hstack([mono, mono])          # mean-mix == mono
+        rows = [(1, "audio", bytearray(self._encode_wav(stereo)), None, None, None),
+                (2, "audio", b"garbage", None, None, None)]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        decoded = multimodal.decode_wav_assets(assets)
+        got = {r["asset_id"]: r for r in decoded.collect()}
+        assert bytes(got[1]["payload"]) == mono.reshape(-1).astype("<i2").tobytes()
+        assert got[1]["sample_rate"] == 16000
+        assert got[1]["meta_duration_ms"] == 2048 * 1000 // 16000
+        assert got[2]["payload"] is None
+        rms = multimodal.audio_rms_windows(decoded, window_samples=1024)
+        out = [r for r in rms.collect() if r["asset_id"] == 1]
+        want = np.sqrt((mono.reshape(2, 1024).astype(np.float64) ** 2).mean(axis=1))
+        assert len(out) == 2
+        for r in out:
+            assert abs(r["rms"] - want[r["window_idx"]]) < 1e-9
+
     def test_frame_sample_plan(self, spark, assets):
         plan = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
         assert [(r["asset_id"], r["frame_idx"], r["frame_ts_ms"]) for r in plan] == \
