@@ -245,6 +245,8 @@ def _decode_scan(payload, pos, frame, scan, qtables, huff_dc, huff_ac,
     if h == 0 or w == 0:
         return None
     hmax = max(c[1] for c in comps)
+    if hmax < 1 or max(c[2] for c in comps) < 1:
+        return None                 # zero sampling factor: corrupt header
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
@@ -255,7 +257,13 @@ def _decode_scan(payload, pos, frame, scan, qtables, huff_dc, huff_ac,
             return None
         order.append((by_id[cs], huff_dc[td], huff_ac[ta]))
     if len(order) != len(comps):
-        return None                 # baseline: one interleaved scan
+        # a VALID (rare) layout outside the subset, not corruption:
+        # some encoders write one scan per component
+        raise NotImplementedError("JPEG non-interleaved scans")
+    for c in comps:
+        if c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]:
+            raise NotImplementedError(
+                f"JPEG sampling factors {c[1]}x{c[2]} vs max {hmax}x{vmax}")
     for c in comps:
         if c[3] not in qtables:
             return None

@@ -278,6 +278,29 @@ class TestMultimodal:
             err = np.abs(out.astype(int) - img.astype(int)).mean()
             assert err < bound, (sub, dri, err)
 
+    def test_decode_jpeg_near_lossless_property(self):
+        """Property over random images: at near-unit quantization
+        (quality_scale=0.05 → quant tables ≈ 1) reconstruction error is
+        bounded by DCT/color-convert rounding alone (measured worst 10;
+        asserted ≤16). A huffman/IDCT/zigzag defect produces gross
+        errors (≫50), so this catches structural decoder bugs on
+        arbitrary content where the fixed-fixture tests might not."""
+        import numpy as np
+
+        from spaceparts_data_pipeline_spark.operators.jpeg import decode_jpeg
+        from tests.jpeg_ref_encoder import encode_jpeg
+
+        rng = np.random.default_rng(9)
+        for _ in range(4):
+            h, w = (int(x) for x in rng.integers(8, 40, 2))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img, "444", quality_scale=0.05))
+            assert out is not None and out.shape == img.shape
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+            g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            outg = decode_jpeg(encode_jpeg(g, quality_scale=0.05))
+            assert np.abs(outg[:, :, 0].astype(int) - g.astype(int)).max() <= 16
+
     def test_decode_jpeg_rejection_and_subset(self):
         """Non-JPEG and truncated payloads return None; progressive
         marker raises NotImplementedError (the codec-boundary policy)."""
