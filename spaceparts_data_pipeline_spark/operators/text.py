@@ -1022,3 +1022,116 @@ def ngram_topk(
     )
     counted = finalists.groupBy(group_col, "bigram").agg(F.count(F.lit(1)).alias("freq"))
     return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+# -- character-LM quality scoring -------------------------------------------
+
+def char_bigrams(text: Column | str) -> Column:
+    """Array of character bigrams of ``text`` (overlapping, in order).
+
+    Built by ``zip_with`` over two shifted slices of a per-row char
+    array — the same CSE-safe shape as :func:`word_ngrams` (a
+    per-element ``substring(text, i, 2)`` lambda would rescan the
+    string prefix per position: O(chars²) per doc). Empty and
+    single-char text yield an empty array; NULL stays NULL.
+
+    Note ``split(text, '')`` on the EMPTY string returns ``[""]`` in
+    Spark (one empty element), so the short-text guard is explicit —
+    the DuckDB oracle twin (``range(1, length(text))``) has no such
+    edge and the two must agree.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    chars = F.split(t, "")
+    n = F.greatest(F.size(chars) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(chars, F.lit(1), n), F.slice(chars, F.lit(2), n),
+        lambda a, b: F.concat(a, b),
+    )
+    return F.when(F.length(t) < 2, F.array().cast("array<string>")).otherwise(grams)
+
+
+def char_vocab(train: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row frame ``(v)``: distinct character count of the training
+    corpus — the Laplace smoothing denominator ``V``. Empty/NULL text
+    contributes nothing (explicit guard for Spark's ``split('', '')
+    == ['']`` edge)."""
+    t = F.col(text_col)
+    chars = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, ""))
+    return (
+        train.select(F.explode(chars).alias("ch"))
+        .agg(F.count_distinct("ch").alias("v"))
+    )
+
+
+def charlm_nll(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Character-bigram language-model quality score (the CCNet /
+    fastText-LM filtering signal, reduced to a relational form): train
+    a Laplace-smoothed char-bigram LM on ``train``, score every doc in
+    ``docs`` by total negative log-likelihood. High NLL per gram marks
+    out-of-distribution text (wrong language, encoding garbage,
+    boilerplate markup) — the classic third leg next to the rule-based
+    Gopher/C4 gates (operators.text.gopher_rules / c4 line filter).
+
+    Model: P(c2|c1) = (count(c1c2) + 1) / (count(c1·) + V), V =
+    distinct training chars. Unseen grams and unseen contexts are
+    well-defined through the same formula (counts coalesce to 0).
+
+    Output: one row per input doc — ``n_grams`` (0 for short/NULL
+    text), ``nll6`` (decimal-exact sum of per-gram-type
+    ``round(ln(·), 6)`` terms × in-doc counts), ``avg_nll`` (single
+    IEEE division, 0.0 when no grams).
+
+    Scale shape (100 TB): the model is vocab²-bounded (≤ a few k rows
+    for text) → both model joins and the V frame BROADCAST; the gram
+    stream is exploded but partial-combines map-side to (doc, gram-type)
+    rows before its only shuffle, then to doc rows — no corpus-scale
+    text ever crosses an exchange, and there is no skewable key (the
+    final group key is doc_id). Cross-engine bit-exactness: per-gram
+    terms are rounded to 6 dp BEFORE the multiply-sum, and the doc sum
+    uses the decimal pattern (functions.scalars.dsum).
+    """
+    from spaceparts_data_pipeline_spark.functions.scalars import dsum
+
+    def _grams(df: DataFrame, *cols: Column) -> DataFrame:
+        return df.select(*cols, F.explode(char_bigrams(text_col)).alias("g"))
+
+    model = _grams(train).groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = model.groupBy(F.substring("g", 1, 1).alias("c1")).agg(
+        F.sum("c12").alias("c1n"))
+    vocab = char_vocab(train, text_col)
+
+    dgc = _grams(docs, F.col(id_col)).groupBy(id_col, "g").agg(
+        F.count(F.lit(1)).alias("dcnt"))
+    terms = (
+        dgc.join(F.broadcast(model), "g", "left")
+        .join(F.broadcast(ctx), F.substring(F.col("g"), 1, 1) == ctx["c1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "term6",
+            F.round(F.log(
+                (F.coalesce(F.col("c1n"), F.lit(0)) + F.col("v")).cast("double")
+                / (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+            ), 6),
+        )
+    )
+    per_doc = terms.groupBy(id_col).agg(
+        F.sum("dcnt").alias("n_grams"),
+        dsum(F.col("dcnt") * F.col("term6"), "nll6"),
+    )
+    out = docs.select(id_col, *keep_cols).join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        *keep_cols,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("nll6", F.lit(0.0)).alias("nll6"),
+        F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.coalesce("nll6", F.lit(0.0)) / F.col("n_grams"))
+        .alias("avg_nll"),
+    )

@@ -234,6 +234,21 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   d18 (C4 line filter — its line-gate + doc-gate body runs VERBATIM
 #       inside in-window c01b's funnel under a FULL oracle, the same
 #       containment that retired d20 in r9).
+# Mid-round-10 addition (new FULL-oracle op goes straight in per the
+# first-appearance rule):
+#   d23_charlm_quality (character-bigram LM quality score — the
+#       CCNet/KenLM-style model-based signal next to the rule-based
+#       Gopher/C4 gates; Laplace-smoothed char-bigram model trained on
+#       the lang='en' slice, every doc scored by total + per-gram NLL;
+#       FULL oracle with 6dp-rounded per-gram terms and the decimal
+#       multiply-sum, bit-identical on both engines).
+# OUT, coverage retained transitively:
+#   d16 (upgraded to FULL value-hash green in r9; its exact-path
+#       oracle body is replayed VERBATIM inside in-window s05's
+#       composed oracle at the same pinned 32-perm/4-row profile —
+#       the d18-inside-c01b containment precedent — and the band-store
+#       screen guarantees stay pinned in
+#       tests/test_llm_ops.py::TestIncrementalNearDedup).
 # ROTATION BACKLOG (oldest driver rows first, all green in every local
 # parity run — drain ~5/round through the analytic-tail slots so no
 # query's driver evidence ages past a few rounds):
@@ -255,8 +270,8 @@ _PRIORITY = [
     "d17_gopher_quality",
     "d21_line_repetition",
     "d10_embed_near_dup",
-    "d22_substring_dedup",
-    "d14_canonical_corpus_lsh", "d16_incremental_near_dedup",
+    "d22_substring_dedup", "d23_charlm_quality",
+    "d14_canonical_corpus_lsh",
     "x29_contamination_check", "x35_token_budget_mix",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4",
     # analytic-extension tail rotation (round-10: the r01-stale tranche)

@@ -1724,6 +1724,75 @@ def d22_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d23 — character-bigram LM quality score (the CCNet / KenLM-style
+# model-based quality signal next to the rule-based Gopher/C4 gates):
+# train a Laplace-smoothed char-bigram LM on the lang='en' slice, score
+# EVERY doc by total + per-gram negative log-likelihood. Fully
+# relational (model join + broadcast), so it gets a FULL oracle —
+# per-gram terms rounded to 6dp before the decimal multiply-sum so both
+# engines are bit-identical.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d23_charlm_quality",
+    """
+    WITH train AS (
+      SELECT text FROM documents
+      WHERE lang = 'en' AND text IS NOT NULL AND length(text) >= 2
+    ),
+    tg AS (
+      SELECT unnest(list_transform(range(1, length(text)),
+                                   i -> substr(text, CAST(i AS INT), 2))) AS g
+      FROM train
+    ),
+    model AS (SELECT g, COUNT(*) AS c12 FROM tg GROUP BY g),
+    ctx AS (
+      SELECT substr(g, 1, 1) AS c1, CAST(SUM(c12) AS BIGINT) AS c1n
+      FROM model GROUP BY 1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT ch) AS v FROM (
+        SELECT unnest(list_transform(range(1, length(text) + 1),
+                                     i -> substr(text, CAST(i AS INT), 1))) AS ch
+        FROM train)
+    ),
+    dg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text)),
+                                   i -> substr(text, CAST(i AS INT), 2))) AS g
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 2
+    ),
+    dgc AS (SELECT doc_id, g, COUNT(*) AS dcnt FROM dg GROUP BY doc_id, g),
+    terms AS (
+      SELECT doc_id, dcnt,
+             round(ln(CAST(COALESCE(c1n, 0) + v AS DOUBLE)
+                      / CAST(COALESCE(c12, 0) + 1 AS DOUBLE)), 6) AS term6
+      FROM dgc
+      LEFT JOIN model USING (g)
+      LEFT JOIN ctx ON substr(g, 1, 1) = ctx.c1
+      CROSS JOIN vocab
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(dcnt) AS BIGINT) AS n_grams,
+             CAST(CAST(SUM(CAST(dcnt * term6 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS nll6
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           COALESCE(p.nll6, 0.0) AS nll6,
+           CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                ELSE COALESCE(p.nll6, 0.0) / p.n_grams END AS avg_nll
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def d23_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    train = d.filter(
+        (F.col("lang") == "en") & F.col("text").isNotNull() & (F.length("text") >= 2))
+    return text.charlm_nll(d, train, keep_cols=("lang",))
+
+
+# ---------------------------------------------------------------------------
 # x35 — token-budget data mixing: per-source contribution caps in
 # TOKENS (the pretrain mixing-weights op — cap the crawl, keep the
 # curated sources), deterministic id-order selection, one window per

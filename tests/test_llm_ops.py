@@ -1819,3 +1819,53 @@ class TestLineRepetition:
         qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
         compare(spark, qs["d21_line_repetition"], oracles["d21_line_repetition"],
                 sf_dir, "d21")
+
+
+class TestCharLM:
+    def test_char_bigrams_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "ab"), (3, "a"), (4, ""), (5, None)],
+            StructType([StructField("id", LongType()), StructField("text", StringType())]),
+        )
+        out = {r["id"]: r["g"] for r in df.select("id", text.char_bigrams("text").alias("g")).collect()}
+        assert out == {1: ["ab", "bc"], 2: ["ab"], 3: [], 4: [], 5: None}
+
+    def test_charlm_nll_matches_hand_model(self, spark):
+        import math
+
+        # train: "abab" + "abba" -> V=2; model ab:3 ba:2 bb:1; c1n a:3 b:3
+        train = spark.createDataFrame(
+            [(100, "abab"), (101, "abba")], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "aba"),    # seen grams: ab, ba
+             (2, "ba c"),   # unseen gram "a " (seen ctx) + unseen ctx " "
+             (3, "a"),      # too short -> 0 grams
+             (4, None)],    # NULL -> 0 grams
+            "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict()
+               for r in text.charlm_nll(docs, train).collect()}
+
+        def t(c1n, c12, v=2):
+            return round(math.log((c1n + v) / (c12 + 1)), 6)
+
+        assert out[1]["n_grams"] == 2
+        assert abs(out[1]["nll6"] - (t(3, 3) + t(3, 2))) < 1e-9
+        assert abs(out[1]["avg_nll"] - (t(3, 3) + t(3, 2)) / 2) < 1e-9
+        # "ba c" -> grams: "ba", "a ", " c"
+        exp2 = t(3, 2) + t(3, 0) + t(0, 0)
+        assert out[2]["n_grams"] == 3 and abs(out[2]["nll6"] - exp2) < 1e-9
+        for d in (3, 4):
+            assert out[d]["n_grams"] == 0
+            assert out[d]["nll6"] == 0.0 and out[d]["avg_nll"] == 0.0
+
+    def test_charlm_nll_flags_ood_text(self, spark):
+        train = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog and runs on")
+             for i in range(5)], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "the quick dog runs over the fox"),
+             (2, "zzxqj wqkz jjqx zzzq xqzj")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["avg_nll"]
+               for r in text.charlm_nll(docs, train).collect()}
+        assert out[2] > out[1] + 0.5     # OOD text scores clearly worse
