@@ -61,6 +61,12 @@ CORPUS = [
     # round 9: the substring REMOVAL built on d19's gram window — the
     # cleaned-corpus path a Lee-et-al dedup actually ships
     "d22_substring_dedup",
+    # round 10: the model-based selection signals (char-bigram LM NLL,
+    # DSIR importance weights) — both explode→partial-combine→broadcast
+    # model join plans; tracked so the broadcast-model shape's cost
+    # stays visible next to the rule gates they complement
+    "d23_charlm_quality",
+    "d24_dsir_importance",
 ]
 
 

@@ -90,6 +90,12 @@ OPS = [
     "x35_token_budget_mix",
     "x36_corpus_shuffle",
     "d21_line_repetition",
+    # round-10 selection signals: both are explode → map-side partial
+    # combine → broadcast-model join → doc agg, so the expected 8x
+    # shape is linear shuffle with no gram-scale window (no skewable
+    # key: the only full-corpus group key is doc_id)
+    "d23_charlm_quality",
+    "d24_dsir_importance",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")

@@ -53,10 +53,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus mode: build the packing manifest in the deterministic "
                         "shuffled training order of corpus_shuffle(seed) instead of "
                         "(source, id) order; change per epoch for a new order")
-    p.add_argument("--quality-rules", choices=["basic", "gopher", "c4"], default="basic",
+    p.add_argument("--quality-rules", choices=["basic", "gopher", "c4", "charlm"],
+                   default="basic",
                    help="corpus mode: quality gate — 'basic' (token band + stopwords), "
                         "'gopher' (the seven Gopher rules), 'c4' (line/document cleanup; "
-                        "survivors continue with the CLEANED text)")
+                        "survivors continue with the CLEANED text), 'charlm' (model-based: "
+                        "avg char-bigram NLL under an LM trained on --charlm-ref-parquet "
+                        "must be <= --charlm-max-nll)")
+    p.add_argument("--charlm-ref-parquet", default=None,
+                   help="corpus mode, charlm rules: parquet of in-distribution reference "
+                        "docs (needs a text column) the char-bigram LM trains on; REQUIRED "
+                        "with --quality-rules charlm")
+    p.add_argument("--charlm-max-nll", type=float, default=8.0,
+                   help="corpus mode, charlm rules: max avg NLL per char bigram; calibrate "
+                        "to a percentile of the reference slice's own distribution (the "
+                        "8.0 default fits the synthetic fixtures, not your corpus)")
     p.add_argument("--substring-dedup-k", type=int, default=None,
                    help="corpus mode: after the ingest, run the corpus-WIDE exact-"
                         "substring dedup pass (Lee et al.; d22) at this word-k-gram "
@@ -177,12 +188,20 @@ def _corpus_main(args) -> int:
         part = part.select("doc_id", "text", "source")
         batch = part if batch is None else batch.unionByName(part)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    charlm_ref = None
+    if args.quality_rules == "charlm":
+        if not args.charlm_ref_parquet:
+            print(json.dumps({"status": "failed",
+                              "error": "--quality-rules charlm needs --charlm-ref-parquet"}))
+            return 2
+        charlm_ref = spark.read.parquet(args.charlm_ref_parquet)
 
     stats = run_corpus_ingest(
         spark, batch, args.corpus_out, args.run_id, benchmark=benchmark,
         compact_files_threshold=(args.store_compact_files or None),
         quality_rules=args.quality_rules,
         blocklist_terms=(tuple(args.blocklist_term) if args.blocklist_term else None),
+        charlm_ref=charlm_ref, charlm_max_nll=args.charlm_max_nll,
         shuffle_seed=args.shuffle_seed)
     substring_stats = None
     if args.substring_dedup_k:

@@ -1135,3 +1135,94 @@ def charlm_nll(
         .otherwise(F.coalesce("nll6", F.lit(0.0)) / F.col("n_grams"))
         .alias("avg_nll"),
     )
+
+
+# -- DSIR importance weights --------------------------------------------------
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR),
+    reduced to a relational plan: score every raw-pool doc by the
+    log importance weight of its hashed n-gram features under a
+    target-vs-raw bag-of-hashed-ngrams model. The standard
+    "select pretraining data that looks like the target domain" op —
+    the distribution-matching leg next to the model-based (charlm_nll)
+    and rule-based (gopher_rules / c4) quality signals.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    engine-portable md5 buckets (:func:`hash_bucket`). Per bucket b:
+    ``p_b = (target_count+1)/(target_total+B)`` (Laplace), ``q_b``
+    likewise over the raw pool (= ``docs``); per-doc
+    ``logw = sum_b count_b(doc) * round(ln(p_b/q_b), 6)``. Docs with
+    NULL/whitespace-only text get 0 features and 0.0 weights.
+
+    Output: one row per input doc — ``n_feats``, ``logw6``
+    (decimal-exact sum of 6dp-rounded per-bucket terms x in-doc
+    counts), ``avg_logw`` (single IEEE division, 0.0 when no feats).
+    Selection composes downstream (threshold filter, x35 token-budget
+    mix, d12-style bucket sampling) — scoring and selection are
+    deliberately separate operators.
+
+    Scale shape (100 TB): the bucket log-ratio table is B rows →
+    BROADCAST, as are the two 1-row totals; the gram stream
+    partial-combines map-side to (doc, bucket) rows — at most B per
+    doc — before its only shuffle, then to doc rows. No corpus-scale
+    text crosses an exchange and the final group key is doc_id (no
+    skewable hot key). Cross-engine bit-exactness: per-bucket terms
+    are rounded to 6 dp BEFORE the multiply-sum, the doc sum uses the
+    decimal pattern (functions.scalars.dsum), and the inner Laplace
+    divisions are written in the same association order as the oracle
+    SQL.
+    """
+    from spaceparts_data_pipeline_spark.functions.scalars import dsum
+
+    def _feats(df: DataFrame, *cols: Column) -> DataFrame:
+        t = F.col(text_col)
+        grams = F.concat(word_ngrams(text_col, 1), word_ngrams(text_col, 2))
+        return (
+            df.filter(t.isNotNull() & (F.length(F.trim(t)) > 0))
+            .select(*cols, F.explode(grams).alias("g"))
+            .select(*cols, hash_bucket("g", n_buckets).alias("b"))
+        )
+
+    bd = float(n_buckets)
+    tcnt = _feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    ttot = tcnt.agg(F.sum("ct").cast("double").alias("tn"))
+    rcnt = _feats(docs).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    rtot = rcnt.agg(F.sum("cr").cast("double").alias("rn"))
+    ratio = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(ttot)).crossJoin(F.broadcast(rtot))
+        .select(
+            "b",
+            F.round(F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("tn") + F.lit(bd)))
+                / ((F.col("cr") + F.lit(1.0)) / (F.col("rn") + F.lit(bd)))
+            ), 6).alias("r6"),
+        )
+    )
+
+    dgc = _feats(docs, F.col(id_col)).groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("dcnt"))
+    per_doc = (
+        dgc.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.sum("dcnt").alias("n_feats"),
+             dsum(F.col("dcnt") * F.col("r6"), "logw6"))
+    )
+    out = docs.select(id_col, *keep_cols).join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        *keep_cols,
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        F.coalesce("logw6", F.lit(0.0)).alias("logw6"),
+        F.when(F.coalesce("n_feats", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.coalesce("logw6", F.lit(0.0)) / F.col("n_feats"))
+        .alias("avg_logw"),
+    )

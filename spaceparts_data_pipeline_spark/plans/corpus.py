@@ -48,6 +48,8 @@ def run_corpus_ingest(
     quality_gate: bool = True,
     quality_rules: str = "basic",
     blocklist_terms: tuple[str, ...] | None = None,
+    charlm_ref: DataFrame | None = None,
+    charlm_max_nll: float = 8.0,
     near_dedup: bool = True,
     contamination_threshold: int = 1,
     pack_capacity: int = 512,
@@ -80,7 +82,8 @@ def run_corpus_ingest(
     fingerprints. ``None`` disables.
 
     ``quality_rules`` selects the gate ``quality_gate=True`` applies —
-    all three are single-projection, shuffle-free, JVM-side gates:
+    the three rule modes are single-projection, shuffle-free, JVM-side
+    gates; the model mode pays one doc-level exchange:
 
     - ``'basic'``: token-count band + stopword presence
       (:func:`operators.text.with_quality_score`, the c01-pinned gate);
@@ -90,6 +93,17 @@ def run_corpus_ingest(
       surviving docs continue with the CLEANED text (kept lines
       rejoined), so everything downstream — redaction, fingerprints,
       MinHash bands, packing — sees what training would see.
+    - ``'charlm'``: the model-based gate (d23's
+      :func:`operators.text.charlm_nll` as a funnel stage) — keep docs
+      whose avg char-bigram NLL under a Laplace LM trained on
+      ``charlm_ref`` (REQUIRED: an in-distribution reference corpus) is
+      ``<= charlm_max_nll``; zero-gram docs are unscorable and
+      rejected. The model broadcasts (vocab²-bounded); the doc grams
+      partial-combine through one (doc, gram-type) exchange + a
+      doc-level semi join — the only non-shuffle-free gate mode.
+      ``charlm_max_nll`` is corpus-calibrated (pick a percentile of
+      the ref slice's own avg-NLL distribution); the 8.0 default fits
+      the synthetic fixtures, not your corpus.
 
     ``blocklist_terms``: the c4 mode's blocked-term list (real C4 used
     a public profanity list). Defaults to the neutral demo
@@ -165,6 +179,24 @@ def run_corpus_ingest(
                               & ~text.blocked_expr(text_col, terms=tuple(terms)))
                 .withColumn(text_col, F.array_join(kept, "\n"))
             )
+        elif quality_rules == "charlm":
+            # model-based gate (d23's charlm_nll as a funnel stage):
+            # keep docs whose avg char-bigram NLL under a model trained
+            # on charlm_ref is <= charlm_max_nll. Unlike the rule gates
+            # this is NOT shuffle-free — the doc grams partial-combine
+            # through one (doc, gram-type) exchange, the model itself is
+            # vocab²-bounded and broadcasts. Zero-gram docs (NULL/short
+            # text) are UNSCORABLE and rejected; the threshold is
+            # corpus-calibrated (pick from the ref slice's NLL
+            # distribution), there is no universal default.
+            if charlm_ref is None:
+                raise ValueError("quality_rules='charlm' needs charlm_ref")
+            scored = text.charlm_nll(staged.select(id_col, text_col),
+                                     charlm_ref, id_col=id_col,
+                                     text_col=text_col)
+            ok = scored.filter((F.col("n_grams") > 0)
+                               & (F.col("avg_nll") <= charlm_max_nll))
+            staged = staged.join(ok.select(id_col), id_col, "left_semi")
         else:
             raise ValueError(f"unknown quality_rules: {quality_rules!r}")
     staged = staged.withColumn(text_col, text.redact_pii(text_col))

@@ -242,13 +242,24 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       the lang='en' slice, every doc scored by total + per-gram NLL;
 #       FULL oracle with 6dp-rounded per-gram terms and the decimal
 #       multiply-sum, bit-identical on both engines).
+#   d24_dsir_importance (DSIR importance weights, Xie et al. 2023 —
+#       hashed unigram+bigram target-vs-raw log importance weights,
+#       the distribution-matching selection signal next to d23's
+#       model-based NLL and the d17/d18 rule gates; FULL oracle,
+#       B=512 broadcast log-ratio table, 6dp-rounded terms + decimal
+#       multiply-sum).
 # OUT, coverage retained transitively:
 #   d16 (upgraded to FULL value-hash green in r9; its exact-path
 #       oracle body is replayed VERBATIM inside in-window s05's
 #       composed oracle at the same pinned 32-perm/4-row profile —
 #       the d18-inside-c01b containment precedent — and the band-store
 #       screen guarantees stay pinned in
-#       tests/test_llm_ops.py::TestIncrementalNearDedup).
+#       tests/test_llm_ops.py::TestIncrementalNearDedup),
+#   d17 (Gopher rules — its gate body runs VERBATIM inside in-window
+#       c01's funnel under a FULL oracle, the exact containment that
+#       retired d18 into c01b and d20 before it; the rule family also
+#       keeps a crafted-docs parity test in
+#       tests/test_llm_ops.py that compares BOTH engines every run).
 # ROTATION BACKLOG (oldest driver rows first, all green in every local
 # parity run — drain ~5/round through the analytic-tail slots so no
 # query's driver evidence ages past a few rounds):
@@ -267,10 +278,9 @@ _PRIORITY = [
     "q22_dim_product_enrich",
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
-    "d17_gopher_quality",
     "d21_line_repetition",
     "d10_embed_near_dup",
-    "d22_substring_dedup", "d23_charlm_quality",
+    "d22_substring_dedup", "d23_charlm_quality", "d24_dsir_importance",
     "d14_canonical_corpus_lsh",
     "x29_contamination_check", "x35_token_budget_mix",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4",

@@ -1793,6 +1793,67 @@ def d23_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d24 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw-pool doc
+# by the log importance weight of its hashed unigram+bigram features
+# under a target-vs-raw bag-of-hashed-ngrams model (target = the
+# lang='en' slice). The distribution-matching selection signal next to
+# d23's model-based NLL and the d17/d18 rule gates. Fully relational
+# (B=512 md5 buckets, broadcast log-ratio table), so FULL oracle —
+# per-bucket terms rounded to 6dp before the decimal multiply-sum.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d24_dsir_importance",
+    """
+    WITH pool AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(w) AS g FROM pool
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS g
+      FROM pool
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+      FROM grams
+    ),
+    tcnt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+    ttot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tn FROM tcnt),
+    rcnt AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
+    rtot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS rn FROM rcnt),
+    ratio AS (
+      SELECT b, round(ln(((COALESCE(ct, 0) + 1.0) / (tn + 512.0))
+                         / ((cr + 1.0) / (rn + 512.0))), 6) AS r6
+      FROM rcnt LEFT JOIN tcnt USING (b) CROSS JOIN ttot CROSS JOIN rtot
+    ),
+    dgc AS (SELECT doc_id, b, COUNT(*) AS dcnt FROM feats GROUP BY doc_id, b),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(dcnt) AS BIGINT) AS n_feats,
+             CAST(CAST(SUM(CAST(dcnt * r6 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS logw6
+      FROM dgc JOIN ratio USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+           COALESCE(p.logw6, 0.0) AS logw6,
+           CASE WHEN COALESCE(p.n_feats, 0) = 0 THEN 0.0
+                ELSE COALESCE(p.logw6, 0.0) / p.n_feats END AS avg_logw
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def d24_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.dsir_importance(d, d.filter(F.col("lang") == "en"),
+                                keep_cols=("lang",))
+
+
+# ---------------------------------------------------------------------------
 # x35 — token-budget data mixing: per-source contribution caps in
 # TOKENS (the pretrain mixing-weights op — cap the crawl, keep the
 # curated sources), deterministic id-order selection, one window per

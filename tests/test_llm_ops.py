@@ -1869,3 +1869,85 @@ class TestCharLM:
         out = {r["doc_id"]: r["avg_nll"]
                for r in text.charlm_nll(docs, train).collect()}
         assert out[2] > out[1] + 0.5     # OOD text scores clearly worse
+
+
+class TestDsirImportance:
+    def test_dsir_matches_hand_model(self, spark):
+        import hashlib, math
+
+        def bucket(g, B=512):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+        raw = [(1, "a b"), (2, "c d"), (3, "a b a b")]
+        target_ids = {1}
+        docs = spark.createDataFrame(raw + [(4, None), (5, "   ")],
+                                     "doc_id long, text string")
+        target = docs.filter(F.col("doc_id").isin(*target_ids))
+        out = {r["doc_id"]: r.asDict()
+               for r in text.dsir_importance(docs, target).collect()}
+
+        # hand model: unigrams + bigrams, Laplace over 512 buckets
+        def feats(t):
+            w = t.split()
+            return [bucket(g) for g in w + [" ".join(p) for p in zip(w, w[1:])]]
+        tc, rc = {}, {}
+        for i, t in raw:
+            for b in feats(t):
+                rc[b] = rc.get(b, 0) + 1
+                if i in target_ids:
+                    tc[b] = tc.get(b, 0) + 1
+        tn, rn = float(sum(tc.values())), float(sum(rc.values()))
+        for i, t in raw:
+            fs = feats(t)
+            exp = sum(round(math.log(((tc.get(b, 0) + 1.0) / (tn + 512.0))
+                                     / ((rc[b] + 1.0) / (rn + 512.0))), 6)
+                      for b in fs)
+            assert out[i]["n_feats"] == len(fs)
+            assert abs(out[i]["logw6"] - exp) < 1e-9
+            assert abs(out[i]["avg_logw"] - exp / len(fs)) < 1e-9
+        for i in (4, 5):   # NULL / whitespace-only text -> zero features
+            assert out[i]["n_feats"] == 0
+            assert out[i]["logw6"] == 0.0 and out[i]["avg_logw"] == 0.0
+
+    def test_dsir_ranks_target_like_docs_higher(self, spark):
+        tgt_text = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [(1, tgt_text), (2, "zz xq jj wk qq pp rr ss tt uu")]
+            + [(10 + i, tgt_text) for i in range(3)],
+            "doc_id long, text string")
+        target = docs.filter(F.col("doc_id") >= 10)
+        out = {r["doc_id"]: r["avg_logw"]
+               for r in text.dsir_importance(docs, target).collect()}
+        assert out[1] > out[2] + 0.1   # target-like doc scores clearly higher
+
+    def test_dsir_oracle_parity_on_crafted_edges(self, spark, tmp_path):
+        """Cross-engine parity on crafted edge docs: NULL text,
+        whitespace-only, single token (no bigrams), repeated grams,
+        multi-whitespace runs, and a lang mix (incl. an empty 'en'
+        bigram side)."""
+        import shutil
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import __spark_entry__ as entry_mod
+        from tests.oracle_harness import TABLES, compare
+
+        sf_dir = str(tmp_path / "crafted_sf")
+        (tmp_path / "crafted_sf").mkdir()
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf_dir}/{t}.parquet")
+        docs = spark.createDataFrame(
+            [(1, "en", "the quick brown fox"),
+             (2, "en", "the  quick\tbrown\nfox"),     # whitespace runs
+             (3, "en", "solo"),                        # 1 token, 0 bigrams
+             (4, "de", "der schnelle braune fuchs"),
+             (5, "de", "the quick brown fox"),         # target-like non-target
+             (6, "en", None),                          # NULL text
+             (7, "de", "   "),                         # whitespace-only
+             (8, "en", "dup dup dup dup")],            # repeated grams
+            "doc_id long, lang string, text string")
+        pq.write_table(pa.Table.from_pandas(docs.toPandas(), preserve_index=False),
+                       f"{sf_dir}/documents.parquet")
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+        compare(spark, qs["d24_dsir_importance"], oracles["d24_dsir_importance"],
+                sf_dir, "d24")

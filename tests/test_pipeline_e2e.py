@@ -567,6 +567,49 @@ def test_cli_corpus_ingest_mode(spark, tmp_path):
     assert corpus.collect()[0]["source"] == "documents"
 
 
+def test_cli_corpus_charlm_gate(spark, tmp_path):
+    """--quality-rules charlm through the CLI: the model-based gate
+    trains on --charlm-ref-parquet and rejects OOD text; missing the
+    ref parquet is a clean CLI error, not a traceback."""
+    import contextlib
+    import io
+    import json
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ref_text = "the quick brown fox jumps over the lazy dog and runs on"
+    spark.createDataFrame(
+        [(1, "the quick dog runs over the fox"),
+         (2, "zzxqj wqkz jjqx zzzq xqzj zqzq")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(landing / "documents.parquet"))
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame([(i, ref_text) for i in range(5)],
+                          "doc_id long, text string").coalesce(1).write.parquet(ref)
+
+    out = str(tmp_path / "corpus_out")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--source-dir", str(landing), "--corpus-out", out,
+                   "--run-id", "cm1", "--quality-rules", "charlm",
+                   "--charlm-ref-parquet", ref, "--charlm-max-nll", "2.5"])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["funnel"]["input"] == 2
+    assert report["funnel"]["after_quality"] == 1      # OOD doc gated
+    assert report["funnel"]["admitted"] == 1
+
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc2 = main(["--source-dir", str(landing), "--corpus-out",
+                    str(tmp_path / "c2"), "--run-id", "cm2",
+                    "--quality-rules", "charlm"])
+    assert rc2 == 2
+    assert "charlm-ref-parquet" in json.loads(buf2.getvalue().strip().splitlines()[-1])["error"]
+
+
 def test_cli_corpus_multi_table_id_collision(spark, tmp_path):
     """ADVICE r06 (low): two landing tables reusing doc_id=1 with
     DIFFERENT text — without namespacing, both fingerprints survive the
@@ -655,6 +698,39 @@ class TestFunnelQualityRules:
         assert "dangling" not in row["text"]
         assert row["text"].count("\n") == 2
         assert "<PHONE>" in row["text"] and "555" not in row["text"]
+
+    def test_charlm_gate(self, spark, tmp_path):
+        """Model-based gate: docs in the reference distribution pass,
+        OOD text (unseen char bigrams -> high Laplace NLL) and
+        unscorable docs (NULL / single-char text) are rejected."""
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog and runs on")
+             for i in range(5)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, "the quick dog runs over the fox", "s1"),
+             (2, "zzxqj wqkz jjqx zzzq xqzj zqzq", "s1"),  # OOD bigrams
+             (3, None, "s1"),                               # unscorable
+             (4, "a", "s1")],                               # 0 grams
+            "doc_id long, text string, source string")
+        s = run_corpus_ingest(spark, batch, str(tmp_path / "m"), "r1",
+                              near_dedup=False, quality_rules="charlm",
+                              charlm_ref=ref, charlm_max_nll=2.5)
+        assert s["after_quality"] == 1 and s["admitted"] == 1
+        corpus = spark.read.parquet(str(tmp_path / "m" / "corpus"))
+        assert {r["doc_id"] for r in corpus.collect()} == {1}
+
+    def test_charlm_gate_requires_ref(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        batch = spark.createDataFrame([(1, "x y", "s")],
+                                      "doc_id long, text string, source string")
+        with _pytest.raises(ValueError, match="charlm_ref"):
+            run_corpus_ingest(spark, batch, str(tmp_path / "nr"), "r1",
+                              quality_rules="charlm")
 
     def test_unknown_rules_raise(self, spark, tmp_path):
         import pytest as _pytest

@@ -227,3 +227,28 @@ def test_x32_redaction_is_pure_projection(spark, sf_oracle):
     assert "Join" not in plan
     assert "Python" not in plan
     assert "*(1)" in plan
+
+
+def test_d23_d24_models_broadcast_no_window_text_never_shuffles(spark, sf_oracle):
+    """The round-10 selection signals (charlm NLL, DSIR weights) must
+    keep their 100-TB shape: the vocab²/B-bounded model tables join via
+    BroadcastHashJoin, the gram stream partial-combines map-side before
+    its exchange, no Window operator anywhere (the only full-corpus
+    group key is doc_id), and no exchange carries document text."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    for name in ("d23_charlm_quality", "d24_dsir_importance"):
+        df = llm.QUERIES[name](spark, sf_oracle)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        assert "Window" not in plan, name
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        # the 1-row smoothing-total frames ride deliberate broadcast
+        # cross joins (BroadcastNestedLoopJoin Cross BuildRight on a
+        # 1-row aggregate is fine); an unbroadcast cartesian is not
+        assert "CartesianProduct" not in plan, name
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, (name, line)
+        exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert exch and all("text#" not in l for l in exch), (name, exch)
