@@ -353,10 +353,24 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
     (the plain rotation destroyed the stopword signal, so the gate
     rejected every shard>0 doc and the "Nx" run was 1x past stage 1),
     and run_corpus_ingest gets quality_gate=True with that rule set.
+
+    quality='charlm' (round 10) runs the model-based gate with the
+    benchmark slice as charlm_ref and a PER-SCALE self-calibrated
+    threshold: the ref slice is scored under its own model and the
+    median avg-NLL becomes charlm_max_nll. A fixed threshold cannot
+    transfer across scales on this fixture — at Nx the ref contains
+    all N alphabet rotations, so every per-gram count stays ~the x1
+    count while the Laplace denominator grows ~Nx, shifting every
+    doc's NLL up by ~ln(N); the median-of-ref calibration is also the
+    documented production practice (pick a percentile of the ref
+    slice's own distribution), so the harness measures exactly what a
+    real deployment would run, with the gate rejecting ~half of every
+    batch at every scale.
     """
     import pyspark.sql.functions as F
 
     from spaceparts_data_pipeline_spark.operators import dedup, maintenance
+    from spaceparts_data_pipeline_spark.operators import text as text_ops
     from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
 
     sf_dir = os.path.join(base, scale)
@@ -378,6 +392,15 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
     benchmark = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     rest = docs.filter(F.col("doc_id") % 20 != 0)
 
+    charlm_kwargs = {}
+    if quality == "charlm":
+        scored = text_ops.charlm_nll(benchmark, benchmark)
+        thr = (scored.filter(F.col("n_grams") > 0)
+               .agg(F.percentile_approx("avg_nll", 0.5)).first()[0])
+        charlm_kwargs = {"charlm_ref": benchmark, "charlm_max_nll": float(thr)}
+        print(json.dumps({"scale": scale, "charlm_max_nll": round(thr, 4)}),
+              flush=True)
+
     results = []
     for b in range(n_batches):
         batch = rest.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
@@ -388,7 +411,8 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
                                   contamination_threshold=30,
                                   quality_gate=(quality != "off"),
                                   quality_rules=quality if quality != "off" else "basic",
-                                  store_table_prefix=table_prefix)
+                                  store_table_prefix=table_prefix,
+                                  **charlm_kwargs)
         wall = time.perf_counter() - t0
         after = _stage_totals(spark)
         row = {
@@ -636,10 +660,14 @@ def main() -> None:
                     help="screen-store backend for --funnel: path-backed parquet dirs "
                          "(rename-swap compaction) or catalog tables (view-repoint "
                          "compaction, the object-store-safe backend)")
-    ap.add_argument("--funnel-quality", choices=["off", "gopher", "c4"], default="off",
+    ap.add_argument("--funnel-quality", choices=["off", "gopher", "c4", "charlm"],
+                    default="off",
                     help="run --funnel WITH this quality gate over the stopword-"
                          "preserving multi-line shards (gate rejections scale with "
-                         "data instead of eliminating every shard>0 doc)")
+                         "data instead of eliminating every shard>0 doc); 'charlm' "
+                         "self-calibrates its threshold per scale (ref-slice median "
+                         "avg-NLL — see run_funnel's docstring for why a fixed "
+                         "threshold cannot transfer across scales)")
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--recall-e03b", action="store_true",
                     help="re-assert e03b's recall floor at Nx against replicated 1x brute-force truth")
