@@ -496,6 +496,46 @@ def _skewed_docs(spark, base: str, scale: str, repeat: int = 10) -> str:
     return out
 
 
+def measure_semdedup(spark, base: str, factor: int) -> list[dict]:
+    """Round 10: SemDeDup's scale knob measured honestly. With k
+    centroids FIXED, the within-cell pair space is n²/k — quadratic in
+    the corpus, the wrong configuration at scale; growing k with n
+    (the paper ran 11k clusters on LAION) keeps cells bounded, and
+    k scaled LINEARLY with n keeps the total pair space linear
+    (n²/(k·N) at N× data with k·N cells). Measures d25's operator at
+    1× with k=16, then at N× BOTH ways — k=16 (fixed, expected
+    ~N²/N=N× the 1× pair cost or worse) and k=16·N (scaled, expected
+    the linear class) — so SCALING.md states the rule with numbers,
+    not a rule of thumb."""
+    from spaceparts_data_pipeline_spark.operators import similarity as S
+
+    rows = []
+    for scale, ks in (("x1", (16,)), (f"x{factor}", (16, 16 * factor))):
+        sf_dir = os.path.join(base, scale)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        for k in ks:
+            spark.catalog.clearCache()
+            before = _stage_totals(spark)
+            times, dups = [], None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = S.semdedup(docs, embs, threshold=0.35,
+                                 n_centroids=k, kmeans_iters=1)
+                dups = out.filter("is_dup").count()
+                times.append(round(time.perf_counter() - t0, 3))
+            after = _stage_totals(spark)
+            row = {"check": "semdedup", "scale": scale, "n_centroids": k,
+                   "sec": min(times), "sec_all": times, "dups": dups,
+                   "shuffle_read_mb": round(
+                       (after["shuffle_read"] - before["shuffle_read"]) / 1e6 / 3, 2),
+                   "shuffle_write_mb": round(
+                       (after["shuffle_write"] - before["shuffle_write"]) / 1e6 / 3, 2)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    return rows
+
+
 def measure_gram_skew(spark, base: str, factor: int) -> list[dict]:
     """Round-9 verdict #2: measure BOTH d22 routes (gram-count window
     vs skew_safe groupBy-count + join-back) at 1x and Nx on the zipfian
@@ -677,6 +717,10 @@ def main() -> None:
     ap.add_argument("--substring-pass", action="store_true",
                     help="measure the corpus-WIDE substring dedup pass over the "
                          "assembled 5-batch funnel corpus at 1x and Nx")
+    ap.add_argument("--semdedup", action="store_true",
+                    help="measure d25 SemDeDup at Nx with k fixed (the wrong way: "
+                         "n^2/k pair space) vs k scaled with n (the configuration "
+                         "rule the paper implies) — see measure_semdedup")
     args = ap.parse_args()
 
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -705,6 +749,10 @@ def main() -> None:
 
     if args.substring_pass:
         measure_substring_pass(spark, base, args.factor, args.batches)
+        return
+
+    if args.semdedup:
+        measure_semdedup(spark, base, args.factor)
         return
 
     if args.funnel:

@@ -606,3 +606,68 @@ def similar_pairs_lsh(
         scored.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine_sim"))
     )
+
+
+def semdedup(
+    docs: DataFrame,
+    embs: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    near-duplicate removal with K-MEANS BLOCKING — cluster the corpus,
+    compare pairs only WITHIN a cluster, drop every doc that has a
+    lower-id semantic neighbor above ``threshold``. The scale path
+    between d10's exact quadratic (bounded corpora) and e03b's
+    hyperplane LSH (recall-pinned): cluster blocking prunes the pair
+    space to ~n²/k per cell while staying exact within cells.
+
+    Reuses the engine's deterministic IVF machinery end to end —
+    :func:`select_centroids` (md5 hash-sample seeds),
+    :func:`refine_centroids` (Lloyd passes with decimal per-position
+    means: refined centroids are bit-identical under any partitioning,
+    which is what keeps the FULL oracle), :func:`assign_cells`
+    (max_by argmax, map-side combinable, no window) — then one
+    cell-blocked self-join and d10's min-id survivor decision
+    (:func:`embedding_near_dup`'s decision layer, shared verbatim).
+
+    Output: (doc_id, dup_of nullable, is_dup) — the d10 shape; the
+    ``is_dup = false`` rows are the semantically deduplicated corpus.
+
+    Scale shape (100 TB): centroids broadcast everywhere (k rows); the
+    corpus crosses exactly two exchanges (the assign agg's one row per
+    vector, then the cell-keyed self-join). The self-join partitions
+    by centroid_id — size n_centroids with the data's OWN cluster
+    skew, so k must GROW with the corpus (SemDeDup used 11k clusters
+    for LAION; rule of thumb k ≈ √n keeps cells near-constant) and a
+    mega-cluster is AQE-skew-splittable since this is a join, not a
+    window. Within-cell cost is exactly the quadratic SemDeDup
+    accepts by design; cross-cell pairs are deliberately unseen (the
+    paper's recall trade), so d10 remains the exactness oracle twin
+    and e03b the recall-pinned alternative.
+    """
+    corpus = embs.select(
+        F.col(vec_id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    cents = select_centroids(embs, id_col=vec_id_col, vec_col=vec_col,
+                             n_centroids=n_centroids)
+    if kmeans_iters:
+        cents = refine_centroids(corpus, cents, iters=kmeans_iters)
+    assigned = assign_cells(corpus, cents)
+    a = assigned.select("centroid_id", F.col("neighbor_id").alias("id_a"),
+                        F.col("__nv").alias("__va"))
+    b = assigned.select("centroid_id", F.col("neighbor_id").alias("id_b"),
+                        F.col("__nv").alias("__vb"))
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return embedding_near_dup(docs, embs, doc_id_col=doc_id_col,
+                              vec_id_col=vec_id_col, pairs=pairs)

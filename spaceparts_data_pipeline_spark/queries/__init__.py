@@ -247,7 +247,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       the distribution-matching selection signal next to d23's
 #       model-based NLL and the d17/d18 rule gates; FULL oracle,
 #       B=512 broadcast log-ratio table, 6dp-rounded terms + decimal
-#       multiply-sum).
+#       multiply-sum),
+#   d25_semdedup (SemDeDup, Abbas et al. 2023 — embedding dedup with
+#       k-means blocking: e04b's deterministic refined quantizer for
+#       the cells, one cell-keyed self-join, d10's min-id survivor
+#       decision; FULL oracle replaying the e04b centroid CTE chain +
+#       the d10 decision SQL verbatim).
 # OUT, coverage retained transitively:
 #   d16 (upgraded to FULL value-hash green in r9; its exact-path
 #       oracle body is replayed VERBATIM inside in-window s05's
@@ -259,7 +264,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       c01's funnel under a FULL oracle, the exact containment that
 #       retired d18 into c01b and d20 before it; the rule family also
 #       keeps a crafted-docs parity test in
-#       tests/test_llm_ops.py that compares BOTH engines every run).
+#       tests/test_llm_ops.py that compares BOTH engines every run),
+#   d10 (exact embedding near-dup — its min-id decision SQL is the
+#       tail of in-window d25's oracle VERBATIM, and the quadratic
+#       pair/cosine machinery is in-window e01's scoring body; the
+#       blocking-loses-only property is pinned by
+#       tests/test_llm_ops.py::test_semdedup_is_subset_of_exact).
 # ROTATION BACKLOG (oldest driver rows first, all green in every local
 # parity run — drain ~5/round through the analytic-tail slots so no
 # query's driver evidence ages past a few rounds):
@@ -279,7 +289,7 @@ _PRIORITY = [
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
     "d21_line_repetition",
-    "d10_embed_near_dup",
+    "d25_semdedup",
     "d22_substring_dedup", "d23_charlm_quality", "d24_dsir_importance",
     "d14_canonical_corpus_lsh",
     "x29_contamination_check", "x35_token_budget_mix",

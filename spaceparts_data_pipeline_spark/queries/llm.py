@@ -1854,6 +1854,76 @@ def d24_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d25 — SemDeDup (Abbas et al. 2023): semantic dedup with k-means
+# blocking — the scale path between d10's exact quadratic and e03b's
+# LSH. Reuses e04b's deterministic refined-quantizer machinery (md5
+# hash-sample seeds + one decimal-mean Lloyd pass) for the blocking,
+# then d10's min-id survivor decision within cells. FULL oracle: the
+# e04b refined-centroid CTE chain verbatim, then the cell-blocked pair
+# join with the identical cosine fold.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d25_semdedup",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assigned0 AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    vals AS (
+      SELECT centroid_id, i AS pos, CAST(nv[i] AS DOUBLE) AS val
+      FROM assigned0 CROSS JOIN range(1, 65) t(i)
+    ),
+    means AS (
+      SELECT centroid_id, pos,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      FROM vals GROUP BY centroid_id, pos
+    ),
+    refined AS (
+      SELECT c.centroid_id, COALESCE(mv.cv, c.cv) AS cv
+      FROM cents c LEFT JOIN (
+        SELECT centroid_id, list(m ORDER BY pos) AS cv FROM means GROUP BY centroid_id
+      ) mv USING (centroid_id)
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN refined c
+      ) WHERE r = 1
+    ),
+    p AS (
+      SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             {_COS.format(a='a.nv', b='b.nv')} AS cos
+      FROM assigned a JOIN assigned b USING (centroid_id)
+      WHERE a.neighbor_id < b.neighbor_id
+    ),
+    d AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM p WHERE cos >= 0.35 GROUP BY id_b)
+    SELECT doc.doc_id, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+    FROM documents doc LEFT JOIN d USING (doc_id)
+    """,
+)
+def d25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    embs = T(spark, sf_dir, "embeddings")
+    return similarity.semdedup(docs, embs, threshold=0.35,
+                               n_centroids=16, kmeans_iters=1)
+
+
+# ---------------------------------------------------------------------------
 # x35 — token-budget data mixing: per-source contribution caps in
 # TOKENS (the pretrain mixing-weights op — cap the crawl, keep the
 # curated sources), deterministic id-order selection, one window per

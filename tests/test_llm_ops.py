@@ -542,6 +542,41 @@ class TestSimilarity:
                        docs, embs, threshold=0.9, pairs=lsh_pairs).collect()}
         assert out_lsh[10] is False and out_lsh[20] is True
 
+    def test_semdedup_planted_clusters(self, spark):
+        """Two planted clusters, each with a near-identical pair: the
+        lower id survives per cluster, the loners survive, and no doc
+        deduplicates against the OTHER cluster (cell blocking)."""
+        a, b = [1.0] * 8, [1.0, -1.0] * 4
+        eps = lambda v, d: [x + (d if i == 0 else 0.0)  # noqa: E731
+                            for i, x in enumerate(v)]
+        vecs = [(10, a), (11, eps(a, 0.01)), (12, eps(a, 3.0)),
+                (20, b), (21, eps(b, 0.01)), (22, eps(b, 3.0))]
+        embs = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        docs = embs.selectExpr("vec_id as doc_id")
+        out = {r["doc_id"]: (r["dup_of"], r["is_dup"])
+               for r in similarity.semdedup(
+                   docs, embs, threshold=0.99, n_centroids=2,
+                   kmeans_iters=1).collect()}
+        assert out[10] == (None, False) and out[11] == (10, True)
+        assert out[20] == (None, False) and out[21] == (20, True)
+        assert out[12][1] is False and out[22][1] is False
+
+    def test_semdedup_is_subset_of_exact(self, spark, sf_small):
+        """Cell blocking can only LOSE pairs vs the exact quadratic
+        (d10): every semdedup duplicate must also be a d10 duplicate,
+        and its survivor must be at least as low an id (a cross-cell
+        lower-id neighbor may be unseen)."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        exact = {r["doc_id"]: r["dup_of"] for r in similarity.embedding_near_dup(
+            docs, embs, threshold=0.35).collect() if r["is_dup"]}
+        blocked = {r["doc_id"]: r["dup_of"] for r in similarity.semdedup(
+            docs, embs, threshold=0.35, n_centroids=8).collect() if r["is_dup"]}
+        assert blocked, "planted fixture should produce some in-cell dups"
+        for doc, dup_of in blocked.items():
+            assert doc in exact, f"{doc} dup under blocking but not exactly"
+            assert exact[doc] <= dup_of
+
 
 class TestTemporal:
     def test_asof_inclusive_tie_and_no_match(self, spark):
