@@ -64,9 +64,12 @@ CORPUS = [
     # round 10: the model-based selection signals (char-bigram LM NLL,
     # DSIR importance weights) — both explode→partial-combine→broadcast
     # model join plans; tracked so the broadcast-model shape's cost
-    # stays visible next to the rule gates they complement
+    # stays visible next to the rule gates they complement — and the
+    # composed triad pipeline (both gates + the per-source token budget
+    # as one Catalyst plan)
     "d23_charlm_quality",
     "d24_dsir_importance",
+    "c02_selection_pipeline",
 ]
 
 

@@ -252,7 +252,11 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       k-means blocking: e04b's deterministic refined quantizer for
 #       the cells, one cell-keyed self-join, d10's min-id survivor
 #       decision; FULL oracle replaying the e04b centroid CTE chain +
-#       the d10 decision SQL verbatim).
+#       the d10 decision SQL verbatim),
+#   c02_selection_pipeline (the selection TRIAD composed: d23's charlm
+#       gate AND d24's DSIR gate feeding x35's per-source token-budget
+#       cap as ONE declarative plan; FULL oracle replaying both scoring
+#       bodies + the naive cumsum window over the survivor set).
 # OUT, coverage retained transitively:
 #   d16 (upgraded to FULL value-hash green in r9; its exact-path
 #       oracle body is replayed VERBATIM inside in-window s05's
@@ -269,7 +273,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       tail of in-window d25's oracle VERBATIM, and the quadratic
 #       pair/cosine machinery is in-window e01's scoring body; the
 #       blocking-loses-only property is pinned by
-#       tests/test_llm_ops.py::test_semdedup_is_subset_of_exact).
+#       tests/test_llm_ops.py::test_semdedup_is_subset_of_exact),
+#   d21 (line-repetition profile — r09 full-hash green, so ≤1-round-
+#       stale driver evidence through r11, the q01/q10 precedent; its
+#       line-explode machinery is in-window c01b's C4 line gate, and
+#       the within-doc duplication-profile family is held by the
+#       in-window d22 gram window at substring granularity).
 # ROTATION BACKLOG (oldest driver rows first, all green in every local
 # parity run — drain ~5/round through the analytic-tail slots so no
 # query's driver evidence ages past a few rounds):
@@ -288,12 +297,11 @@ _PRIORITY = [
     "q22_dim_product_enrich",
     "p01_silver_events_pipeline",
     # LLM data ops: dedup + corpus-quality family
-    "d21_line_repetition",
     "d25_semdedup",
     "d22_substring_dedup", "d23_charlm_quality", "d24_dsir_importance",
     "d14_canonical_corpus_lsh",
     "x29_contamination_check", "x35_token_budget_mix",
-    "c01_corpus_funnel", "c01b_corpus_funnel_c4",
+    "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
     # analytic-extension tail rotation (round-10: the r01-stale tranche)
     "x03_rollup_revenue", "x04_topk_per_group", "x08_pivot_revenue",
     "x09_price_histogram", "x10_key_set_ops", "x13_stats_moments",

@@ -1924,6 +1924,136 @@ def d25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c02 — the selection TRIAD composed as one declarative pipeline: the
+# model-based charlm NLL gate (d23's body) AND the DSIR
+# distribution-matching gate (d24's body) feed a per-source
+# token-budget cap (x35's two-phase machinery) — i.e. "keep docs that
+# look well-formed AND look like the target domain, then mix under
+# per-source budgets", the standard pretrain selection recipe as a
+# single Catalyst plan. FULL oracle: both scoring bodies verbatim,
+# intersected, then the naive single-window cumsum SQL (equality with
+# the two-phase route is x35's own pinned property).
+# Thresholds are fixture-calibrated constants (see SCALING/d23-d24
+# distribution notes): NLL <= 1.76 cuts the worst-formed tail,
+# avg_logw >= -0.005 keeps the en-like mass.
+# ---------------------------------------------------------------------------
+
+@register(
+    "c02_selection_pipeline",
+    r"""
+    WITH train AS (
+      SELECT text FROM documents
+      WHERE lang = 'en' AND text IS NOT NULL AND length(text) >= 2
+    ),
+    tg AS (
+      SELECT unnest(list_transform(range(1, length(text)),
+                                   i -> substr(text, CAST(i AS INT), 2))) AS g
+      FROM train
+    ),
+    model AS (SELECT g, COUNT(*) AS c12 FROM tg GROUP BY g),
+    ctx AS (
+      SELECT substr(g, 1, 1) AS c1, CAST(SUM(c12) AS BIGINT) AS c1n
+      FROM model GROUP BY 1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT ch) AS v FROM (
+        SELECT unnest(list_transform(range(1, length(text) + 1),
+                                     i -> substr(text, CAST(i AS INT), 1))) AS ch
+        FROM train)
+    ),
+    qdg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text)),
+                                   i -> substr(text, CAST(i AS INT), 2))) AS g
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 2
+    ),
+    qdgc AS (SELECT doc_id, g, COUNT(*) AS dcnt FROM qdg GROUP BY doc_id, g),
+    qterms AS (
+      SELECT doc_id, dcnt,
+             round(ln(CAST(COALESCE(c1n, 0) + v AS DOUBLE)
+                      / CAST(COALESCE(c12, 0) + 1 AS DOUBLE)), 6) AS term6
+      FROM qdgc
+      LEFT JOIN model USING (g)
+      LEFT JOIN ctx ON substr(g, 1, 1) = ctx.c1
+      CROSS JOIN vocab
+    ),
+    nll_doc AS (
+      SELECT doc_id, CAST(SUM(dcnt) AS BIGINT) AS n_grams,
+             CAST(CAST(SUM(CAST(dcnt * term6 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS nll6
+      FROM qterms GROUP BY doc_id
+    ),
+    pool AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    wgrams AS (
+      SELECT doc_id, lang, unnest(w) AS g FROM pool
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS g
+      FROM pool
+    ),
+    wfeats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+      FROM wgrams
+    ),
+    wtcnt AS (SELECT b, COUNT(*) AS ct FROM wfeats WHERE lang = 'en' GROUP BY b),
+    wttot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tn FROM wtcnt),
+    wrcnt AS (SELECT b, COUNT(*) AS cr FROM wfeats GROUP BY b),
+    wrtot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS rn FROM wrcnt),
+    wratio AS (
+      SELECT b, round(ln(((COALESCE(ct, 0) + 1.0) / (tn + 512.0))
+                         / ((cr + 1.0) / (rn + 512.0))), 6) AS r6
+      FROM wrcnt LEFT JOIN wtcnt USING (b) CROSS JOIN wttot CROSS JOIN wrtot
+    ),
+    wdgc AS (SELECT doc_id, b, COUNT(*) AS dcnt FROM wfeats GROUP BY doc_id, b),
+    w_doc AS (
+      SELECT doc_id, CAST(SUM(dcnt) AS BIGINT) AS n_feats,
+             CAST(CAST(SUM(CAST(dcnt * r6 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS logw6
+      FROM wdgc JOIN wratio USING (b) GROUP BY doc_id
+    ),
+    keep AS (
+      SELECT q.doc_id FROM nll_doc q JOIN w_doc w USING (doc_id)
+      WHERE q.n_grams > 0 AND q.nll6 / q.n_grams <= 1.76
+        AND w.n_feats > 0 AND w.logw6 / w.n_feats >= -0.005
+    ),
+    t AS (
+      SELECT d.doc_id, d.source,
+             CAST(CASE WHEN d.text IS NULL OR length(trim(d.text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\s+')) END AS BIGINT) AS n_tokens
+      FROM documents d JOIN keep USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 1500
+    """,
+)
+def c02_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    train = d.filter(
+        (F.col("lang") == "en") & F.col("text").isNotNull() & (F.length("text") >= 2))
+    nll = text.charlm_nll(d, train)
+    dsir = text.dsir_importance(d, d.filter(F.col("lang") == "en"))
+    keep = (
+        nll.filter((F.col("n_grams") > 0) & (F.col("avg_nll") <= 1.76))
+        .select("doc_id")
+        .join(dsir.filter((F.col("n_feats") > 0)
+                          & (F.col("avg_logw") >= -0.005)).select("doc_id"),
+              "doc_id")
+    )
+    survivors = d.join(keep, "doc_id", "left_semi")
+    return text.token_budget_mix(survivors, default_budget=1500)
+
+
+# ---------------------------------------------------------------------------
 # x35 — token-budget data mixing: per-source contribution caps in
 # TOKENS (the pretrain mixing-weights op — cap the crawl, keep the
 # curated sources), deterministic id-order selection, one window per

@@ -1986,3 +1986,32 @@ class TestDsirImportance:
         qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
         compare(spark, qs["d24_dsir_importance"], oracles["d24_dsir_importance"],
                 sf_dir, "d24")
+
+
+class TestSelectionPipeline:
+    def test_c02_gates_and_budget_compose(self, spark, sf_small):
+        """The composed triad honors each member's contract: every
+        selected doc passed BOTH score gates, per-source running sums
+        never exceed the budget, and cum_tokens is the id-ordered
+        running sum of n_tokens."""
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        sel = qs["c02_selection_pipeline"](spark, sf_small).collect()
+        assert sel, "fixture should select a nonempty corpus"
+
+        nll_ok = {r["doc_id"] for r in qs["d23_charlm_quality"](spark, sf_small)
+                  .filter("n_grams > 0 AND avg_nll <= 1.76").collect()}
+        dsir_ok = {r["doc_id"] for r in qs["d24_dsir_importance"](spark, sf_small)
+                   .filter("n_feats > 0 AND avg_logw >= -0.005").collect()}
+        per_src = {}
+        for r in sel:
+            assert r["doc_id"] in nll_ok and r["doc_id"] in dsir_ok
+            per_src.setdefault(r["source"], []).append(
+                (r["doc_id"], r["n_tokens"], r["cum_tokens"]))
+        for rows in per_src.values():
+            rows.sort()
+            run = 0
+            for _, n, cum in rows:
+                run += n
+                assert cum == run and cum <= 1500
