@@ -252,3 +252,38 @@ def test_d23_d24_models_broadcast_no_window_text_never_shuffles(spark, sf_oracle
                 assert "Cross" in line, (name, line)
         exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
         assert exch and all("text#" not in l for l in exch), (name, exch)
+
+
+def test_d25_c02_scale_shapes(spark, sf_oracle):
+    """d25: the cell self-join must key on centroid_id (never a
+    cartesian over embeddings), centroids broadcast, no per-vector
+    Window in the assign path (max_by argmax). c02: the composed
+    selection keeps its members' shapes — broadcast models, the only
+    Windows are x35's per-(source, sub-shard) running sums, and no
+    exchange carries document text."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    plan = llm.QUERIES["d25_semdedup"](spark, sf_oracle) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # centroids ride deliberate broadcast crosses (assign_cells);
+    # every BNLJ must be one of those, and the assign path must stay
+    # the map-side-combinable argmax, not a per-vector window
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    # the pair stage must be an EQUI join keyed on the cell
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and any("centroid_id" in l for l in exch), exch
+
+    plan = llm.QUERIES["c02_selection_pipeline"](spark, sf_oracle) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    win = [l for l in plan.splitlines() if l.strip().startswith("Window")]
+    assert all("__sub" in l or "source" in l for l in win), win
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("text#" not in l for l in exch), exch
