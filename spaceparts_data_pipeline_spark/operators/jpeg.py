@@ -169,6 +169,12 @@ def decode_jpeg(payload: bytes):
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+            # before the marker code — skip them all
+            while pos + 4 <= n and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > n:
+                return None
             marker = payload[pos + 1]
             if marker == 0xD9:                      # EOI before SOS
                 return None
@@ -244,6 +250,13 @@ def _decode_scan(payload, pos, frame, scan, qtables, huff_dc, huff_ac,
     h, w, comps = frame
     if h == 0 or w == 0:
         return None
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # 8x8 block per MCU over ceil(w/8) x ceil(h/8) blocks, the
+        # SOF's declared sampling factors ignored. Normalizing to 1x1
+        # makes the interleaved loop below compute exactly that.
+        cid, _hf, _vf, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     if hmax < 1 or max(c[2] for c in comps) < 1:
         return None                 # zero sampling factor: corrupt header

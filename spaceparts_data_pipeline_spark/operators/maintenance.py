@@ -135,15 +135,17 @@ def _is_version_race_error(exc: Exception, table: str) -> bool:
     (TABLE_OR_VIEW_NOT_FOUND on the version table) and scan-time
     failures (the version table's files deleted under a running job)
     both qualify; anything else (genuinely missing base table, bad SQL,
-    executor OOM) must surface to the caller."""
+    executor OOM, an unrelated missing file touched inside the action)
+    must surface to the caller. Both race shapes necessarily name the
+    resolved physical table: resolution failures quote ``{t}__v{N}``
+    in TABLE_OR_VIEW_NOT_FOUND, and scan-time FileNotFoundException
+    quotes the pruned file's path, which lives under the managed
+    ``{t}__v{N}/`` directory — so the classifier requires that name
+    rather than falling back to generic missing-table/file tokens (a
+    genuinely missing BASE table mentions ``{t}`` without ``__v`` and
+    is correctly rejected)."""
     _, t = _split_db(table)
-    msg = str(exc)
-    if f"{t}__v" in msg:
-        return True
-    return any(tok in msg for tok in (
-        "TABLE_OR_VIEW_NOT_FOUND", "PATH_NOT_FOUND",
-        "FileNotFoundException", "FILE_NOT_FOUND",
-    ))
+    return f"{t}__v" in str(exc)
 
 
 def read_with_retry(spark: SparkSession, table: str, action=None, retries: int = 2):

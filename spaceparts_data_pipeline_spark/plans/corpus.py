@@ -371,7 +371,7 @@ def run_substring_dedup_pass(
     # \x01 separator: absent from run_id/doc_id content, so the
     # composite key cannot collide across (run, doc) pairs
     corpus = spark.read.parquet(corpus_root).withColumn(
-        "__uid", F.concat_ws("", F.col("run_id"), F.col(id_col)))
+        "__uid", F.concat_ws("\x01", F.col("run_id"), F.col(id_col)))
     cleaned = text.substring_dedup(
         corpus, id_col="__uid", text_col=text_col, k=k, skew_safe=skew_safe)
     out = (

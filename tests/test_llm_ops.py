@@ -301,6 +301,37 @@ class TestMultimodal:
             outg = decode_jpeg(encode_jpeg(g, quality_scale=0.05))
             assert np.abs(outg[:, :, 0].astype(int) - g.astype(int)).max() <= 16
 
+    def test_decode_jpeg_fill_bytes_and_gray_sampling(self):
+        """T.81 edge cases (ADVICE r10): (a) any number of 0xFF fill
+        bytes may pad before a marker (B.1.1.2) — a padded file decodes
+        identically; (b) a single-component scan is NON-interleaved
+        regardless of the SOF's declared sampling factors (A.2.2) — a
+        grayscale JPEG declaring 2x2 sampling decodes to the same
+        pixels as the 1x1 original."""
+        import numpy as np
+
+        from spaceparts_data_pipeline_spark.operators.jpeg import decode_jpeg
+        from tests.jpeg_ref_encoder import encode_jpeg
+
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, size=(17, 13, 3), dtype=np.uint8)
+        jp = encode_jpeg(img, "444")
+        base = decode_jpeg(jp)
+        padded = jp[:2] + b"\xff\xff" + jp[2:]        # fill before DQT
+        i = jp.find(b"\xff\xda")
+        padded2 = jp[:i] + b"\xff\xff\xff" + jp[i:]   # fill before SOS
+        assert np.array_equal(decode_jpeg(padded), base)
+        assert np.array_equal(decode_jpeg(padded2), base)
+
+        g = rng.integers(0, 256, size=(19, 11), dtype=np.uint8)
+        jg = encode_jpeg(g, quality_scale=0.05)
+        i = jg.find(b"\xff\xc0")
+        assert jg[i + 11] == 0x11                     # comp sampling byte
+        patched = bytearray(jg)
+        patched[i + 11] = 0x22                        # declare 2x2
+        out = decode_jpeg(bytes(patched))
+        assert out is not None and np.array_equal(out, decode_jpeg(jg))
+
     def test_decode_jpeg_rejection_and_subset(self):
         """Non-JPEG and truncated payloads return None; progressive
         marker raises NotImplementedError (the codec-boundary policy)."""

@@ -339,6 +339,23 @@ class TestVersionedSwap:
         with pytest.raises(RuntimeError, match="rwr_t__v1"):
             read_with_retry(spark, "rwr_t", always_racing, retries=1)
 
+        # generic missing-table/file errors that do NOT name the
+        # resolved __v{N} physical table are not the race — a genuinely
+        # missing base table or an unrelated file lost inside the
+        # action surfaces immediately, no retry (ADVICE r10)
+        for msg in ("[TABLE_OR_VIEW_NOT_FOUND] Table some_other_table",
+                    "FileNotFoundException: /tmp/side_input.csv",
+                    "[PATH_NOT_FOUND] s3://bucket/unrelated"):
+            tries = []
+
+            def unrelated(df, _m=msg):
+                tries.append(1)
+                raise RuntimeError(_m)
+
+            with pytest.raises(RuntimeError):
+                read_with_retry(spark, "rwr_t", unrelated)
+            assert len(tries) == 1, msg
+
     def test_retain_versions_depth_keeps_older_generations(self, spark, maint_db):
         """retain_versions=3: a reader that resolved version N keeps its
         snapshot across TWO subsequent overwrites (the verdict's

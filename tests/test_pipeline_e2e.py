@@ -532,6 +532,31 @@ def test_substring_dedup_pass_over_assembled_corpus(spark, tmp_path):
     assert stats2["kept"] == 2
 
 
+def test_substring_dedup_pass_composite_key_no_collision(spark, tmp_path):
+    """The corpus-wide pass keys on concat_ws("\\x01", run_id, doc_id):
+    (run_id='run1', doc_id=23) and (run_id='run12', doc_id=3) — whose
+    EMPTY-separator concatenations are the identical string 'run123' —
+    stay two documents with independent cut spans, and the back-join
+    cannot fan out (ADVICE r10)."""
+    from spaceparts_data_pipeline_spark.plans.corpus import (
+        run_substring_dedup_pass)
+
+    out = str(tmp_path / "corpus_out")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [("run1", 23, t1, "s1"), ("run12", 3, t2, "s1")],
+        "run_id string, doc_id long, text string, source string")
+    df.write.mode("overwrite").partitionBy("run_id").parquet(out + "/corpus")
+    stats = run_substring_dedup_pass(spark, out, k=5)
+    assert stats["input"] == 2 and stats["kept"] == 2
+    assert stats["tokens_removed"] == 0            # no shared k-grams
+    rows = spark.read.parquet(out + "/corpus_clean").collect()
+    assert len(rows) == 2                          # no fan-out
+    got = {(r["run_id"], r["doc_id"]): r["text"] for r in rows}
+    assert got[("run1", 23)] == t1 and got[("run12", 3)] == t2
+
+
 def test_cli_corpus_ingest_mode(spark, tmp_path):
     """python -m spaceparts_data_pipeline_spark --corpus-out: the funnel
     driven through the CLI over a landing dir (in-process main() call —
