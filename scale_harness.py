@@ -393,13 +393,29 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
     rest = docs.filter(F.col("doc_id") % 20 != 0)
 
     charlm_kwargs = {}
-    if quality == "charlm":
-        scored = text_ops.charlm_nll(benchmark, benchmark)
-        thr = (scored.filter(F.col("n_grams") > 0)
-               .agg(F.percentile_approx("avg_nll", 0.5)).first()[0])
+    if quality in ("charlm", "charlm+dsir"):
+        # the library's own self-calibration (median-of-ref, exact
+        # percentile) — computed ONCE here and pinned so the 5 batches
+        # don't re-run the identical ref-scoring job (run_corpus_ingest
+        # with charlm_max_nll=None computes the same number). The DSIR
+        # threshold is batch-dependent and self-calibrates per batch.
+        thr = text_ops.charlm_calibrate(benchmark)
         charlm_kwargs = {"charlm_ref": benchmark, "charlm_max_nll": float(thr)}
         print(json.dumps({"scale": scale, "charlm_max_nll": round(thr, 4)}),
               flush=True)
+    if quality == "charlm+dsir":
+        # the full c02 triad as funnel stages: both gates + the
+        # token-budget cap. The budget is sized per scale from the
+        # fixture's own token mass (10% of the per-source-per-batch
+        # average) so the cap does real, scale-proportional work —
+        # a fixed absolute budget would freeze admitted volume at 1x
+        # and fake the Nx wall numbers downstream of it.
+        tok = rest.agg(F.sum(F.coalesce(
+            text_ops.token_count("text").cast("long"), F.lit(0)))).first()[0]
+        nsrc = rest.select("source").distinct().count()
+        budget = max(1, int(0.1 * tok / (max(nsrc, 1) * n_batches)))
+        charlm_kwargs["token_budget"] = budget
+        print(json.dumps({"scale": scale, "token_budget": budget}), flush=True)
 
     results = []
     for b in range(n_batches):
@@ -510,7 +526,8 @@ def measure_semdedup(spark, base: str, factor: int) -> list[dict]:
     from spaceparts_data_pipeline_spark.operators import similarity as S
 
     rows = []
-    for scale, ks in (("x1", (16,)), (f"x{factor}", (16, 16 * factor))):
+    for scale, ks in (("x1", (16, "auto")),
+                      (f"x{factor}", (16, 16 * factor, "auto"))):
         sf_dir = os.path.join(base, scale)
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -700,7 +717,8 @@ def main() -> None:
                     help="screen-store backend for --funnel: path-backed parquet dirs "
                          "(rename-swap compaction) or catalog tables (view-repoint "
                          "compaction, the object-store-safe backend)")
-    ap.add_argument("--funnel-quality", choices=["off", "gopher", "c4", "charlm"],
+    ap.add_argument("--funnel-quality",
+                    choices=["off", "gopher", "c4", "charlm", "charlm+dsir"],
                     default="off",
                     help="run --funnel WITH this quality gate over the stopword-"
                          "preserving multi-line shards (gate rejections scale with "

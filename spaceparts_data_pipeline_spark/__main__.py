@@ -53,21 +53,32 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus mode: build the packing manifest in the deterministic "
                         "shuffled training order of corpus_shuffle(seed) instead of "
                         "(source, id) order; change per epoch for a new order")
-    p.add_argument("--quality-rules", choices=["basic", "gopher", "c4", "charlm"],
+    p.add_argument("--quality-rules",
+                   choices=["basic", "gopher", "c4", "charlm", "charlm+dsir"],
                    default="basic",
                    help="corpus mode: quality gate — 'basic' (token band + stopwords), "
                         "'gopher' (the seven Gopher rules), 'c4' (line/document cleanup; "
                         "survivors continue with the CLEANED text), 'charlm' (model-based: "
                         "avg char-bigram NLL under an LM trained on --charlm-ref-parquet "
-                        "must be <= --charlm-max-nll)")
+                        "must be <= --charlm-max-nll), 'charlm+dsir' (the selection "
+                        "triad: charlm gate AND DSIR distribution-matching gate against "
+                        "the same reference; add --token-budget for the budget cap)")
     p.add_argument("--charlm-ref-parquet", default=None,
                    help="corpus mode, charlm rules: parquet of in-distribution reference "
                         "docs (needs a text column) the char-bigram LM trains on; REQUIRED "
-                        "with --quality-rules charlm")
-    p.add_argument("--charlm-max-nll", type=float, default=8.0,
-                   help="corpus mode, charlm rules: max avg NLL per char bigram; calibrate "
-                        "to a percentile of the reference slice's own distribution (the "
-                        "8.0 default fits the synthetic fixtures, not your corpus)")
+                        "with --quality-rules charlm / charlm+dsir")
+    p.add_argument("--charlm-max-nll", type=float, default=None,
+                   help="corpus mode, charlm rules: max avg NLL per char bigram; default "
+                        "SELF-CALIBRATES to the median of the reference slice's own "
+                        "distribution (charlm_calibrate — fixed constants don't transfer "
+                        "across corpora or scales); pass a float to pin")
+    p.add_argument("--dsir-keep-frac", type=float, default=0.5,
+                   help="corpus mode, charlm+dsir rules: fraction of the batch's scorable "
+                        "docs the self-calibrated DSIR gate keeps (dsir_calibrate)")
+    p.add_argument("--token-budget", type=int, default=None,
+                   help="corpus mode: per-source token budget applied to the ADMITTED set "
+                        "(after dedup/contamination, so duplicates never consume budget); "
+                        "two-phase token_budget_mix, requires numeric doc ids")
     p.add_argument("--substring-dedup-k", type=int, default=None,
                    help="corpus mode: after the ingest, run the corpus-WIDE exact-"
                         "substring dedup pass (Lee et al.; d22) at this word-k-gram "
@@ -189,10 +200,11 @@ def _corpus_main(args) -> int:
         batch = part if batch is None else batch.unionByName(part)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
     charlm_ref = None
-    if args.quality_rules == "charlm":
+    if args.quality_rules in ("charlm", "charlm+dsir"):
         if not args.charlm_ref_parquet:
             print(json.dumps({"status": "failed",
-                              "error": "--quality-rules charlm needs --charlm-ref-parquet"}))
+                              "error": f"--quality-rules {args.quality_rules} "
+                                       "needs --charlm-ref-parquet"}))
             return 2
         charlm_ref = spark.read.parquet(args.charlm_ref_parquet)
 
@@ -202,6 +214,7 @@ def _corpus_main(args) -> int:
         quality_rules=args.quality_rules,
         blocklist_terms=(tuple(args.blocklist_term) if args.blocklist_term else None),
         charlm_ref=charlm_ref, charlm_max_nll=args.charlm_max_nll,
+        dsir_keep_frac=args.dsir_keep_frac, token_budget=args.token_budget,
         shuffle_seed=args.shuffle_seed)
     substring_stats = None
     if args.substring_dedup_k:

@@ -615,7 +615,7 @@ def semdedup(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_centroids: int = 16,
+    n_centroids="auto",
     kmeans_iters: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -644,15 +644,28 @@ def semdedup(
     vector, then the cell-keyed self-join). The self-join partitions
     by centroid_id — size n_centroids with the data's OWN cluster
     skew, so k must GROW with the corpus (SemDeDup used 11k clusters
-    for LAION; rule of thumb k ≈ √n keeps cells near-constant) and a
-    mega-cluster is AQE-skew-splittable since this is a join, not a
-    window. Within-cell cost is exactly the quadratic SemDeDup
-    accepts by design; cross-cell pairs are deliberately unseen (the
-    paper's recall trade), so d10 remains the exactness oracle twin
-    and e03b the recall-pinned alternative.
+    for LAION; rule of thumb k ≈ √n keeps per-cell pair cost flat).
+    ``n_centroids`` therefore defaults to ``"auto"`` =
+    max(16, ceil(√n)) resolved from ONE corpus count — the round-10
+    harness measured the fixed-k trap at 8.74× wall for 8× data
+    (64× pair space) vs ~2× with k scaled, so a fixed default would
+    silently run quadratic cells at scale; pass an int to pin k (the
+    d25 driver row pins 16 so its DuckDB oracle can replay the exact
+    centroid set). A mega-cluster is AQE-skew-splittable since this
+    is a join, not a window. Within-cell cost is exactly the
+    quadratic SemDeDup accepts by design; cross-cell pairs are
+    deliberately unseen (the paper's recall trade), so d10 remains
+    the exactness oracle twin and e03b the recall-pinned alternative.
     """
     corpus = embs.select(
         F.col(vec_id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    if n_centroids == "auto":
+        import math
+
+        n_centroids = max(16, math.ceil(math.sqrt(embs.count())))
+    elif not isinstance(n_centroids, int) or n_centroids < 1:
+        raise ValueError(f"n_centroids must be 'auto' or a positive int, "
+                         f"got {n_centroids!r}")
     cents = select_centroids(embs, id_col=vec_id_col, vec_col=vec_col,
                              n_centroids=n_centroids)
     if kmeans_iters:

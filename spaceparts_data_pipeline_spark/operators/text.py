@@ -1226,3 +1226,79 @@ def dsir_importance(
         .otherwise(F.coalesce("logw6", F.lit(0.0)) / F.col("n_feats"))
         .alias("avg_logw"),
     )
+
+
+# -- selection-threshold calibration ------------------------------------------
+
+def charlm_calibrate(
+    ref: DataFrame,
+    q: float = 0.5,
+    text_col: str = "text",
+) -> float:
+    """Self-calibrated threshold for the charlm quality gate: score the
+    reference corpus under its OWN char-bigram model
+    (:func:`charlm_nll`) and return the exact ``q``-quantile of
+    ``avg_nll`` over scorable docs — the gate then keeps docs whose
+    avg NLL is ``<=`` this value, i.e. docs that look at least as
+    in-distribution as the ref's best ``q`` fraction.
+
+    Why an operator and not a constant: a fixed NLL threshold does NOT
+    transfer across corpora or scales — the Laplace denominator grows
+    with the training vocabulary, shifting every doc's NLL (the scale
+    harness measured a calibrated threshold of 1.797 at 1× vs 2.687 at
+    8× on the same fixture family). Quantile-on-reference is the CCNet
+    practice (per-language perplexity percentiles); one tiny agg over
+    the ref slice, which is small by construction even at 100 TB.
+
+    Returns an IEEE double (exact ``percentile``, not approx — the ref
+    slice is small and the threshold feeds correctness decisions).
+    Raises ``ValueError`` if the ref has no scorable docs.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q!r}")
+    scored = charlm_nll(
+        ref.select(F.monotonically_increasing_id().alias("__cid"),
+                   F.col(text_col)),
+        ref, id_col="__cid", text_col=text_col)
+    thr = (scored.filter(F.col("n_grams") > 0)
+           .agg(F.percentile("avg_nll", F.lit(q))).first()[0])
+    if thr is None:
+        raise ValueError("charlm_calibrate: reference has no scorable docs")
+    return float(thr)
+
+
+def dsir_calibrate(
+    pool: DataFrame,
+    target: DataFrame,
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> float:
+    """Self-calibrated threshold for the DSIR selection gate: score the
+    raw pool (or a sample of it) against ``target``
+    (:func:`dsir_importance`) and return the exact
+    ``(1 - keep_frac)``-quantile of ``avg_logw`` over scorable docs —
+    the gate then keeps docs with ``avg_logw >=`` this value, i.e. the
+    most-target-like ``keep_frac`` of the pool.
+
+    DSIR proper resamples by importance weight; the gate form needs a
+    cut point, and "keep the top fraction" is the knob a pipeline
+    actually sets (a raw log-ratio value means nothing across corpora
+    — it shifts with both distributions and the bucket count). At
+    100 TB calibrate on a pool SAMPLE (the quantile is what matters,
+    not the exact doc set); the scoring plan broadcasts the same
+    bucket table either way.
+
+    Raises ``ValueError`` if the pool has no scorable docs.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac!r}")
+    scored = dsir_importance(
+        pool.select(F.monotonically_increasing_id().alias("__cid"),
+                    F.col(text_col)),
+        target, id_col="__cid", text_col=text_col, n_buckets=n_buckets)
+    thr = (scored.filter(F.col("n_feats") > 0)
+           .agg(F.percentile("avg_logw", F.lit(1.0 - keep_frac))).first()[0])
+    if thr is None:
+        raise ValueError("dsir_calibrate: pool has no scorable docs")
+    return float(thr)

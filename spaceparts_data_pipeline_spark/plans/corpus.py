@@ -49,7 +49,12 @@ def run_corpus_ingest(
     quality_rules: str = "basic",
     blocklist_terms: tuple[str, ...] | None = None,
     charlm_ref: DataFrame | None = None,
-    charlm_max_nll: float = 8.0,
+    charlm_max_nll: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_min_logw: float | None = None,
+    dsir_keep_frac: float = 0.5,
+    token_budget: int | None = None,
+    token_budgets: dict[str, int] | None = None,
     near_dedup: bool = True,
     contamination_threshold: int = 1,
     pack_capacity: int = 512,
@@ -100,10 +105,35 @@ def run_corpus_ingest(
       ``<= charlm_max_nll``; zero-gram docs are unscorable and
       rejected. The model broadcasts (vocab²-bounded); the doc grams
       partial-combine through one (doc, gram-type) exchange + a
-      doc-level semi join — the only non-shuffle-free gate mode.
-      ``charlm_max_nll`` is corpus-calibrated (pick a percentile of
-      the ref slice's own avg-NLL distribution); the 8.0 default fits
-      the synthetic fixtures, not your corpus.
+      doc-level semi join.
+      ``charlm_max_nll=None`` (the default) SELF-CALIBRATES: the
+      threshold becomes the median of the ref slice's own avg-NLL
+      distribution (:func:`operators.text.charlm_calibrate`) — a fixed
+      constant cannot transfer across corpora or scales (the scale
+      harness measured 1.797 at 1× vs 2.687 at 8× for the same keep
+      behavior), so self-calibration is the production default; pass a
+      float to pin it. The resolved value is reported in
+      ``stats['charlm_max_nll']``.
+    - ``'charlm+dsir'``: the full selection triad (c02's recipe as
+      funnel stages) — the charlm gate above AND the DSIR
+      distribution-matching gate (d24's
+      :func:`operators.text.dsir_importance`): keep docs whose
+      ``avg_logw`` against ``dsir_target`` (defaults to ``charlm_ref``)
+      is ``>= dsir_min_logw``. ``dsir_min_logw=None`` (default)
+      self-calibrates to keep the most-target-like ``dsir_keep_frac``
+      of THIS batch's scorable docs
+      (:func:`operators.text.dsir_calibrate`); resolved value in
+      ``stats['dsir_min_logw']``. Combine with ``token_budget`` for
+      the budget-capped triad.
+
+    ``token_budget`` / ``token_budgets``: when set, a per-source
+    token-budget cap (x35's two-phase
+    :func:`operators.text.token_budget_mix`) runs over the ADMITTED
+    set — after both dedup screens and the contamination check, so
+    removed duplicates and contaminated docs never consume budget
+    (c02, the standalone selection query, caps straight after its
+    gates; the funnel's ordering is the ingest-correct one). Requires
+    a numeric ``id_col``. Stage counts land in ``stats['after_budget']``.
 
     ``blocklist_terms``: the c4 mode's blocked-term list (real C4 used
     a public profanity list). Defaults to the neutral demo
@@ -179,23 +209,45 @@ def run_corpus_ingest(
                               & ~text.blocked_expr(text_col, terms=tuple(terms)))
                 .withColumn(text_col, F.array_join(kept, "\n"))
             )
-        elif quality_rules == "charlm":
+        elif quality_rules in ("charlm", "charlm+dsir"):
             # model-based gate (d23's charlm_nll as a funnel stage):
             # keep docs whose avg char-bigram NLL under a model trained
             # on charlm_ref is <= charlm_max_nll. Unlike the rule gates
             # this is NOT shuffle-free — the doc grams partial-combine
             # through one (doc, gram-type) exchange, the model itself is
             # vocab²-bounded and broadcasts. Zero-gram docs (NULL/short
-            # text) are UNSCORABLE and rejected; the threshold is
-            # corpus-calibrated (pick from the ref slice's NLL
-            # distribution), there is no universal default.
+            # text) are UNSCORABLE and rejected; the threshold
+            # self-calibrates to the ref slice's median avg-NLL unless
+            # pinned (see docstring — fixed constants don't transfer).
             if charlm_ref is None:
-                raise ValueError("quality_rules='charlm' needs charlm_ref")
+                raise ValueError(f"quality_rules={quality_rules!r} needs charlm_ref")
+            if charlm_max_nll is None:
+                charlm_max_nll = text.charlm_calibrate(charlm_ref,
+                                                       text_col=text_col)
+            stats["charlm_max_nll"] = round(charlm_max_nll, 6)
             scored = text.charlm_nll(staged.select(id_col, text_col),
                                      charlm_ref, id_col=id_col,
                                      text_col=text_col)
             ok = scored.filter((F.col("n_grams") > 0)
                                & (F.col("avg_nll") <= charlm_max_nll))
+            if quality_rules == "charlm+dsir":
+                # DSIR distribution-matching gate (d24's body), ANDed
+                # with the charlm gate — c02's selection triad as
+                # funnel stages. Threshold self-calibrates to keep the
+                # most-target-like dsir_keep_frac of this batch's
+                # scorable docs unless pinned.
+                tgt = dsir_target if dsir_target is not None else charlm_ref
+                if dsir_min_logw is None:
+                    dsir_min_logw = text.dsir_calibrate(
+                        staged.select(text_col), tgt,
+                        keep_frac=dsir_keep_frac, text_col=text_col)
+                stats["dsir_min_logw"] = round(dsir_min_logw, 6)
+                dscored = text.dsir_importance(
+                    staged.select(id_col, text_col), tgt,
+                    id_col=id_col, text_col=text_col)
+                dok = dscored.filter((F.col("n_feats") > 0)
+                                     & (F.col("avg_logw") >= dsir_min_logw))
+                ok = ok.select(id_col).join(dok.select(id_col), id_col)
             staged = staged.join(ok.select(id_col), id_col, "left_semi")
         else:
             raise ValueError(f"unknown quality_rules: {quality_rules!r}")
@@ -254,6 +306,24 @@ def run_corpus_ingest(
     else:
         stats["admitted"] = admitted.count()
         stats["sec_admitted_count"] = _tick()
+
+    # 5b. per-source token-budget cap (x35's two-phase token_budget_mix)
+    # over the ADMITTED set — after the screens, so duplicates and
+    # contaminated docs never consume budget. The selection frame is
+    # narrow (id, source, token counts); only doc ids come back.
+    if token_budget is not None:
+        from pyspark.sql.types import NumericType
+        if not isinstance(admitted.schema[id_col].dataType, NumericType):
+            raise ValueError(
+                "token_budget needs a numeric, totally-ordered id_col "
+                f"(got {admitted.schema[id_col].dataType.simpleString()!r})")
+        sel = text.token_budget_mix(
+            admitted, default_budget=token_budget, budgets=token_budgets,
+            shard_col=shard_col, id_col=id_col, text_col=text_col)
+        admitted = admitted.join(sel.select(id_col), id_col, "left_semi").persist()
+        persisted.append(admitted)
+        stats["after_budget"] = admitted.count()
+        stats["sec_budget"] = _tick()
 
     # 6. durable outputs FIRST, store updates after — the exact crash
     # ordering proven in stream_ingest_dedup: the corpus is partitioned

@@ -596,17 +596,30 @@ class TestSimilarity:
         """Cell blocking can only LOSE pairs vs the exact quadratic
         (d10): every semdedup duplicate must also be a d10 duplicate,
         and its survivor must be at least as low an id (a cross-cell
-        lower-id neighbor may be unseen)."""
+        lower-id neighbor may be unseen). Checked for a pinned k AND
+        for the default n_centroids="auto" (max(16, ceil(sqrt(n))) —
+        the r10 verdict's fix for the fixed-k scale trap)."""
         docs = spark.read.parquet(f"{sf_small}/documents.parquet")
         embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
         exact = {r["doc_id"]: r["dup_of"] for r in similarity.embedding_near_dup(
             docs, embs, threshold=0.35).collect() if r["is_dup"]}
-        blocked = {r["doc_id"]: r["dup_of"] for r in similarity.semdedup(
-            docs, embs, threshold=0.35, n_centroids=8).collect() if r["is_dup"]}
-        assert blocked, "planted fixture should produce some in-cell dups"
-        for doc, dup_of in blocked.items():
-            assert doc in exact, f"{doc} dup under blocking but not exactly"
-            assert exact[doc] <= dup_of
+        for kw in ({"n_centroids": 8}, {}):          # pinned k, then auto
+            blocked = {r["doc_id"]: r["dup_of"] for r in similarity.semdedup(
+                docs, embs, threshold=0.35, **kw).collect() if r["is_dup"]}
+            assert blocked, "planted fixture should produce some in-cell dups"
+            for doc, dup_of in blocked.items():
+                assert doc in exact, f"{doc} dup under blocking but not exactly"
+                assert exact[doc] <= dup_of
+
+    def test_semdedup_rejects_bad_k(self, spark):
+        embs = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        docs = embs.selectExpr("vec_id as doc_id")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="auto"):
+            similarity.semdedup(docs, embs, n_centroids="sqrt")
+        with _pytest.raises(ValueError, match="auto"):
+            similarity.semdedup(docs, embs, n_centroids=0)
 
 
 class TestTemporal:
@@ -2046,3 +2059,56 @@ class TestSelectionPipeline:
             for _, n, cum in rows:
                 run += n
                 assert cum == run and cum <= 1500
+
+    def test_charlm_calibrate_matches_hand_quantile(self, spark, sf_small):
+        """charlm_calibrate == the exact interpolated median of the ref
+        slice's own avg_nll distribution, and gating with it rejects
+        exactly the docs a hand-computed threshold rejects (r10 verdict
+        #2: calibration is a library op, not harness copy-paste)."""
+        import numpy as np
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        ref = docs.filter("lang = 'en' AND text IS NOT NULL AND length(text) >= 2") \
+                  .select("doc_id", "text")
+        thr = text.charlm_calibrate(ref)
+        scored = text.charlm_nll(ref, ref)
+        vals = np.array([r["avg_nll"] for r in scored.collect()
+                         if r["n_grams"] > 0])
+        hand = float(np.percentile(vals, 50.0))   # linear interp = F.percentile
+        assert abs(thr - hand) < 1e-9
+        lib_reject = {r["doc_id"] for r in scored.collect()
+                      if not (r["n_grams"] > 0 and r["avg_nll"] <= thr)}
+        hand_reject = {r["doc_id"] for r in scored.collect()
+                       if not (r["n_grams"] > 0 and r["avg_nll"] <= hand)}
+        assert lib_reject == hand_reject
+        # quantile knob: a stricter q keeps fewer
+        assert text.charlm_calibrate(ref, q=0.1) <= thr
+
+    def test_dsir_calibrate_keeps_fraction(self, spark, sf_small):
+        """dsir_calibrate == the exact (1-keep_frac) quantile of the
+        pool's avg_logw, and gating with it keeps ~keep_frac of the
+        scorable pool."""
+        import numpy as np
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        target = docs.filter("lang = 'en'")
+        thr = text.dsir_calibrate(docs, target, keep_frac=0.5)
+        scored = text.dsir_importance(docs, target).collect()
+        vals = np.array([r["avg_logw"] for r in scored if r["n_feats"] > 0])
+        assert abs(thr - float(np.percentile(vals, 50.0))) < 1e-9
+        kept = sum(1 for v in vals if v >= thr)
+        assert 0.4 <= kept / len(vals) <= 0.6
+
+    def test_calibrate_input_validation(self, spark):
+        import pytest as _pytest
+
+        empty = spark.createDataFrame([(None,)], "text string")
+        some = spark.createDataFrame([("hello world",)], "text string")
+        with _pytest.raises(ValueError, match="q must"):
+            text.charlm_calibrate(some, q=1.5)
+        with _pytest.raises(ValueError, match="keep_frac"):
+            text.dsir_calibrate(some, some, keep_frac=0.0)
+        with _pytest.raises(ValueError, match="no scorable"):
+            text.charlm_calibrate(empty)
+        with _pytest.raises(ValueError, match="no scorable"):
+            text.dsir_calibrate(empty, some)

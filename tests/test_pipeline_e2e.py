@@ -746,6 +746,80 @@ class TestFunnelQualityRules:
         corpus = spark.read.parquet(str(tmp_path / "m" / "corpus"))
         assert {r["doc_id"] for r in corpus.collect()} == {1}
 
+    def test_charlm_gate_self_calibrates(self, spark, tmp_path):
+        """charlm_max_nll=None (the new default): the threshold
+        self-calibrates to the ref slice's median avg-NLL
+        (charlm_calibrate) — text identical to the ref scores exactly
+        the median and passes, OOD text is rejected, and the resolved
+        threshold is reported in stats (r10 verdict #2: NO explicit
+        threshold anywhere)."""
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        sent = "the quick brown fox jumps over the lazy dog and runs on"
+        ref = spark.createDataFrame(
+            [(i, sent) for i in range(5)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, sent, "s1"),                               # scores == median
+             (2, "zzxqj wqkz jjqx zzzq xqzj zqzq", "s1"),   # OOD bigrams
+             (3, None, "s1")],                              # unscorable
+            "doc_id long, text string, source string")
+        s = run_corpus_ingest(spark, batch, str(tmp_path / "sc"), "r1",
+                              near_dedup=False, quality_rules="charlm",
+                              charlm_ref=ref)
+        assert s["after_quality"] == 1 and s["admitted"] == 1
+        assert s["charlm_max_nll"] > 0      # resolved + reported
+        corpus = spark.read.parquet(str(tmp_path / "sc" / "corpus"))
+        assert {r["doc_id"] for r in corpus.collect()} == {1}
+
+    def test_triad_gate_with_budget(self, spark, tmp_path):
+        """quality_rules='charlm+dsir' + token_budget: the c02 triad as
+        funnel stages — both gates live (both self-calibrated), then
+        the per-source token-budget cap over the ADMITTED set; each
+        source's corpus token mass stays within budget and every stage
+        count is monotone. charlm is pinned (its self-calibration is
+        the previous test); DSIR self-calibrates to keep ~half of this
+        batch's scorable docs."""
+        from spaceparts_data_pipeline_spark.operators.text import token_count
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "walks back home through the quiet green field at dusk")
+        ref = spark.createDataFrame(
+            [(i, base) for i in range(5)], "doc_id long, text string")
+        rows = [(i, f"{base} extra words number {i} close the loop", "s1")
+                for i in range(1, 7)]
+        rows += [(i, f"{base} and some more filler text {i} here too", "s2")
+                 for i in range(10, 16)]
+        rows += [(99, "zzxqj wqkz jjqx zzzq xqzj zqzq", "s1"),   # OOD
+                 (98, None, "s2")]                               # unscorable
+        batch = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        s = run_corpus_ingest(spark, batch, str(tmp_path / "tri"), "r1",
+                              near_dedup=False, quality_rules="charlm+dsir",
+                              charlm_ref=ref, charlm_max_nll=2.5,
+                              token_budget=60)
+        assert "charlm_max_nll" in s and "dsir_min_logw" in s
+        assert s["input"] == 14
+        assert s["after_quality"] <= 12            # OOD + NULL gone
+        assert s["after_budget"] <= s["admitted"]
+        assert s["after_budget"] >= 1
+        corpus = spark.read.parquet(str(tmp_path / "tri" / "corpus"))
+        per_src = {r["source"]: r["toks"] for r in corpus.groupBy("source")
+                   .agg(F.sum(token_count("text")).alias("toks")).collect()}
+        assert per_src and all(v <= 60 for v in per_src.values())
+
+    def test_token_budget_requires_numeric_id(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        batch = spark.createDataFrame([("a:1", "x y z", "s")],
+                                      "doc_id string, text string, source string")
+        with _pytest.raises(ValueError, match="numeric"):
+            run_corpus_ingest(spark, batch, str(tmp_path / "nb"), "r1",
+                              near_dedup=False, quality_gate=False,
+                              token_budget=10)
+
     def test_charlm_gate_requires_ref(self, spark, tmp_path):
         import pytest as _pytest
 
