@@ -279,13 +279,41 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       line-explode machinery is in-window c01b's C4 line gate, and
 #       the within-doc duplication-profile family is held by the
 #       in-window d22 gram window at substring granularity).
+# Round-11 rotation (round-10 verdict next-round #3 — drain the WHOLE
+# r04/r05 staleness tail so max driver-row staleness lands at ≤5
+# rounds, x18 excepted as always). IN — all fifteen queries whose last
+# driver row is r04/r05, every one green in every local parity run
+# since:
+#   r04 tail: d06 (Jaccard pairs), e02 (exact cosine pairs), x06
+#       (vocab top-k), x19 (array stats),
+#   r05 tail: d01 (exact dedup canon), d02 (md5 fingerprints), d03
+#       (token stats), d09 (near-dup components), e05 (Arrow-
+#       vectorized kNN twin), q19 (distinct ratio), q20 (date-domain
+#       union), q24 (anti-join), x05 (md5 train/val split), x14
+#       (RANGE-frame windows), x23 (posexplode token family).
+# OUT, coverage retained transitively, ALL with r10 full-hash rows
+# (so ≤1-round-stale through r12) and all still in the local parity
+# suite every round:
+#   x03/x04/x08/x09/x10/x13/x16/x17/x20/x22/x24 — the analytic-tail
+#       rotation slots, refreshed r10 precisely so they could yield
+#       the slots back this round,
+#   d23/d24 — their scoring bodies (char-bigram NLL model, DSIR
+#       hashed log-ratio weights) run VERBATIM inside in-window c02's
+#       FULL oracle (the d18-inside-c01b containment precedent); both
+#       also remain bench headliners timed every round,
+#   x35 — its naive-cumsum oracle window is the TAIL of c02's oracle,
+#       and the two-phase≡window equality is a pinned test property
+#       (tests/test_llm_ops.py::TestTokenBudget),
+#   e01 — result-identical twin of incoming e05 (the SAME oracle
+#       text); e01 stays a bench headline query timed every round.
+#   x01 STAYS in-window (the NTZ epoch-micros guard; incoming x14
+#       exercises the same path but x01 is the canonical sentinel).
 # ROTATION BACKLOG (oldest driver rows first, all green in every local
-# parity run — drain ~5/round through the analytic-tail slots so no
-# query's driver evidence ages past a few rounds):
+# parity run):
 #   r02: x18 approx quantiles (stays out by the weak-evidence policy
 #        above)
-#   r04: d06, e02, x06, x19, x23
-#   r05+: q19, q20, q24, x05, x14, d01-d03, d09, e05, ...
+#   r06 (5-stale at r11, the next tranche): d04, d05, d11, d15, e03,
+#        e04, x30, x31, x32, x33
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q02_dim_customer_enrich", "q03_top_revenue_orders",
@@ -296,19 +324,22 @@ _PRIORITY = [
     "q16_budget_variance_monthly", "q17_otd_quality",
     "q22_dim_product_enrich",
     "p01_silver_events_pipeline",
+    # r05-stale parity tail (round-11 rotation)
+    "q19_distinct_ratio", "q20_date_domain_union",
+    "q24_customers_without_orders",
     # LLM data ops: dedup + corpus-quality family
     "d25_semdedup",
-    "d22_substring_dedup", "d23_charlm_quality", "d24_dsir_importance",
-    "d14_canonical_corpus_lsh",
-    "x29_contamination_check", "x35_token_budget_mix",
+    "d22_substring_dedup", "d14_canonical_corpus_lsh",
+    "x29_contamination_check",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
-    # analytic-extension tail rotation (round-10: the r01-stale tranche)
-    "x03_rollup_revenue", "x04_topk_per_group", "x08_pivot_revenue",
-    "x09_price_histogram", "x10_key_set_ops", "x13_stats_moments",
-    "x16_string_kit", "x17_date_parts", "x20_having_filter",
-    "x22_above_average_orders", "x24_unpivot_metrics",
+    "d01_dedup_exact", "d02_fingerprint", "d03_token_stats",
+    "d06_jaccard_pairs", "d09_near_dup_components",
+    # analytic-extension tail rotation (round-11: the r04/r05 tranche)
+    "x05_train_val_split", "x06_vocab_topk", "x14_range_window",
+    "x19_array_stats", "x23_posexplode_tokens",
     # LLM data ops: similarity / ANN family
-    "e01_knn_topk", "e03b_similar_pairs_lsh_recall",
+    "e02_similar_pairs", "e05_knn_topk_vectorized",
+    "e03b_similar_pairs_lsh_recall",
     "s05_stream_ingest_near_dedup", "e04b_knn_ivf_refined",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes",
