@@ -146,7 +146,7 @@ def main() -> None:
     for name in CORPUS:
         corpus_timings[name], dispersion[name] = time_query(name, rebuild=True)
 
-    layer_rates = layer_throughput(spark, sf_dir)
+    layer_rates, layer_dispersion = layer_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     doc = {
@@ -158,19 +158,21 @@ def main() -> None:
         "query_dispersion": dispersion,
         "sf": float(sf),
         "layer_rows_per_hour": layer_rates,
+        "layer_dispersion": layer_dispersion,
         "vs_prev": vs_previous_round({**timings, **corpus_timings}, layer_rates),
         # the round-3 q03/d07 drift question, answered in round 5: five
         # same-code runs spread up to ±0.4s per query and ~2× on layer
         # rates (cold JVM/committer warmup + GC debt from earlier
         # queries), with no plan change — hence the per-query isolation
-        # (clearCache+GC), min-of-3, worker-pool warmup, and best-of-2
-        # layer passes above.
-        "notes": "per-query spread up to ±0.4s and ~2x on layer rates across "
-                 "same-code runs (JVM/GC + cold-start variance, plans unchanged); "
-                 "bench isolates queries via cache-clear+GC, min-of-3 (min-of-5 + "
-                 "median/spread under 1s — see query_dispersion; deltas inside a "
-                 "query's spread are noise, not drift), Arrow-pool warmup, "
-                 "best-single-run layer pair",
+        # (clearCache+GC), min-of-3, worker-pool warmup, and the
+        # median-of-3 + dispersion layer passes above.
+        "notes": "per-query spread up to ±0.4s across same-code runs (JVM/GC + "
+                 "cold-start variance, plans unchanged); bench isolates queries "
+                 "via cache-clear+GC, min-of-3 (min-of-5 + median/spread under "
+                 "1s — see query_dispersion; deltas inside a query's spread are "
+                 "noise, not drift), Arrow-pool warmup; layer rates are "
+                 "median-of-3 after a discarded warm-up pass with spread in "
+                 "layer_dispersion (deltas inside the spread are noise)",
     }
     print(json.dumps(doc))
     # Persist the FULL output to a repo-local history file: the driver's
@@ -239,7 +241,11 @@ def vs_previous_round(timings: dict[str, float], layer_rates: dict | None = None
     bench record (local history first — see _previous_doc), plus
     layer-throughput deltas (rows/h, positive = faster), so a
     physical-layout regression in the write path is as visible
-    round-over-round as a query regression."""
+    round-over-round as a query regression. Layer rates are medians
+    (of 3 post-warm-up passes) from round 11 on — the first new-format
+    record's layer delta compares a median against the old best-pair
+    sample and reads ~10-20% low; judge deltas against
+    layer_dispersion's spread."""
     found = _previous_doc()
     if found is None:
         return {}
@@ -258,29 +264,35 @@ def vs_previous_round(timings: dict[str, float], layer_rates: dict | None = None
     }
 
 
-def layer_throughput(spark, sf_dir: str) -> dict:
+def layer_throughput(spark, sf_dir: str) -> tuple[dict, dict]:
     """Bronze/silver layer throughput (rows/hour incl. table writes) over
     the three biggest synthetic tables — directly comparable to the
     reference's recorded rates in BASELINE.md (bronze ≈61M rows/h,
     silver ≈78M rows/h on Fabric Spark).
 
-    2 full pipeline passes, reporting the bronze+silver PAIR from the
-    single pass with the lower combined wall time — per-layer maxima
-    taken independently across runs would publish an internally
-    inconsistent, best-case-biased pair no single run achieved. The
-    second pass exists because a cold first pass understates
-    steady-state by ~2× (first-run JVM/codegen/committer warmup —
-    measured 336M vs 628M rows/h bronze back-to-back in one process),
-    and steady-state is the number that predicts long-running cluster
-    ingest, which is what the reference's Fabric rates describe too.
+    1 discarded warm-up pass + 3 measured passes, publishing per-layer
+    MEDIAN rates plus a {n, median, spread} dispersion record exactly
+    like query_dispersion (round-10 verdict #4: the old best-pair
+    single sample sat inside its own ~2× same-code variance, so the
+    2×-of-baseline regression bar had no usable signal — a −25%
+    round-over-round reading was uninterpretable). The warm-up pass
+    exists because a cold first pass understates steady-state by ~2×
+    (first-run JVM/codegen/committer warmup — measured 336M vs 628M
+    rows/h bronze back-to-back in one process), and steady-state is
+    the number that predicts long-running cluster ingest, which is
+    what the reference's Fabric rates describe too.
+
+    Returns (rates, dispersion): rates = {rows, bronze, silver} with
+    medians, dispersion = {bronze: {n, median, spread}, silver: ...}
+    where spread = max−min rate across the measured passes.
     """
     from spaceparts_data_pipeline_spark.plans import bronze as bronze_plan
     from spaceparts_data_pipeline_spark.plans import silver as silver_plan
     from spaceparts_data_pipeline_spark.sources.parquet import load_table
 
-    best = {"rows": 0, "bronze": 0, "silver": 0}
-    best_wall = float("inf")
-    for attempt in range(2):
+    n_rows = 0
+    samples: dict[str, list[float]] = {"bronze": [], "silver": []}
+    for attempt in range(4):                     # pass 0 = discarded warm-up
         spark.catalog.clearCache()
         try:
             spark.sparkContext._jvm.System.gc()
@@ -305,17 +317,21 @@ def layer_throughput(spark, sf_dir: str) -> dict:
             for t in tables:
                 silver_plan.run_full(spark, t)
             silver_sec = time.perf_counter() - start
-            if bronze_sec + silver_sec < best_wall:
-                best_wall = bronze_sec + silver_sec
-                best = {
-                    "rows": n_rows,
-                    "bronze": round(n_rows / bronze_sec * 3600),
-                    "silver": round(n_rows / silver_sec * 3600),
-                }
+            if attempt > 0:
+                samples["bronze"].append(n_rows / bronze_sec * 3600)
+                samples["silver"].append(n_rows / silver_sec * 3600)
         finally:
             spark.catalog.setCurrentDatabase(prev)
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-    return best
+    rates = {"rows": n_rows}
+    dispersion = {}
+    for layer, vals in samples.items():
+        vals.sort()
+        med = vals[len(vals) // 2]
+        rates[layer] = round(med)
+        dispersion[layer] = {"n": len(vals), "median": round(med),
+                             "spread": round(vals[-1] - vals[0])}
+    return rates, dispersion
 
 
 if __name__ == "__main__":

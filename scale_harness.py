@@ -96,6 +96,12 @@ OPS = [
     # key: the only full-corpus group key is doc_id)
     "d23_charlm_quality",
     "d24_dsir_importance",
+    # round-11: BPE merge training — ONE corpus-scale pass builds the
+    # distinct-word table, then K rounds run vocab-bounded (pair agg +
+    # 1-row argmax + fold merge), so the expected Nx shape is the
+    # initial word-count exchange scaling ~linearly and the per-round
+    # cost scaling with the word VOCABULARY (sublinear), not the corpus
+    "x37_bpe_merges",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
@@ -182,6 +188,45 @@ def _stage_totals(spark) -> dict:
         tot["shuffle_read"] += st.get("shuffleReadBytes", 0)
         tot["shuffle_write"] += st.get("shuffleWriteBytes", 0)
     return tot
+
+
+def _max_stage_id(spark) -> int:
+    ui = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    ids = [st["stageId"] for st in json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages"))]
+    return max(ids) if ids else -1
+
+
+def _task_straggler(spark, since_stage: int) -> dict:
+    """Per-task skew evidence for everything run after ``since_stage``:
+    for each completed stage, the executorRunTime median and max across
+    its tasks (status REST taskSummary), reporting the stage with the
+    largest max — the straggler ratio max/median is the number that
+    distinguishes 'one indivisible hot partition' from uniform load."""
+    ui = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    worst = {"stage": None, "task_median_ms": 0.0, "task_max_ms": 0.0,
+             "straggler": 0.0}
+    for st in json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete")):
+        sid, att = st["stageId"], st["attemptId"]
+        if sid <= since_stage or st.get("numCompleteTasks", 0) < 2:
+            continue
+        try:
+            q = json.load(urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}"
+                f"/taskSummary?quantiles=0.5,1.0"))
+        except Exception:
+            continue
+        med, mx = q["executorRunTime"]
+        if mx > worst["task_max_ms"]:
+            worst = {"stage": sid, "task_median_ms": round(med, 1),
+                     "task_max_ms": round(mx, 1),
+                     "straggler": round(mx / max(med, 1.0), 2)}
+    return worst
 
 
 def run_op(spark, queries, name: str, sf_dir: str, reps: int = 3) -> dict:
@@ -512,6 +557,106 @@ def _skewed_docs(spark, base: str, scale: str, repeat: int = 10) -> str:
     return out
 
 
+def _hotgram_docs(spark, base: str, scale: str, per_doc: int = 100) -> str:
+    """Build (once per scale) the ABSOLUTE-hot-gram documents variant:
+    a single token repeated ``per_doc + 4`` times at the head of 10% of
+    docs — ONE distinct word-5-gram ("hot hot hot hot hot") carrying
+    0.1 · n_docs · per_doc instances. Unlike the zipfian fixture's
+    5-rotation licence passage (5 hot hashes), ALL of this fixture's
+    duplication lands on one hash — the indivisible-window-partition
+    regime the ``skew_safe`` flag exists for."""
+    import pyspark.sql.functions as F
+
+    out = os.path.join(base, f"documents_hotgram_{scale}")
+    if os.path.isdir(out):
+        return out
+    docs = spark.read.parquet(os.path.join(base, scale, "documents.parquet"))
+    blob = " ".join(["hot"] * (per_doc + 4))
+    skewed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.lit(blob + " "), F.coalesce(F.col("text"), F.lit(""))))
+        .otherwise(F.col("text")))
+    skewed.repartition(N_FILES).write.mode("overwrite").parquet(out)
+    print(f"built {out}", file=sys.stderr)
+    return out
+
+
+def measure_hotgram(spark, base: str, factor: int) -> list[dict]:
+    """Round-10 verdict #5: the absolute-hot-gram regime, instrumented
+    at the TASK level. The zipfian fixture keeps every hot gram a
+    constant FRACTION of the data, and with a FIXED shuffle-partition
+    count the median partition grows exactly as fast as the hot one —
+    the window route can never stall there by construction. This
+    measurement removes both shields:
+
+    - the fixture concentrates all duplication on ONE gram hash
+      (``_hotgram_docs``), growing to ~10⁵-10⁶ instances at Nx — the
+      small-scale image of the 10⁸-instance licence-boilerplate gram;
+    - ``spark.sql.shuffle.partitions`` scales WITH the data (32·N at
+      Nx), emulating the real deployment contract that per-task work
+      stays constant as the cluster and data grow together. Under that
+      contract the median task is flat across scales, while the window
+      route's hot-gram partition is indivisible (a hash partition of a
+      Window cannot be split by AQE) and grows linearly — so its
+      max/median task ratio GROWS with scale, which is the measured
+      trigger for switching ``skew_safe=True`` (whose groupBy route
+      map-side-combines the hot hash to one row per map task).
+
+    Reports per route/scale: wall seconds, shuffle bytes, and the
+    worst stage's task median/max/straggler ratio (REST taskSummary).
+    """
+    from spaceparts_data_pipeline_spark.operators import text as T
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = []
+    try:
+        for scale, mult in (("x1", 1), (f"x{factor}", factor)):
+            path = _hotgram_docs(spark, base, scale)
+            docs = spark.read.parquet(path)
+            spark.conf.set("spark.sql.shuffle.partitions", str(32 * mult))
+            for route, safe in (("window", False), ("skew_safe", True)):
+                spark.catalog.clearCache()
+                before = _stage_totals(spark)
+                marker = _max_stage_id(spark)
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df = T.substring_dedup(docs, k=5, skew_safe=safe)
+                    df.write.format("noop").mode("overwrite").save()
+                    times.append(round(time.perf_counter() - t0, 3))
+                after = _stage_totals(spark)
+                row = {"check": "hotgram", "scale": scale, "route": route,
+                       "shuffle_partitions": 32 * mult,
+                       "sec": min(times), "sec_all": times,
+                       "shuffle_read_mb": round(
+                           (after["shuffle_read"] - before["shuffle_read"]) / 1e6 / 2, 2),
+                       "shuffle_write_mb": round(
+                           (after["shuffle_write"] - before["shuffle_write"]) / 1e6 / 2, 2),
+                       **_task_straggler(spark, marker)}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+        # semantic guard: identical results on the hot fixture at Nx
+        big = spark.read.parquet(_hotgram_docs(spark, base, f"x{factor}"))
+        a = T.substring_dedup(big, k=5, skew_safe=False)
+        b = T.substring_dedup(big, k=5, skew_safe=True)
+        diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert diff == 0, f"skew_safe diverged on the hot-gram fixture: {diff}"
+        print(json.dumps({"check": "hotgram_equal", "factor": factor,
+                          "diff": 0}), flush=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    by = {(r["scale"], r["route"]): r for r in rows}
+    print("\n| route | scale | sec | task med ms | task max ms | straggler |")
+    print("|---|---|---|---|---|---|")
+    for route in ("window", "skew_safe"):
+        for scale in ("x1", f"x{factor}"):
+            r = by[(scale, route)]
+            print(f"| {route} | {scale} | {r['sec']} | {r['task_median_ms']} "
+                  f"| {r['task_max_ms']} | {r['straggler']} |")
+    return rows
+
+
 def measure_semdedup(spark, base: str, factor: int) -> list[dict]:
     """Round 10: SemDeDup's scale knob measured honestly. With k
     centroids FIXED, the within-cell pair space is n²/k — quadratic in
@@ -729,6 +874,12 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--recall-e03b", action="store_true",
                     help="re-assert e03b's recall floor at Nx against replicated 1x brute-force truth")
+    ap.add_argument("--hot-gram", action="store_true",
+                    help="measure d22's window vs skew_safe routes on the "
+                         "ABSOLUTE-hot-gram fixture (one gram hash carrying all "
+                         "duplication) with shuffle partitions scaled with the "
+                         "data, reporting per-task max/median straggler ratios "
+                         "— the measured trigger for skew_safe=True")
     ap.add_argument("--skew-gram", action="store_true",
                     help="measure d22's window vs skew_safe routes on the zipfian "
                          "boilerplate-gram fixture (hot-gram straggler evidence)")
@@ -763,6 +914,10 @@ def main() -> None:
 
     if args.skew_gram:
         measure_gram_skew(spark, base, args.factor)
+        return
+
+    if args.hot_gram:
+        measure_hotgram(spark, base, args.factor)
         return
 
     if args.substring_pass:

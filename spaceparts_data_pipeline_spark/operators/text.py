@@ -1302,3 +1302,162 @@ def dsir_calibrate(
     if thr is None:
         raise ValueError("dsir_calibrate: pool has no scorable docs")
     return float(thr)
+
+
+# -- BPE merge training --------------------------------------------------------
+
+def bpe_train(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Distributed BPE vocabulary LEARNING (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    iteratively find the most frequent adjacent symbol pair in the
+    corpus and merge it, ``k`` rounds — the training counterpart of
+    the fixed-pattern pretokenizer (:func:`bpe_tokens` / x33 only
+    SEGMENTS with a published pattern; nothing in the stack learned
+    merges until this op).
+
+    Output: the merge table — one row per learned merge,
+    ``(merge_rank, lhs, rhs, pair_count)``, fully deterministic:
+    argmax ties break on (count DESC, lhs ASC, rhs ASC) with binary
+    string comparison, identical in ANSI SQL, so the table is
+    FULL-oracle checkable. Stops early when no pair reaches
+    ``min_count`` (fewer than ``k`` rows).
+
+    Algorithm, Spark-first:
+
+    1. ONE corpus-scale pass: whitespace words → ``groupBy(word)``
+       count. Everything after runs on the DISTINCT-WORD table
+       (vocab-bounded — ~1e8 rows at 100 TB, not corpus-bounded),
+       each word carrying its count and its current symbol array
+       (seeded with single characters).
+    2. Per round: adjacent pairs via ``zip_with`` over shifted slices
+       (the ``word_ngrams`` pattern — no window, no skewable key;
+       pair counts partial-combine map-side, the exchange carries
+       pair-vocab-bounded rows) → ONE collected argmax row (bounded
+       control-plane collect, the centroid precedent) → the merge
+       applied to every symbol array as a JVM-side ``aggregate``
+       fold implementing greedy LEFT-TO-RIGHT non-overlapping
+       replacement (scan symbols; if the accumulator's last element
+       is ``lhs`` and the current symbol is ``rhs``, fuse them —
+       a freshly fused symbol never re-matches as ``lhs`` within the
+       round because ``lhs || rhs != lhs`` for nonempty ``rhs``).
+    3. ``localCheckpoint`` per round cuts the iterative lineage (the
+       connected-components precedent — analyzed-plan growth, not
+       data, is the loop risk).
+
+    Word source is the plain whitespace split (the engine's
+    ``token_count`` convention) so the DuckDB oracle twin is exact;
+    production trainers would pretokenize first (feed
+    ``bpe_tokens``-segmented text in via ``text_col``), which changes
+    the word table, not the algorithm.
+
+    Greedy-fold ≡ run-parity equivalence (the oracle computes the
+    same merge positions as "odd offsets within each run of
+    consecutive matches") is pinned by unit tests on overlap-heavy
+    inputs (``aaa``/``aaaa`` runs, multi-char merges).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    spark = docs.sparkSession
+    t = F.trim(F.col(text_col))
+    words = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(t) > 0))
+        .select(F.explode(F.split(t, r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w", "cnt", F.split("w", "").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(k):
+        n_pairs = F.greatest(F.size("syms") - F.lit(1), F.lit(0))
+        pair = F.zip_with(
+            F.slice("syms", F.lit(1), n_pairs),
+            F.slice("syms", F.lit(2), n_pairs),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        top = (
+            words.select("cnt", F.explode(pair).alias("p"))
+            .groupBy("p.l", "p.r").agg(F.sum("cnt").alias("c"))
+            .filter(F.col("c") >= min_count)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((rank, lhs, rhs, int(c)))
+        fused = F.concat(F.lit(lhs), F.lit(rhs))
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs))
+                & (s == F.lit(rhs)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                         F.array(fused)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        nxt = words.withColumn("syms", merged).localCheckpoint()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table (:func:`bpe_train`'s output) to a
+    corpus: per doc, whitespace words → char symbols → every merge
+    replayed in rank order (the standard BPE encode), returning
+    ``(id, n_words, n_symbols)`` — the compression the learned
+    vocabulary achieves, the metric a tokenizer-training pipeline
+    watches per corpus slice.
+
+    The merge table is tiny (k rows) and COLLECTED to the driver, then
+    unrolled into a single chained column expression — k nested folds
+    over each word's symbol array, all JVM-side whole-stage codegen;
+    no join, no shuffle beyond the final per-doc agg (group key is the
+    doc id — unskewable).
+    """
+    ranked = sorted(
+        ((r["merge_rank"], r["lhs"], r["rhs"]) for r in merges.collect()))
+    t = F.trim(F.col(text_col))
+    word_df = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(t) > 0))
+        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    def _merge_fold(lhs: str, rhs: str):
+        fused = F.concat(F.lit(lhs), F.lit(rhs))
+
+        def step(acc, s):
+            return F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs))
+                & (s == F.lit(rhs)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                         F.array(fused)),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return step
+
+    syms = F.split("w", "")
+    for _, lhs, rhs in ranked:
+        syms = F.aggregate(syms, F.array().cast("array<string>"),
+                           _merge_fold(lhs, rhs))
+    return (
+        word_df.select(F.col(id_col), F.size(syms).alias("n_syms"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum("n_syms").cast("long").alias("n_symbols"))
+    )

@@ -308,6 +308,20 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       text); e01 stays a bench headline query timed every round.
 #   x01 STAYS in-window (the NTZ epoch-micros guard; incoming x14
 #       exercises the same path but x01 is the canonical sentinel).
+# Mid-round-11 addition (new FULL-oracle op goes straight in per the
+# first-appearance rule):
+#   x37_bpe_merges (BPE merge TRAINING, Sennrich et al. 2016 — learn
+#       the first K merge rules: per round, argmax adjacent symbol
+#       pair with a deterministic tie-break, fused by greedy
+#       left-to-right non-overlap; FULL oracle with the K rounds
+#       mechanically unrolled on the long (word, pos, symbol) form,
+#       greedy-fold ≡ run-parity pinned by unit tests vs an
+#       independent single-node BPE).
+# OUT for the slot: e04b (refined-IVF kNN — its centroid CTE chain is
+#       replayed VERBATIM inside in-window d25's oracle, the same
+#       containment that retired d10; r10 full-hash green, and the
+#       decimal-mean refinement determinism stays pinned in
+#       tests/test_llm_ops.py).
 # ROTATION BACKLOG (oldest driver rows first, all green in every local
 # parity run):
 #   r02: x18 approx quantiles (stays out by the weak-evidence policy
@@ -340,7 +354,7 @@ _PRIORITY = [
     # LLM data ops: similarity / ANN family
     "e02_similar_pairs", "e05_knn_topk_vectorized",
     "e03b_similar_pairs_lsh_recall",
-    "s05_stream_ingest_near_dedup", "e04b_knn_ivf_refined",
+    "s05_stream_ingest_near_dedup", "x37_bpe_merges",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes",
     # windowed sessionization (guards the NTZ-safe epoch-micros path)

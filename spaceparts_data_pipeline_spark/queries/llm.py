@@ -2190,3 +2190,86 @@ def d20_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d21_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return text.line_repetition_stats(_multiline(d, every=2))
+
+
+# ---------------------------------------------------------------------------
+# x37 — BPE merge TRAINING (Sennrich et al. 2016): learn the first K
+# merge rules from the corpus — per round, the most frequent adjacent
+# symbol pair (ties: count DESC, lhs ASC, rhs ASC) is fused by greedy
+# left-to-right non-overlapping replacement. FULL oracle: the K rounds
+# unrolled mechanically (one CTE block per round, generated below) on
+# the long (word, position, symbol) form — the greedy fold on the
+# Spark side equals "odd offsets within each run of consecutive match
+# positions" on the SQL side, a pinned test property.
+# ---------------------------------------------------------------------------
+
+_BPE_K = 8
+
+_BPE_ROUND = r"""
+    p{k} AS (
+      SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, s AS l,
+                   lead(s) OVER (PARTITION BY w ORDER BY i) AS r
+            FROM pos{k})
+      WHERE r IS NOT NULL GROUP BY l, r HAVING SUM(cnt) >= 2
+    ),
+    m{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+    hit{k} AS (
+      SELECT q.w, q.i FROM (
+        SELECT w, i, s AS l2,
+               lead(s) OVER (PARTITION BY w ORDER BY i) AS r2
+        FROM pos{k}
+      ) q JOIN m{k} m ON q.l2 = m.l AND q.r2 = m.r
+    ),
+    tk{k} AS (
+      SELECT w, i FROM (
+        SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+        FROM (SELECT w, i,
+                     i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+              FROM hit{k})
+      ) WHERE rn % 2 = 1
+    ),
+    reb{k} AS (
+      SELECT p.w, p.cnt, p.i, p.s, (t.i IS NOT NULL) AS taken,
+             lead(p.s) OVER (PARTITION BY p.w ORDER BY p.i) AS nxt
+      FROM pos{k} p LEFT JOIN tk{k} t ON p.w = t.w AND p.i = t.i
+    ),
+    pos{k1} AS MATERIALIZED (
+      SELECT w, cnt,
+             CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS BIGINT) AS i,
+             CASE WHEN taken THEN s || nxt ELSE s END AS s
+      FROM (SELECT *, lag(taken, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS ptk
+            FROM reb{k})
+      WHERE NOT ptk
+    )"""
+
+
+def _bpe_oracle(k: int) -> str:
+    rounds = ",".join(_BPE_ROUND.format(k=i, k1=i + 1) for i in range(k))
+    final = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"c AS pair_count FROM m{i}" for i in range(k))
+    return rf"""
+    WITH wrd AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ) WHERE length(w) > 0 GROUP BY w
+    ),
+    pos0 AS MATERIALIZED (
+      SELECT w, cnt, CAST(generate_subscripts(chars, 1) AS BIGINT) AS i,
+             unnest(chars) AS s
+      FROM (SELECT w, cnt,
+                   list_transform(range(1, length(w) + 1),
+                                  j -> substr(w, CAST(j AS INT), 1)) AS chars
+            FROM wrd)
+    ),{rounds}
+    SELECT * FROM (
+      {final}
+    )
+    """
+
+
+@register("x37_bpe_merges", _bpe_oracle(_BPE_K))
+def x37_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_train(T(spark, sf_dir, "documents"), k=_BPE_K, min_count=2)

@@ -2112,3 +2112,86 @@ class TestSelectionPipeline:
             text.charlm_calibrate(empty)
         with _pytest.raises(ValueError, match="no scorable"):
             text.dsir_calibrate(empty, some)
+
+
+class TestBpeTrain:
+    def _ref_bpe(self, word_counts, k, min_count=2):
+        """Independent single-node BPE (Sennrich alg. 1, dict-based):
+        the equivalence reference for the distributed operator."""
+        words = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        for rank in range(k):
+            pairs = {}
+            for syms, c in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            pairs = {p: c for p, c in pairs.items() if c >= min_count}
+            if not pairs:
+                break
+            (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, c))
+            new = {}
+            for syms, cnt in words.items():
+                out, i = [], 0
+                while i < len(syms):          # greedy left-to-right
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + cnt
+            words = new
+        return merges
+
+    def _train(self, spark, docs, k, min_count=2):
+        rows = text.bpe_train(docs, k=k, min_count=min_count).collect()
+        return [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+                for r in sorted(rows)]
+
+    def test_matches_reference_bpe(self, spark):
+        """Distributed merge table == the classic single-node algorithm
+        on a corpus with ties, runs, and multi-char merges."""
+        corpus = ["low low low low low", "lower lower newest newest",
+                  "newest newest newest newest", "widest widest widest"]
+        docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                     "doc_id long, text string")
+        wc = {}
+        for t in corpus:
+            for w in t.split():
+                wc[w] = wc.get(w, 0) + 1
+        assert self._train(spark, docs, 8) == self._ref_bpe(wc, 8)
+
+    def test_greedy_overlap_runs(self, spark):
+        """Overlap semantics: 'aaa' merges once (aa,a), 'aaaa' twice —
+        the fold must not re-merge a freshly fused symbol."""
+        docs = spark.createDataFrame(
+            [(1, "aaa aaa"), (2, "aaaa aaaa"), (3, "aa")],
+            "doc_id long, text string")
+        wc = {"aaa": 2, "aaaa": 2, "aa": 1}
+        got = self._train(spark, docs, 4, min_count=1)
+        assert got == self._ref_bpe(wc, 4, min_count=1)
+        # round 0 merges (a,a); count = 2·2 + 3·2 + 1 adjacent pairs
+        assert got[0] == (0, "a", "a", 11)
+
+    def test_early_stop_and_validation(self, spark):
+        import pytest as _pytest
+
+        docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+        # every pair occurs once < min_count=2: zero merges learned
+        assert self._train(spark, docs, 5) == []
+        with _pytest.raises(ValueError, match="k must"):
+            text.bpe_train(docs, k=0)
+
+    def test_encode_compresses_with_learned_merges(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "low low lowest"), (2, None), (3, "low")],
+            "doc_id long, text string")
+        merges = text.bpe_train(docs, k=3, min_count=2)
+        enc = {r["doc_id"]: (r["n_words"], r["n_symbols"])
+               for r in text.bpe_encode(docs, merges).collect()}
+        assert 2 not in enc                      # NULL text: no words
+        assert enc[1][0] == 3
+        # 'low' appears 3x -> (l,o) then (lo,w) learned: 'low' is ONE
+        # symbol, 'lowest' = low+e+s+t = 4
+        assert enc[1][1] == 1 + 1 + 4 and enc[3] == (1, 1)
