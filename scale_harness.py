@@ -222,10 +222,13 @@ def _task_straggler(spark, since_stage: int) -> dict:
         except Exception:
             continue
         med, mx = q["executorRunTime"]
-        if mx > worst["task_max_ms"]:
+        # worst RATIO wins (a uniform scan stage has the biggest max but
+        # ratio ~1 — the skew evidence is the ratio); 100 ms floor so a
+        # 2ms/40ms noise stage can't post a fake 20x
+        ratio = mx / max(med, 1.0)
+        if mx >= 100.0 and ratio > worst["straggler"]:
             worst = {"stage": sid, "task_median_ms": round(med, 1),
-                     "task_max_ms": round(mx, 1),
-                     "straggler": round(mx / max(med, 1.0), 2)}
+                     "task_max_ms": round(mx, 1), "straggler": round(ratio, 2)}
     return worst
 
 
@@ -609,8 +612,19 @@ def measure_hotgram(spark, base: str, factor: int) -> list[dict]:
     from spaceparts_data_pipeline_spark.operators import text as T
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                              "64MB")
     rows = []
     try:
+        # AQE's 64MB advisory would coalesce this fixture's whole gram
+        # exchange into a handful of partitions (total gram bytes at Nx
+        # ≈ a few hundred MB), hiding the hot hash inside a uniform
+        # 64MB bin. 1MB keeps the per-partition byte contract CONSTANT
+        # while data grows — the same scale-model trick as scaling the
+        # partition count — so the indivisible hot partition (≈24MB at
+        # 16x) stands against a ~1MB median exactly as a 30GB hot gram
+        # stands against 64MB partitions at 100 TB.
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
         for scale, mult in (("x1", 1), (f"x{factor}", factor)):
             path = _hotgram_docs(spark, base, scale)
             docs = spark.read.parquet(path)
@@ -646,6 +660,8 @@ def measure_hotgram(spark, base: str, factor: int) -> list[dict]:
                           "diff": 0}), flush=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       prev_adv)
     by = {(r["scale"], r["route"]): r for r in rows}
     print("\n| route | scale | sec | task med ms | task max ms | straggler |")
     print("|---|---|---|---|---|---|")
