@@ -252,8 +252,24 @@ def run_corpus_ingest(
         else:
             raise ValueError(f"unknown quality_rules: {quality_rules!r}")
     staged = staged.withColumn(text_col, text.redact_pii(text_col))
-    staged = staged.persist()
-    persisted.append(staged)
+    if quality_gate and quality_rules in ("charlm", "charlm+dsir"):
+        # the model gates nest corpus-scale aggregate subtrees (the LM
+        # model / DSIR ratio chains) inside staged's logical plan;
+        # every downstream stage frame inherits that tree, and
+        # CacheManager's cascade walk at unpersist time re-canonicalizes
+        # those trees against every cached entry — measured ~30 s of
+        # pure DRIVER time per batch (probe: 4 frames × 1-12 s each).
+        # localCheckpoint materializes the same data (it persists the
+        # RDD) AND cuts the logical lineage to a leaf, so downstream
+        # plans stay small and their cache ops stay milliseconds;
+        # replay safety is unchanged (the funnel is idempotent per
+        # batch, so losing checkpoint blocks means re-running the
+        # batch, not corruption). The blocks are released by the
+        # ContextCleaner once the frame goes out of scope.
+        staged = staged.localCheckpoint()
+    else:
+        staged = staged.persist()
+        persisted.append(staged)
     stats["after_quality"] = staged.count()
     stats["sec_quality_redact"] = _tick()
 
@@ -395,6 +411,7 @@ def run_corpus_ingest(
     finally:
         for df in persisted:
             df.unpersist()
+        stats["sec_unpersist"] = _tick()
     return stats
 
 
