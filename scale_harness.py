@@ -102,6 +102,11 @@ OPS = [
     # initial word-count exchange scaling ~linearly and the per-round
     # cost scaling with the word VOCABULARY (sublinear), not the corpus
     "x37_bpe_merges",
+    # round-11: IVF-PQ — codebooks/LUT broadcast, encode collapses its
+    # x k_pq fan-out map-side, scoring explodes only PROBED rows x m
+    # and partial-combines to (query, neighbor); expected Nx shape is
+    # the linear encode pass dominating
+    "e06_knn_ivf_pq",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")

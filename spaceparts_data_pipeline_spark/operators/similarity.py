@@ -684,3 +684,217 @@ def semdedup(
     )
     return embedding_near_dup(docs, embs, doc_id_col=doc_id_col,
                               vec_id_col=vec_id_col, pairs=pairs)
+
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² with elementwise double cast (sequential fold — the
+    same fixed association order as the SQL oracle's list_sum)."""
+    d = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double")))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_pq: int = 16,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector space
+    into ``m`` contiguous subspaces of ``dim/m`` dims; per subspace,
+    learn ``k_pq`` centroids. Deterministic end to end — seeds are the
+    ``k_pq`` corpus vectors with the smallest md5(id) (the
+    :func:`select_centroids` trick, one sample shared by all
+    subspaces), refinement is per-(subspace, code) Lloyd with the
+    decimal per-position mean (order-independent, bit-identical under
+    any partitioning — the e04b property, which is what keeps a FULL
+    SQL oracle possible for the whole IVF-PQ pipeline).
+
+    Output: (sub, code, sub_cv) — m·k_pq rows, always broadcastable.
+    ``code`` is the seed vector's source id (stable, oracle-friendly).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+    seeds = select_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                             n_centroids=k_pq)
+    slices = F.array(*[
+        F.slice("__cv", j * d_sub + 1, d_sub) for j in range(m)])
+    book = seeds.select(
+        F.col("centroid_id").alias("code"),
+        F.posexplode(slices).alias("sub", "sub_cv"))
+    if not kmeans_iters:
+        return book.select("sub", "code", "sub_cv")
+
+    from spaceparts_data_pipeline_spark.functions.scalars import davg
+
+    sub_vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(F.array(*[
+            F.slice(vec_col, j * d_sub + 1, d_sub) for j in range(m)])
+        ).alias("sub", "__sv"))
+    for _ in range(kmeans_iters):
+        assign_ord = F.struct((-F.col("__d")).alias("s"),
+                              (-F.col("code")).alias("t"))
+        codes = (
+            sub_vecs.join(F.broadcast(book), "sub")
+            .withColumn("__d", _sq_l2(F.col("__sv"), F.col("sub_cv")))
+            .groupBy("__vid", "sub")
+            .agg(F.max_by(F.struct(F.col("code"), F.col("__sv")),
+                          assign_ord).alias("__best"))
+            .select("sub", F.col("__best.code").alias("code"),
+                    F.col("__best.__sv").alias("__sv"))
+        )
+        means = (
+            codes.select("sub", "code", F.posexplode("__sv").alias("__pos", "__val"))
+            .groupBy("sub", "code", "__pos")
+            .agg(davg(F.col("__val"), "__m", scale=12))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"))
+            .select("sub", "code",
+                    F.transform("__pm", lambda s: s["__m"]).alias("__mv"))
+        )
+        book = (
+            book.join(means, ["sub", "code"], "left")
+            .select("sub", "code",
+                    F.coalesce("__mv", "sub_cv").alias("sub_cv"))
+        )
+    return book
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_pq: int = 16,
+    pq_iters: int = 1,
+) -> DataFrame:
+    """IVF-PQ approximate kNN (Jégou et al. 2011's IVFADC, without
+    residual encoding): coarse-quantize the corpus into ``n_centroids``
+    IVF cells (the e04 seed quantizer — :func:`select_centroids` +
+    :func:`assign_cells`), PQ-encode every vector into ``m`` byte-sized
+    codes against :func:`pq_codebooks`, then answer each query by
+    asymmetric distance computation (ADC) over its ``n_probe`` nearest
+    cells: approx cosine = Σⱼ ⟨qⱼ, c⟨j,codeⱼ⟩⟩ / (|q| · √Σⱼ|c⟨j,codeⱼ⟩|²)
+    — the numerator from a per-query lookup table of sub-dot-products,
+    the denominator's corpus part from the codebook alone. The full
+    vector is never touched at query time.
+
+    Scale shape (100 TB): the INDEX the query side scans is
+    (id, cell, m codes) — m bytes of codes per vector instead of
+    dim×4 of floats (32× smaller at dim=64/m=8), the classic PQ memory
+    win; codebooks (m·k_pq rows) and the per-query LUT (n_q·m·k_pq)
+    broadcast; encoding is one broadcast-join pass whose ×k_pq fan-out
+    collapses map-side (max_by argmin — no window); scoring explodes
+    only PROBED rows ×m and partial-combines to (query, neighbor)
+    before the one exchange. Residual encoding (PQ on x − coarse
+    centroid) raises recall at the same code budget and composes here
+    as "subtract the broadcast cell centroid before encode/LUT"; kept
+    out so the FULL oracle stays one page — at production recall
+    targets, raise n_probe/k_pq first (they're cheap: LUT-side only).
+
+    Output: (query_id, neighbor_id, knn_rank, adc_sim) — adc_sim is
+    the ADC cosine APPROXIMATION (named honestly; e01 is the exact
+    oracle twin for recall measurement).
+
+    Quality caveat, measured: PQ assumes the corpus HAS neighbor
+    structure. On the synthetic isotropic embeddings fixture the mean
+    relative reconstruction error is 0.78 and true top-3 cosines sit
+    at the noise floor (~0.3), so ADC recall collapses there by
+    construction (ADC-vs-true correlation 0.63 — the scores track,
+    the ranking can't); on planted-cluster data recall is ≥0.9
+    (`tests: TestIvfPq`). At production embedding dims/structure the
+    usual knobs apply: raise k_pq (LUT-side cost only), raise m, or
+    add residual encoding.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+    book = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+                        m=m, k_pq=k_pq, kmeans_iters=pq_iters)
+    book = book.withColumn(
+        "__c2",
+        F.aggregate(F.transform("sub_cv",
+                                lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x))
+
+    # coarse IVF cells (e04's seed quantizer, verbatim machinery)
+    cents = select_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                             n_centroids=n_centroids)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__nv"))
+    assigned = assign_cells(c, cents)
+
+    # PQ-encode the corpus: argmin L2 per (vector, subspace)
+    enc_ord = F.struct((-F.col("__d")).alias("s"), (-F.col("code")).alias("t"))
+    codes = (
+        assigned.select(
+            "neighbor_id", "centroid_id",
+            F.posexplode(F.array(*[
+                F.slice("__nv", j * d_sub + 1, d_sub) for j in range(m)])
+            ).alias("sub", "__sv"))
+        .join(F.broadcast(book.select("sub", "code", "sub_cv")), "sub")
+        .withColumn("__d", _sq_l2(F.col("__sv"), F.col("sub_cv")))
+        .groupBy("neighbor_id", "centroid_id", "sub")
+        .agg(F.max_by(F.col("code"), enc_ord).alias("code"))
+    )
+
+    # query side: probes (e04's window) + the ADC lookup table
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("__qcos"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qcos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    # per-term 6dp rounding + decimal sums: the (query, neighbor) agg
+    # adds m doubles whose IEEE order Spark doesn't fix — the d23/d24
+    # pattern (round each term, sum exactly) keeps the ADC score
+    # bit-identical across engines and partitionings
+    lut = (
+        q.select("query_id",
+                 norm(F.col("__qv")).alias("__qn"),
+                 F.posexplode(F.array(*[
+                     F.slice("__qv", j * d_sub + 1, d_sub) for j in range(m)])
+                 ).alias("sub", "__qs"))
+        .join(F.broadcast(book), "sub")
+        .select("query_id", "__qn", "sub", "code",
+                F.round(dot(F.col("__qs"), F.col("sub_cv")), 6).alias("__dot6"),
+                F.round("__c2", 6).alias("__c26"))
+    )
+
+    from spaceparts_data_pipeline_spark.functions.scalars import dsum
+
+    scored = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum(F.col("__dot6"), "__num"),
+             dsum(F.col("__c26"), "__den2"),
+             F.first("__qn").alias("__qn"))
+        .withColumn("__adc", F.col("__num") / (F.col("__qn") * F.sqrt("__den2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__adc"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank",
+                F.round("__adc", 6).alias("adc_sim"))
+    )

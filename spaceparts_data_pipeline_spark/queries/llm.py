@@ -2273,3 +2273,151 @@ def _bpe_oracle(k: int) -> str:
 @register("x37_bpe_merges", _bpe_oracle(_BPE_K))
 def x37_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train(T(spark, sf_dir, "documents"), k=_BPE_K, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# e06 — IVF-PQ kNN (Jégou et al. 2011): the memory-compression ANN leg
+# next to brute force (e01), hyperplane LSH (e03/e03b), and IVF-flat
+# (e04/e04b). Coarse IVF cells prune the corpus; product-quantization
+# codes (m=8 subspaces × 16 codes, one decimal-Lloyd pass) replace the
+# vectors at query time; scoring is ADC over a broadcast lookup table.
+# FULL oracle: every stage is deterministic (md5-sample seeds, decimal
+# per-position means, fixed-order IEEE folds, 6dp-rounded ADC terms
+# with decimal sums), so DuckDB replays seeds → per-subspace codebooks
+# → refinement → encode → probe → LUT → ADC rank bit-identically.
+# ---------------------------------------------------------------------------
+
+_SUBV = ("list_transform(range(1, 9), i -> "
+         "CAST({v}[j*8 + CAST(i AS INT)] AS DOUBLE))")
+_SQD = ("list_sum(list_transform(range(1, 9), i -> "
+        "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+_SDOT = "list_sum(list_transform(range(1, 9), i -> {a}[i] * {b}[i]))"
+
+
+@register(
+    "e06_knn_ivf_pq",
+    f"""
+    WITH pqseeds AS (
+      SELECT vec_id AS code, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    book0 AS MATERIALIZED (
+      SELECT j AS sub, code, {_SUBV.format(v='cv')} AS sub_cv
+      FROM pqseeds CROSS JOIN range(0, 8) t(j)
+    ),
+    subvecs AS MATERIALIZED (
+      SELECT e.vec_id, j AS sub, {_SUBV.format(v='e.embedding')} AS sv
+      FROM embeddings e CROSS JOIN range(0, 8) t(j)
+    ),
+    codes0 AS (
+      SELECT vec_id, sub, code, sv FROM (
+        SELECT s.vec_id, s.sub, b.code, s.sv,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_SQD.format(a='s.sv', b='b.sub_cv')} ASC, b.code ASC
+               ) AS r
+        FROM subvecs s JOIN book0 b USING (sub)
+      ) WHERE r = 1
+    ),
+    bvals AS (
+      SELECT sub, code, i AS pos, sv[i] AS val
+      FROM codes0 CROSS JOIN range(1, 9) t(i)
+    ),
+    bmeans AS (
+      SELECT sub, code, pos,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mval
+      FROM bvals GROUP BY sub, code, pos
+    ),
+    book AS MATERIALIZED (
+      SELECT b.sub, b.code, COALESCE(mv.mcv, b.sub_cv) AS sub_cv
+      FROM book0 b LEFT JOIN (
+        SELECT sub, code, list(mval ORDER BY pos) AS mcv
+        FROM bmeans GROUP BY sub, code
+      ) mv USING (sub, code)
+    ),
+    bookn AS MATERIALIZED (
+      SELECT sub, code, sub_cv,
+             round({_SDOT.format(a='sub_cv', b='sub_cv')}, 6) AS c26
+      FROM book
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, b.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_SQD.format(a='s.sv', b='b.sub_cv')} ASC, b.code ASC
+               ) AS r
+        FROM subvecs s JOIN book b USING (sub)
+      ) WHERE r = 1
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 20
+      ) WHERE r <= 4
+    ),
+    qn AS (
+      SELECT vec_id AS query_id,
+             sqrt(list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS qnorm
+      FROM embeddings WHERE vec_id < 20
+    ),
+    qsubs AS (
+      SELECT q.vec_id AS query_id, j AS sub, {_SUBV.format(v='q.embedding')} AS qs
+      FROM embeddings q CROSS JOIN range(0, 8) t(j) WHERE q.vec_id < 20
+    ),
+    lut AS MATERIALIZED (
+      SELECT s.query_id, b.sub, b.code,
+             round({_SDOT.format(a='s.qs', b='b.sub_cv')}, 6) AS dot6,
+             b.c26
+      FROM qsubs s JOIN bookn b USING (sub)
+    ),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             CAST(CAST(SUM(CAST(l.dot6 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(SUM(CAST(l.c26 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS den2
+      FROM codes c
+      JOIN assigned a USING (neighbor_id)
+      JOIN probes p USING (centroid_id)
+      JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+      WHERE p.query_id <> c.neighbor_id
+      GROUP BY p.query_id, c.neighbor_id
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             s.num / (qn.qnorm * sqrt(s.den2)) AS adc,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY s.num / (qn.qnorm * sqrt(s.den2)) DESC, s.neighbor_id
+             ) AS rnk
+      FROM scored s JOIN qn USING (query_id)
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS knn_rank,
+           round(adc, 6) AS adc_sim
+    FROM rr WHERE rnk <= 3
+    """,
+)
+def e06_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return similarity.knn_ivf_pq(e, q, k=3, n_centroids=16, n_probe=4,
+                                 m=8, k_pq=16, pq_iters=1)
