@@ -329,11 +329,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   r06 (5-stale at r11, the next tranche): d04, d05, d11, d15, e03,
 #        e04, x30, x31, x32, x33
 #   NEW, first-appearance DEFERRED once: e06_knn_ivf_pq (IVF-PQ kNN,
-#        Jégou et al. 2011 — FULL oracle, added late r11 after the
-#        15-slot staleness drain left no window slot; the local parity
-#        suite checks it at sf0.01 + the sf0.1 stretch every round,
-#        and it MUST rotate in r12 when the drained tranche frees
-#        slots)
+#        Jégou et al. 2011 — FULL oracle) and x38_bpe_encode (learned-
+#        merge BPE encoding, FULL oracle sharing x37's unrolled
+#        training chain) — both added late r11 after the 15-slot
+#        staleness drain left no window slot; the local parity suite
+#        checks both at sf0.01 + the sf0.1 stretch every round, and
+#        they MUST rotate in r12 when the drained tranche frees slots
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q02_dim_customer_enrich", "q03_top_revenue_orders",

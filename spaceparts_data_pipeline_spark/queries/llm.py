@@ -2421,3 +2421,53 @@ def e06_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20)
     return similarity.knn_ivf_pq(e, q, k=3, n_centroids=16, n_probe=4,
                                  m=8, k_pq=16, pq_iters=1)
+
+
+# ---------------------------------------------------------------------------
+# x38 — BPE ENCODE with the learned merge table: train x37's K merges,
+# then replay them over the corpus (k nested greedy folds, JVM-side)
+# and report per-doc word/symbol counts — the compression the learned
+# vocabulary achieves. FULL oracle: x37's unrolled training chain
+# already carries every distinct word's final symbol stream in
+# pos{K}; encoding is word-deterministic, so the per-doc symbol count
+# is just the doc's word stream joined to per-word encoded lengths.
+# ---------------------------------------------------------------------------
+
+def _bpe_encode_oracle(k: int) -> str:
+    rounds = ",".join(_BPE_ROUND.format(k=i, k1=i + 1) for i in range(k))
+    return rf"""
+    WITH wrd AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ) WHERE length(w) > 0 GROUP BY w
+    ),
+    pos0 AS MATERIALIZED (
+      SELECT w, cnt, CAST(generate_subscripts(chars, 1) AS BIGINT) AS i,
+             unnest(chars) AS s
+      FROM (SELECT w, cnt,
+                   list_transform(range(1, length(w) + 1),
+                                  j -> substr(w, CAST(j AS INT), 1)) AS chars
+            FROM wrd)
+    ),{rounds},
+    wlen AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS enc_len FROM pos{k} GROUP BY w
+    ),
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ) WHERE length(w) > 0
+    )
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.enc_len) AS BIGINT) AS n_symbols
+    FROM docw d JOIN wlen wl USING (w)
+    GROUP BY d.doc_id
+    """
+
+
+@register("x38_bpe_encode", _bpe_encode_oracle(_BPE_K))
+def x38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    merges = text.bpe_train(d, k=_BPE_K, min_count=2)
+    return text.bpe_encode(d, merges)
