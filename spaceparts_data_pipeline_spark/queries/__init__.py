@@ -203,6 +203,13 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # a row-count check on top of the local suite — the d07/d08 policy
 # (don't spend window slots on weak evidence) applies; its quantile
 # semantics are pinned by the local parity suite every round.
+# Round 11 closes the family's evidence gap a different way:
+# x18b_exact_quantiles (F.percentile vs DuckDB quantile_cont — same
+# linear interpolation, FULL value-hash oracle, green at sf0.01 AND
+# the sf0.1 stretch) gives the quantile FAMILY a full-oracle query;
+# only the sketch variants remain property-checked. x18b rotates into
+# the r12 window with e06/x38 (the first-appearance deferral note
+# below).
 # OUT, coverage retained transitively, all r09 full-hash green (so
 # ≤1-round-stale driver evidence through r11):
 #   q01 (G-family group-agg summary — the agg body is q15/q16/q17's
@@ -331,10 +338,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   NEW, first-appearance DEFERRED once: e06_knn_ivf_pq (IVF-PQ kNN,
 #        Jégou et al. 2011 — FULL oracle) and x38_bpe_encode (learned-
 #        merge BPE encoding, FULL oracle sharing x37's unrolled
-#        training chain) — both added late r11 after the 15-slot
-#        staleness drain left no window slot; the local parity suite
-#        checks both at sf0.01 + the sf0.1 stretch every round, and
-#        they MUST rotate in r12 when the drained tranche frees slots
+#        training chain) and x18b_exact_quantiles (exact-percentile
+#        full-oracle twin closing the x18 family gap) — all added late
+#        r11 after the 15-slot staleness drain left no window slot;
+#        the local parity suite checks each at sf0.01 + the sf0.1
+#        stretch every round (all green on first run), and they MUST
+#        rotate in r12 when the drained tranche frees slots
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q02_dim_customer_enrich", "q03_top_revenue_orders",

@@ -1310,3 +1310,37 @@ def p01_silver_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ded = dedup_latest(std, order_col="ts", keys=["user_id", "event_type"], tie_breakers=["event_id"])
     out = watermark_scan(ded, "ts", "2024-01-10T00:00:00")
     return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# x18b — EXACT quantiles twin of x18: F.percentile (linear-interpolated,
+# deterministic) vs DuckDB quantile_cont — the same interpolation
+# formula on the same doubles, so unlike the sketch-based x18 this one
+# carries a FULL value-hash oracle (6dp-rounded at the boundary, the
+# engine convention for derived doubles). Keeps x18's weak-evidence
+# exclusion honest: the quantile FAMILY now has a full-oracle driver
+# row, and only the sketch variants stay property-checked.
+# ---------------------------------------------------------------------------
+
+@register(
+    "x18b_exact_quantiles",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def x18b_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+    )
