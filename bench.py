@@ -70,6 +70,11 @@ CORPUS = [
     "d23_charlm_quality",
     "d24_dsir_importance",
     "c02_selection_pipeline",
+    # round 11: BPE merge training (K vocab-bounded rounds driven by
+    # per-round argmax collects — eager, so rebuild-inside-timer) and
+    # the IVF-PQ ANN path (codebook training + encode + ADC rank)
+    "x37_bpe_merges",
+    "e06_knn_ivf_pq",
 ]
 
 

@@ -287,3 +287,63 @@ def test_d25_c02_scale_shapes(spark, sf_oracle):
     assert all("__sub" in l or "source" in l for l in win), win
     exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exch and all("text#" not in l for l in exch), exch
+
+
+def test_x37_bpe_round_shape(spark, sf_oracle):
+    """One BPE training round's pair-count plan must partial-combine
+    map-side (explode → partial_count before the exchange), carry no
+    Window, and never shuffle word text beyond the vocab-bounded gram
+    rows; the merge application must stay pure codegen (no Python, no
+    join). Probed on the round-0 frames the operator actually builds."""
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    t = F.trim(F.col("text"))
+    words = (
+        docs.filter(F.col("text").isNotNull() & (F.length(t) > 0))
+        .select(F.explode(F.split(t, r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w", "cnt", F.split("w", "").alias("syms"))
+    )
+    n_pairs = F.greatest(F.size("syms") - F.lit(1), F.lit(0))
+    pair = F.zip_with(
+        F.slice("syms", F.lit(1), n_pairs), F.slice("syms", F.lit(2), n_pairs),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    top = (words.select("cnt", F.explode(pair).alias("p"))
+           .groupBy("p.l", "p.r").agg(F.sum("cnt").alias("c"))
+           .orderBy(F.desc("c"), "l", "r").limit(1))
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" not in plan and "Python" not in plan
+
+    merged = words.withColumn("syms", F.aggregate(
+        "syms", F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit("a")) & (s == F.lit("b")),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                     F.array(F.lit("ab")))).otherwise(F.concat(acc, F.array(s)))))
+    mplan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in mplan and "Python" not in mplan
+
+
+def test_e06_ivf_pq_scale_shape(spark, sf_oracle):
+    """IVF-PQ's 100-TB contract: codebooks/probes/LUT broadcast (every
+    BroadcastNestedLoopJoin a deliberate Cross against a bounded
+    frame), the encode argmin partial-combines map-side (partial_max_by
+    — never a per-(vector, subspace) window), no CartesianProduct, and
+    the only Window is the final per-query top-k rank."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    plan = llm.QUERIES["e06_knn_ivf_pq"](spark, sf_oracle) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_max_by" in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    win = [l for l in plan.splitlines() if l.strip().startswith("Window")]
+    assert all("query_id" in l for l in win), win
