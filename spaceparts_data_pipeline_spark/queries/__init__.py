@@ -338,8 +338,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   NEW, first-appearance DEFERRED once: e06_knn_ivf_pq (IVF-PQ kNN,
 #        Jégou et al. 2011 — FULL oracle) and x38_bpe_encode (learned-
 #        merge BPE encoding, FULL oracle sharing x37's unrolled
-#        training chain) and x18b_exact_quantiles (exact-percentile
-#        full-oracle twin closing the x18 family gap) — all added late
+#        training chain), x18b_exact_quantiles (exact-percentile
+#        full-oracle twin closing the x18 family gap), and
+#        d25b_semdedup_auto (the auto-scaled-k SemDeDup path with
+#        a FULL oracle — k = max(16, ceil(sqrt(n))) is one SQL
+#        scalar, so the driver can value-check the production
+#        default, not just the pinned-16 replay) — all added late
 #        r11 after the 15-slot staleness drain left no window slot;
 #        the local parity suite checks each at sf0.01 + the sf0.1
 #        stretch every round (all green on first run), and they MUST

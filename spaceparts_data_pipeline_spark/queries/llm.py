@@ -2471,3 +2471,81 @@ def x38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     merges = text.bpe_train(d, k=_BPE_K, min_count=2)
     return text.bpe_encode(d, merges)
+
+
+# ---------------------------------------------------------------------------
+# d25b — SemDeDup with the AUTO-SCALED k (the r10 verdict's fix made
+# driver-checkable): n_centroids="auto" = max(16, ceil(sqrt(n))) is
+# itself one SQL scalar, so the oracle computes the same k from the
+# same COUNT and replays d25's full chain (seed sample -> decimal-Lloyd
+# refinement -> cell self-join -> min-id survivor) at that k. This
+# upgrades the auto path from unit-pinned (blocking-subset-of-exact)
+# to FULL value-hash driver evidence; d25 keeps the fixed-16 pin so
+# both the explicit and auto APIs stay covered.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d25b_semdedup_auto",
+    f"""
+    WITH kk AS (
+      SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+      FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+      SELECT centroid_id, cv FROM (
+        SELECT vec_id AS centroid_id, embedding AS cv,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) CROSS JOIN kk WHERE rn <= kk.k
+    ),
+    assigned0 AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    vals AS (
+      SELECT centroid_id, i AS pos, CAST(nv[i] AS DOUBLE) AS val
+      FROM assigned0 CROSS JOIN range(1, 65) t(i)
+    ),
+    means AS (
+      SELECT centroid_id, pos,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      FROM vals GROUP BY centroid_id, pos
+    ),
+    refined AS MATERIALIZED (
+      SELECT c.centroid_id, COALESCE(mv.cv, c.cv) AS cv
+      FROM cents c LEFT JOIN (
+        SELECT centroid_id, list(m ORDER BY pos) AS cv FROM means GROUP BY centroid_id
+      ) mv USING (centroid_id)
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN refined c
+      ) WHERE r = 1
+    ),
+    p AS (
+      SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             {_COS.format(a='a.nv', b='b.nv')} AS cos
+      FROM assigned a JOIN assigned b USING (centroid_id)
+      WHERE a.neighbor_id < b.neighbor_id
+    ),
+    d AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM p WHERE cos >= 0.35 GROUP BY id_b)
+    SELECT doc.doc_id, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+    FROM documents doc LEFT JOIN d USING (doc_id)
+    """,
+)
+def d25b_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    embs = T(spark, sf_dir, "embeddings")
+    return similarity.semdedup(docs, embs, threshold=0.35, kmeans_iters=1)
