@@ -107,6 +107,7 @@ OPS = [
     # and partial-combines to (query, neighbor); expected Nx shape is
     # the linear encode pass dominating
     "e06_knn_ivf_pq",
+    "e06b_knn_ivf_pq_residual",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")

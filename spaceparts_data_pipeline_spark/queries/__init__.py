@@ -340,7 +340,9 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #        merge BPE encoding, FULL oracle sharing x37's unrolled
 #        training chain), x18b_exact_quantiles (exact-percentile
 #        full-oracle twin closing the x18 family gap), and
-#        d25b_semdedup_auto (the auto-scaled-k SemDeDup path with
+#        e06b_knn_ivf_pq_residual (IVFADC proper — residual PQ,
+#        L2 ADC, FULL oracle; planted-cluster recall >= flat PQ
+#        pinned in tests), d25b_semdedup_auto (the auto-scaled-k SemDeDup path with
 #        a FULL oracle — k = max(16, ceil(sqrt(n))) is one SQL
 #        scalar, so the driver can value-check the production
 #        default, not just the pinned-16 replay) — all added late

@@ -2549,3 +2549,146 @@ def d25b_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     embs = T(spark, sf_dir, "embeddings")
     return similarity.semdedup(docs, embs, threshold=0.35, kmeans_iters=1)
+
+
+# ---------------------------------------------------------------------------
+# e06b — IVFADC proper (residual PQ): codes quantize x − c(cell), the
+# per-(query, probed-cell) LUT holds ‖(q−c)ⱼ − codewordⱼ‖², candidates
+# rank by approximate L2 (ascending). Same determinism toolkit as e06,
+# so the FULL oracle replays coarse-assign → residuals → residual
+# codebooks (+1 decimal-Lloyd pass) → encode → probe → per-cell LUT →
+# summed distance rank.
+# ---------------------------------------------------------------------------
+
+_RESV = ("list_transform(range(1, 65), i -> "
+         "CAST({x}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))")
+_RSUBV = ("list_transform(range(1, 9), i -> {v}[j*8 + CAST(i AS INT)])")
+
+
+@register(
+    "e06b_knn_ivf_pq_residual",
+    f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    res AS MATERIALIZED (
+      SELECT a.neighbor_id, a.centroid_id,
+             {_RESV.format(x='e.embedding', c='c.cv')} AS rv
+      FROM assigned a
+      JOIN embeddings e ON e.vec_id = a.neighbor_id
+      JOIN cents c USING (centroid_id)
+    ),
+    pqseeds AS (
+      SELECT neighbor_id AS code, rv FROM res
+      ORDER BY md5(CAST(neighbor_id AS VARCHAR)), neighbor_id LIMIT 16
+    ),
+    book0 AS MATERIALIZED (
+      SELECT j AS sub, code, {_RSUBV.format(v='rv')} AS sub_cv
+      FROM pqseeds CROSS JOIN range(0, 8) t(j)
+    ),
+    subvecs AS MATERIALIZED (
+      SELECT r.neighbor_id, j AS sub, {_RSUBV.format(v='r.rv')} AS sv
+      FROM res r CROSS JOIN range(0, 8) t(j)
+    ),
+    codes0 AS (
+      SELECT neighbor_id, sub, code, sv FROM (
+        SELECT s.neighbor_id, s.sub, b.code, s.sv,
+               row_number() OVER (
+                 PARTITION BY s.neighbor_id, s.sub
+                 ORDER BY {_SQD.format(a='s.sv', b='b.sub_cv')} ASC, b.code ASC
+               ) AS r
+        FROM subvecs s JOIN book0 b USING (sub)
+      ) WHERE r = 1
+    ),
+    bvals AS (
+      SELECT sub, code, i AS pos, sv[i] AS val
+      FROM codes0 CROSS JOIN range(1, 9) t(i)
+    ),
+    bmeans AS (
+      SELECT sub, code, pos,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mval
+      FROM bvals GROUP BY sub, code, pos
+    ),
+    book AS MATERIALIZED (
+      SELECT b.sub, b.code, COALESCE(mv.mcv, b.sub_cv) AS sub_cv
+      FROM book0 b LEFT JOIN (
+        SELECT sub, code, list(mval ORDER BY pos) AS mcv
+        FROM bmeans GROUP BY sub, code
+      ) mv USING (sub, code)
+    ),
+    codes AS MATERIALIZED (
+      SELECT neighbor_id, sub, code FROM (
+        SELECT s.neighbor_id, s.sub, b.code,
+               row_number() OVER (
+                 PARTITION BY s.neighbor_id, s.sub
+                 ORDER BY {_SQD.format(a='s.sv', b='b.sub_cv')} ASC, b.code ASC
+               ) AS r
+        FROM subvecs s JOIN book b USING (sub)
+      ) WHERE r = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.embedding', b='c.cv')} DESC, c.centroid_id ASC
+               ) AS r
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 20
+      ) WHERE r <= 4
+    ),
+    qres AS (
+      SELECT p.query_id, p.centroid_id,
+             {_RESV.format(x='q.embedding', c='c.cv')} AS qr
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN cents c USING (centroid_id)
+    ),
+    qsubs AS (
+      SELECT query_id, centroid_id, j AS sub, {_RSUBV.format(v='qr')} AS qs
+      FROM qres CROSS JOIN range(0, 8) t(j)
+    ),
+    lut AS MATERIALIZED (
+      SELECT s.query_id, s.centroid_id, b.sub, b.code,
+             round({_SQD.format(a='s.qs', b='b.sub_cv')}, 6) AS d6
+      FROM qsubs s JOIN book b USING (sub)
+    ),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS dist2
+      FROM codes c
+      JOIN assigned a USING (neighbor_id)
+      JOIN probes p USING (centroid_id)
+      JOIN lut l ON l.query_id = p.query_id AND l.centroid_id = a.centroid_id
+                AND l.sub = c.sub AND l.code = c.code
+      WHERE p.query_id <> c.neighbor_id
+      GROUP BY p.query_id, c.neighbor_id
+    ),
+    rr AS (
+      SELECT query_id, neighbor_id, dist2,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS knn_rank,
+           round(sqrt(dist2), 6) AS adc_dist
+    FROM rr WHERE rnk <= 3
+    """,
+)
+def e06b_knn_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return similarity.knn_ivf_pq_residual(e, q, k=3, n_centroids=16,
+                                          n_probe=4, m=8, k_pq=16, pq_iters=1)

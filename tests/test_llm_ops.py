@@ -2264,3 +2264,51 @@ class TestIvfPq:
             similarity.knn_ivf_pq(embs, embs, m=7)
         with _pytest.raises(ValueError, match="divisible"):
             similarity.pq_codebooks(embs, m=7)
+
+    def test_residual_pq_on_planted_clusters(self, spark):
+        """IVFADC's residual encoding: on planted-cluster data the
+        residual variant must recover cluster peers at least as well
+        as flat PQ (residuals concentrate near the origin — the same
+        code budget quantizes them finer, the paper's §III claim)."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        bases = rng.normal(size=(8, 64))
+        rows = []
+        for g in range(8):
+            for i in range(4):
+                v = bases[g] + 0.02 * rng.normal(size=64)
+                rows.append((g * 10 + i, [float(x) for x in v]))
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = embs.filter("vec_id % 10 = 0")
+
+        def recall(df):
+            got = {}
+            for r in df.collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(len(got.get(g * 10, set())
+                           & {g * 10 + i for i in range(1, 4)})
+                       for g in range(8))
+            return hits / 24
+
+        flat = recall(similarity.knn_ivf_pq(
+            embs, q, k=3, n_centroids=8, n_probe=3, m=8, k_pq=8))
+        resid = recall(similarity.knn_ivf_pq_residual(
+            embs, q, k=3, n_centroids=8, n_probe=3, m=8, k_pq=8))
+        assert resid >= flat and resid >= 0.9, (flat, resid)
+
+    def test_residual_pq_output_and_validation(self, spark, sf_small):
+        embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        q = embs.filter("vec_id < 5")
+        out = similarity.knn_ivf_pq_residual(embs, q, k=3).collect()
+        by_q = {}
+        for r in out:
+            assert r["adc_dist"] >= 0 and r["query_id"] != r["neighbor_id"]
+            by_q.setdefault(r["query_id"], []).append((r["knn_rank"], r["adc_dist"]))
+        for rows in by_q.values():
+            rows.sort()
+            dists = [d for _, d in rows]
+            assert dists == sorted(dists)          # rank follows distance
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="divisible"):
+            similarity.knn_ivf_pq_residual(embs, q, m=7)
