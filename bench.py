@@ -75,6 +75,7 @@ CORPUS = [
     # the IVF-PQ ANN path (codebook training + encode + ADC rank)
     "x37_bpe_merges",
     "e06_knn_ivf_pq",
+    "e06b_knn_ivf_pq_residual",
 ]
 
 
