@@ -347,3 +347,22 @@ def test_e06_ivf_pq_scale_shape(spark, sf_oracle):
             assert "Cross" in line, line
     win = [l for l in plan.splitlines() if l.strip().startswith("Window")]
     assert all("query_id" in l for l in win), win
+
+
+def test_e06b_residual_pq_scale_shape(spark, sf_oracle):
+    """Residual IVF-PQ keeps e06's contract plus the extra residual
+    broadcast: no CartesianProduct, encode argmin partial-combines
+    map-side, every BNLJ a deliberate Cross, only the final per-query
+    rank Window."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    plan = llm.QUERIES["e06b_knn_ivf_pq_residual"](spark, sf_oracle) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_max_by" in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    win = [l for l in plan.splitlines() if l.strip().startswith("Window")]
+    assert all("query_id" in l for l in win), win
