@@ -81,6 +81,37 @@ def _split_db(table: str) -> tuple[str | None, str]:
     return None, table
 
 
+def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
+    """Delete ``table``'s default warehouse DIRECTORY iff the catalog
+    has no such table but the directory exists — the object-store crumb
+    a crash leaves between a catalog drop and its location cleanup (or
+    a kill mid-``saveAsTable``). Safe BY THE LAYOUT'S OWN INVARIANT:
+    a ``__staging`` / ``__v{N}`` table only becomes complete by a
+    catalog operation (rename / saveAsTable commit), so a catalog-less
+    directory under one of those names is always an incomplete crumb,
+    never live data. Spark 3.4+ refuses to create a managed table over
+    an existing location (LOCATION_ALREADY_EXISTS), so without this
+    sweep one crumb wedges every subsequent overwrite. Returns True if
+    a directory was removed. Only called for names this module owns."""
+    if spark.catalog.tableExists(table):
+        return False
+    db, t = _split_db(table)
+    db = db or spark.catalog.currentDatabase()
+    loc = None
+    for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
+        if row[0] == "Location":
+            loc = row[1]
+    if not loc:
+        return False
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{loc}/{t.lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    fs.delete(path, True)
+    return True
+
+
 def list_versions(spark: SparkSession, table: str) -> list[int]:
     """Sorted physical version numbers (``{table}__v{N}``) in the catalog."""
     db, t = _split_db(table)
@@ -381,6 +412,7 @@ def overwrite_via_staging(
     pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
     recover_staged_swap(spark, table, retain_versions=retain_versions)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    _clear_orphan_location(spark, staging)
     w = df.write.mode("overwrite")
     if pcols:
         w = w.partitionBy(*pcols)
@@ -400,6 +432,7 @@ def overwrite_via_staging(
             spark.sql(f"MSCK REPAIR TABLE {old}")
     nxt = (cur or 0) + 1
     vt = f"{table}__v{nxt}"
+    _clear_orphan_location(spark, vt)
     spark.sql(f"ALTER TABLE {staging} RENAME TO {vt}")
     if pcols:
         spark.sql(f"MSCK REPAIR TABLE {vt}")

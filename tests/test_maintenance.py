@@ -518,3 +518,39 @@ class TestRecoverAll:
         actions = recover_all(spark)
         assert actions.get("mk") == "dropped_incomplete_staging"
         assert not spark.catalog.tableExists("mk__staging")
+
+
+def test_overwrite_survives_orphan_locations(spark, maint_db):
+    """A crash between a catalog drop and its location cleanup (or a
+    kill mid-saveAsTable) leaves a catalog-less warehouse DIRECTORY
+    under a __staging / __v{N} name; Spark refuses to create a managed
+    table over it (LOCATION_ALREADY_EXISTS), wedging every later
+    overwrite (observed live: a killed harness run wedged the table-
+    backend funnel). overwrite_via_staging must clear such crumbs —
+    they are incomplete by the layout's own invariant — and proceed."""
+    import os
+
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        overwrite_via_staging)
+
+    loc = None
+    for row in spark.sql("DESCRIBE DATABASE maint_db").collect():
+        if row[0] == "Location":
+            loc = row[1].replace("file:", "")
+    assert loc
+    # plant crumbs for BOTH names the overwrite will want
+    for crumb in ("orph_t__staging", "orph_t__v1"):
+        d = os.path.join(loc, crumb)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-zombie.parquet"), "w") as f:
+            f.write("not parquet")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    overwrite_via_staging(spark, "orph_t", df)
+    got = {(r["id"], r["v"]) for r in spark.table("orph_t").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # the crumb contents are gone (no zombie file inside the version dir)
+    vdir = os.path.join(loc, "orph_t__v1")
+    assert not os.path.exists(os.path.join(vdir, "part-zombie.parquet"))
+    # and a second overwrite still works (v2 path is clean)
+    overwrite_via_staging(spark, "orph_t", df.withColumn("v", df.v))
+    assert spark.table("orph_t").count() == 2
