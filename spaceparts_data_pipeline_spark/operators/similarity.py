@@ -663,7 +663,10 @@ def semdedup(
         import math
 
         n_centroids = max(16, math.ceil(math.sqrt(embs.count())))
-    elif not isinstance(n_centroids, int) or n_centroids < 1:
+    elif (isinstance(n_centroids, bool) or not isinstance(n_centroids, int)
+          or n_centroids < 1):
+        # bool is rejected explicitly: isinstance(True, int) holds, and
+        # n_centroids=True would silently run k=1 — one quadratic cell.
         raise ValueError(f"n_centroids must be 'auto' or a positive int, "
                          f"got {n_centroids!r}")
     cents = select_centroids(embs, id_col=vec_id_col, vec_col=vec_col,

@@ -1416,6 +1416,7 @@ def bpe_encode(
     merges: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_unrolled_merges: int = 64,
 ) -> DataFrame:
     """Apply a learned merge table (:func:`bpe_train`'s output) to a
     corpus: per doc, whitespace words → char symbols → every merge
@@ -1424,11 +1425,20 @@ def bpe_encode(
     vocabulary achieves, the metric a tokenizer-training pipeline
     watches per corpus slice.
 
-    The merge table is tiny (k rows) and COLLECTED to the driver, then
-    unrolled into a single chained column expression — k nested folds
-    over each word's symbol array, all JVM-side whole-stage codegen;
-    no join, no shuffle beyond the final per-doc agg (group key is the
-    doc id — unskewable).
+    The merge table is tiny (k rows) and COLLECTED to the driver. Up to
+    ``max_unrolled_merges`` rules it is unrolled into a single chained
+    column expression — k nested folds over each word's symbol array,
+    all JVM-side whole-stage codegen; no join, no shuffle beyond the
+    final per-doc agg (group key is the doc id — unskewable). Catalyst
+    analysis/codegen cost grows with expression DEPTH, so the unroll has
+    a practical k ceiling: past ``max_unrolled_merges`` (default 64,
+    comfortably under where tree-walk cost dominates) the SAME greedy
+    left-to-right pass-per-rule runs as an Arrow-batched ``mapInPandas``
+    kernel with the merge list riding in the closure — per-batch the
+    kernel encodes each DISTINCT word once, so a realistic 32k-merge
+    vocabulary costs O(distinct words × rules-touched) Python work
+    instead of a depth-32k Catalyst tree. Both routes are pass-for-pass
+    identical (pinned by tests), so the choice is purely a cost model.
     """
     ranked = sorted(
         ((r["merge_rank"], r["lhs"], r["rhs"]) for r in merges.collect()))
@@ -1451,13 +1461,44 @@ def bpe_encode(
 
         return step
 
-    syms = F.split("w", "")
-    for _, lhs, rhs in ranked:
-        syms = F.aggregate(syms, F.array().cast("array<string>"),
-                           _merge_fold(lhs, rhs))
+    if len(ranked) <= max_unrolled_merges:
+        syms = F.split("w", "")
+        for _, lhs, rhs in ranked:
+            syms = F.aggregate(syms, F.array().cast("array<string>"),
+                               _merge_fold(lhs, rhs))
+        sized = word_df.select(F.col(id_col), F.size(syms).alias("n_syms"))
+    else:
+        rules = [(lhs, rhs) for _, lhs, rhs in ranked]
+
+        def _encode_batches(batches):
+            import pandas as pd
+
+            def n_syms(word: str) -> int:
+                syms = list(word)
+                for lhs, rhs in rules:
+                    out = []
+                    for s in syms:
+                        if out and out[-1] == lhs and s == rhs:
+                            out[-1] = lhs + rhs
+                        else:
+                            out.append(s)
+                    syms = out
+                return len(syms)
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                # encode each distinct word in the batch once
+                sizes = {w: n_syms(w) for w in pdf["w"].unique()}
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_syms": pdf["w"].map(sizes).astype("int32"),
+                })
+
+        sized = word_df.mapInPandas(
+            _encode_batches, schema=f"{id_col} long, n_syms int")
     return (
-        word_df.select(F.col(id_col), F.size(syms).alias("n_syms"))
-        .groupBy(id_col)
+        sized.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_words"),
              F.sum("n_syms").cast("long").alias("n_symbols"))
     )

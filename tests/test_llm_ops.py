@@ -620,6 +620,10 @@ class TestSimilarity:
             similarity.semdedup(docs, embs, n_centroids="sqrt")
         with _pytest.raises(ValueError, match="auto"):
             similarity.semdedup(docs, embs, n_centroids=0)
+        with _pytest.raises(ValueError, match="auto"):
+            # bool is an int subclass: True would silently run k=1,
+            # one quadratic cell (ADVICE r11)
+            similarity.semdedup(docs, embs, n_centroids=True)
 
 
 class TestTemporal:
@@ -2195,6 +2199,26 @@ class TestBpeTrain:
         # 'low' appears 3x -> (l,o) then (lo,w) learned: 'low' is ONE
         # symbol, 'lowest' = low+e+s+t = 4
         assert enc[1][1] == 1 + 1 + 4 and enc[3] == (1, 1)
+
+    def test_encode_kernel_route_matches_unrolled_route(self, spark, sf_small):
+        """Past max_unrolled_merges the encode switches from the chained
+        Catalyst fold to the Arrow kernel (ADVICE r11: depth-k trees
+        don't survive realistic vocab sizes). Both routes must be
+        pass-for-pass identical — same greedy left-to-right
+        non-overlapping application per rule — on real corpus text
+        including overlap-heavy runs."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+            "doc_id", "text").limit(40).unionAll(
+            spark.createDataFrame(
+                [(9001, "aaaa aaa aa a aaaaa"), (9002, "banana bandana")],
+                "doc_id long, text string"))
+        merges = text.bpe_train(docs, k=6, min_count=2)
+        unrolled = {r["doc_id"]: (r["n_words"], r["n_symbols"])
+                    for r in text.bpe_encode(docs, merges).collect()}
+        kernel = {r["doc_id"]: (r["n_words"], r["n_symbols"])
+                  for r in text.bpe_encode(
+                      docs, merges, max_unrolled_merges=0).collect()}
+        assert unrolled == kernel and len(unrolled) > 10
 
 
 
