@@ -608,6 +608,111 @@ def similar_pairs_lsh(
     )
 
 
+#: Fixed-point scale for the deterministic LSH's embedding quantization.
+#: 2^20 is an EXPONENT SHIFT: double * 2^20 never rounds, floor() is
+#: exact, and the resulting int64s are small enough (|emb| ≲ 2^10 →
+#: |q| ≲ 2^30, ×64 dims ×|w|=1 → |proj| ≲ 2^36) that the projection is
+#: pure overflow-free integer arithmetic — bit-identical in ANY engine
+#: and ANY summation order, which is what buys the FULL oracle.
+DET_LSH_SCALE = 1 << 20
+
+
+def rademacher_planes(dim: int, n_planes: int, n_bands: int, seed: int = 12):
+    """The deterministic ±1 hyperplane matrix (n_bands*n_planes, dim)
+    shared by :func:`similar_pairs_lsh_det` and its DuckDB oracle
+    builder (queries/llm.py embeds these exact values as SQL literals).
+    Sign random projections (Rademacher entries) have the same angular
+    collision law as Gaussian planes up to lower-order terms — Achlioptas
+    2001 ("Database-friendly random projections") — and being integers
+    they compose with the fixed-point quantization into exact int64
+    signatures. numpy's legacy RandomState is version-frozen by NEP 19,
+    so the matrix is stable across environments."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.choice(np.array([-1, 1], dtype=np.int64),
+                     size=(n_bands * n_planes, dim))
+
+
+def similar_pairs_lsh_det(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_bands: int = 16,
+    threshold: float = 0.35,
+    seed: int = 12,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """:func:`similar_pairs_lsh` made CROSS-ENGINE DETERMINISTIC so the
+    whole pipeline — candidate generation included — replays under a SQL
+    oracle (e03c's FULL-oracle driver row; the float-plane production
+    path e03/e03b keeps its recall pins in the local suite):
+
+    - hyperplanes are seeded ±1 Rademacher (:func:`rademacher_planes`),
+      embedded verbatim in the oracle SQL;
+    - signature bits come from int64 arithmetic on fixed-point
+      embeddings (``floor(v * 2^20)`` — exact, see DET_LSH_SCALE), so
+      bucket membership cannot differ by a float ulp between engines;
+    - within-bucket verification pre-filters with a numpy gram matmul at
+      ``threshold − 1e-4`` (a float slack ~1e8 ulps wide — no true
+      survivor can be lost) and the survivors are DECIDED by the same
+      sequential-fold :func:`cosine` column expression e02's oracle
+      mirrors, at the exact ``threshold``.
+
+    Same scale shape as the production path: one signature pass, one
+    bucket-keyed shuffle with vectors riding, Σ bucket² verify work, and
+    a final ~survivors-sized exact-fold pass (the one extra exchange the
+    determinism costs)."""
+    import numpy as np
+
+    P = rademacher_planes(dim, n_planes, n_bands, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    df = _ensure_parallel(df, n_hint=n_hint)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+
+    def sig_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q = np.floor(V * DET_LSH_SCALE).astype(np.int64)
+            bits = (Q @ P.T) >= 0                                # exact int64
+            sigs = bits.reshape(len(pdf), n_bands, n_planes).astype(np.int64) @ weights
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(), vec_col: list(V), "sigs": list(sigs),
+            })
+
+    sig_df = vecs.mapInPandas(
+        sig_fn, schema=f"{id_col} long, {vec_col} array<double>, sigs array<long>")
+    bands = sig_df.select(
+        F.col(id_col), F.col(vec_col), F.posexplode("sigs").alias("band", "sig"))
+    total_rows = (n_hint * n_bands) if n_hint is not None else None
+    G = max(64, total_rows // 20_000 + 1) if total_rows is not None else 4096
+    grouped = bands.withColumn("__g", F.pmod(F.hash("band", "sig"), F.lit(G)))
+    # pre-filter slack: wide enough that no fold-cos >= threshold pair
+    # can be dropped by numpy-vs-fold ulp disagreement, narrow enough
+    # that the exact-fold pass sees only near-survivors
+    cand = grouped.groupBy("__g").applyInPandas(
+        _bucket_pairs_fn(id_col, vec_col, threshold - 1e-4),
+        schema="id_a long, id_b long, __cos double",
+    ).select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    e = df.select(F.col(id_col), F.col(vec_col))
+    verified = (
+        cand.join(e.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("__va")), "id_a")
+        .join(e.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("__vb")), "id_b")
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= F.lit(threshold))
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("__cos", 6).alias("cosine_sim"))
+
+
 def semdedup(
     docs: DataFrame,
     embs: DataFrame,

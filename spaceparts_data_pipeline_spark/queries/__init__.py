@@ -329,30 +329,85 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #       containment that retired d10; r10 full-hash green, and the
 #       decimal-mean refinement determinism stays pinned in
 #       tests/test_llm_ops.py).
-# ROTATION BACKLOG (oldest driver rows first, all green in every local
-# parity run):
-#   r02: x18 approx quantiles (stays out by the weak-evidence policy
-#        above)
-#   r06 (5-stale at r11, the next tranche): d04, d05, d11, d15, e03,
-#        e04, x30, x31, x32, x33
-#   NEW, first-appearance DEFERRED once: e06_knn_ivf_pq (IVF-PQ kNN,
-#        Jégou et al. 2011 — FULL oracle) and x38_bpe_encode (learned-
-#        merge BPE encoding, FULL oracle sharing x37's unrolled
-#        training chain), x18b_exact_quantiles (exact-percentile
-#        full-oracle twin closing the x18 family gap), and
-#        e06b_knn_ivf_pq_residual (IVFADC proper — residual PQ,
-#        L2 ADC, FULL oracle; planted-cluster recall >= flat PQ
-#        pinned in tests), d25b_semdedup_auto (the auto-scaled-k SemDeDup path with
-#        a FULL oracle — k = max(16, ceil(sqrt(n))) is one SQL
-#        scalar, so the driver can value-check the production
-#        default, not just the pinned-16 replay) — all added late
-#        r11 after the 15-slot staleness drain left no window slot;
-#        the local parity suite checks each at sf0.01 + the sf0.1
-#        stretch every round (all green on first run), and they MUST
-#        rotate in r12 when the drained tranche frees slots
+# ROTATION BACKLOG after the r12 window (last full-hash driver row per
+# CORRECTNESS files; all green in every local parity run):
+#   STANDING rows-only-by-contract exceptions (weak-evidence policy —
+#        never spend a window slot on a row the driver can only
+#        rows-check): x18 (r02 full; superseded in-window by x18b's
+#        exact twin), d07, d08, e03, e03b (the xxhash/float-plane
+#        signature emitters; the hyperplane family's banding geometry
+#        is driver-value-hashed through in-window e03c, and every
+#        recall/precision floor is pinned locally),
+#   r08 (4-stale at r12 — the FIRST tranche for r13): d13, d19, d20,
+#        x34, x36,
+#   r09: q01, q10, q18, q23, x02, x11, x12, x15, x21, d10, d16,
+#        d17, d18, d21, x31b,
+#   r10: x03, x04, x08, x09, x10, x13, x16, x17, x20, x22, x24,
+#        e01, e04b, d23, d24, x35,
+#   r11: q03, q19, q20, q24, d01, d02, d03, d06, d09, d25, e02, x05,
+#        x06, x14, x19, x23, x29 (this round's OUT set — yield-back
+#        pool for later tranches).
+# Round-12 rotation (round-11 verdict next-round #1, executed exactly):
+# IN — the five late-r11 FULL-oracle deferrals get their promised
+# first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE
+# encode, x18b exact quantiles, d25b auto-k SemDeDup), the whole
+# r06-stale tranche drains (d04, d05, d11, d15, e04, x30, x31, x32,
+# x33), and NEW e03c — the deterministic Rademacher-plane LSH whose
+# int64 fixed-point signatures + exact-fold verify make the ENTIRE
+# hyperplane-LSH pipeline FULL-oracle (green at sf0.01 AND sf0.1 on
+# first run) — refreshes the hyperplane family's driver evidence.
+# OUT:
+#   e03b — swapped out per the d07/d08 weak-evidence policy (a
+#       permanent no_oracle row spent a window slot; its ≥0.9 recall
+#       + 0-FP precision stay pinned in tests/test_llm_ops.py, and
+#       e03c now value-hashes the same banding geometry end-to-end);
+#       with it gone the in-window no_oracle set is ZERO for the
+#       first time. e03 (the self-sized float-plane profile) joins
+#       x18 as a standing rows-only-by-contract exception: numpy
+#       Gaussian planes are not SQL-replayable, its guarantees are
+#       the local subset-of-bruteforce + banding-recall pins, and
+#       its geometry is driver-checked through e03c.
+#   The r11 rotation tranche yields its slots back, all with r11
+#   full-hash rows (≤1-round-stale through r13) and all still in the
+#   local parity suite every round:
+#   q19 (distinct-count evidence held by in-window s03's
+#       COUNT(DISTINCT) oracle), q20 (union+distinct held by q12's
+#       union-dedup upsert + q14's calendar domain), q24 (anti-join
+#       family: incoming d15's store screen is a LeftAnti with a NOT
+#       EXISTS oracle),
+#   d01 (min-id-per-md5-group canon is the `canon` CTE of incoming
+#       d15's oracle), d02 (the md5 fingerprint column IS d15's
+#       output), d03 (its n_tokens expression is a CTE of incoming
+#       d04's quality oracle), d06 (gram-set Jaccard is the
+#       exact-verify tail of in-window d14's oracle), d09 (component
+#       closure is the body of d14's oracle),
+#   x05 (md5-bucket determinism held by d15's md5 canon + in-window
+#       x29's md5 gram join), x06 (vocab top-k ⊂ incoming x31's
+#       ngram top-k family), x14 (RANGE-frame window evidence held by
+#       in-window x01's lag+cumsum sessions — the canonical NTZ
+#       sentinel — and incoming x30's running-sum packing window),
+#   x19 (array stats held by the e-family's fold arithmetic),
+#   x23 (posexplode held by incoming x30's posexplode packing and
+#       x33's pretokenize explode),
+#   e02 (exact cosine pairs — its oracle body is VERBATIM the verify
+#       tail of incoming e03c's oracle; e05, the result-identical
+#       Arrow twin of the same family, STAYS in-window).
+# Second tranche, same round — the ≤4-round staleness target also
+# reaches the r07 rows, so q21 (sample scan TOP-n), d12 (stratified
+# md5-bucket sample), x07 (TF-IDF top terms) rotate IN; yielding
+# slots, all r11 full-hash green:
+#   d25 (pinned-k SemDeDup — incoming d25b value-checks the SAME
+#       pipeline, centroid machinery included, at the production
+#       auto-k default; d25's k=16 replay stays in the local parity
+#       suite and as a bench headline),
+#   q03 (orderBy + TOP-n — exactly incoming q21's oracle shape; q03
+#       also stays a bench headline timed every round),
+#   x29 (contamination md5-gram join — the gram machinery is
+#       in-window d22's substring grams + d14's banding; its
+#       test-set-overlap semantics stay oracle-checked locally).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
-    "q02_dim_customer_enrich", "q03_top_revenue_orders",
+    "q02_dim_customer_enrich", "q21_sample_scan",
     "q04_flagship_sales_eur", "q05_dedup_latest_events", "q06_quarantine_orders",
     "q07_null_standardize", "q08_watermark_scan", "q09_latest_control_row",
     "q11_changed_keys_semi", "q12_union_upsert",
@@ -360,23 +415,20 @@ _PRIORITY = [
     "q16_budget_variance_monthly", "q17_otd_quality",
     "q22_dim_product_enrich",
     "p01_silver_events_pipeline",
-    # r05-stale parity tail (round-11 rotation)
-    "q19_distinct_ratio", "q20_date_domain_union",
-    "q24_customers_without_orders",
-    # LLM data ops: dedup + corpus-quality family
-    "d25_semdedup",
+    # LLM data ops: dedup + corpus-quality family (r06 tranche drained)
+    "d25b_semdedup_auto", "d12_stratified_sample",
     "d22_substring_dedup", "d14_canonical_corpus_lsh",
-    "x29_contamination_check",
+    "x07_tfidf_topterms",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
-    "d01_dedup_exact", "d02_fingerprint", "d03_token_stats",
-    "d06_jaccard_pairs", "d09_near_dup_components",
-    # analytic-extension tail rotation (round-11: the r04/r05 tranche)
-    "x05_train_val_split", "x06_vocab_topk", "x14_range_window",
-    "x19_array_stats", "x23_posexplode_tokens",
+    "d04_text_quality", "d05_lang_id", "d11_repetition_stats",
+    "d15_incremental_dedup",
+    # analytic-extension tail rotation (round-12: the r06 tranche)
+    "x30_sequence_packing", "x31_bigram_topk", "x32_pii_redact",
+    "x33_bpe_token_stats", "x18b_exact_quantiles",
     # LLM data ops: similarity / ANN family
-    "e02_similar_pairs", "e05_knn_topk_vectorized",
-    "e03b_similar_pairs_lsh_recall",
-    "s05_stream_ingest_near_dedup", "x37_bpe_merges",
+    "e05_knn_topk_vectorized", "e03c_similar_pairs_lsh_det",
+    "e04_knn_ivf", "e06_knn_ivf_pq", "e06b_knn_ivf_pq_residual",
+    "s05_stream_ingest_near_dedup", "x37_bpe_merges", "x38_bpe_encode",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes",
     # windowed sessionization (guards the NTZ-safe epoch-micros path)

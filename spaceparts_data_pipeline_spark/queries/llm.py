@@ -657,6 +657,82 @@ def e03b_similar_pairs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# e03c — DETERMINISTIC banded hyperplane LSH (FULL oracle). The float-
+# plane production profiles (e03 self-sized, e03b high-recall) are
+# inherently rows-only — numpy Gaussian planes aren't SQL-replayable —
+# so this variant makes the ENTIRE pipeline cross-engine exact: seeded
+# ±1 Rademacher planes (embedded below as SQL literals), int64
+# fixed-point signature bits (floor(v·2^20) — exact in both engines,
+# order-free), and e02's sequential-fold cosine as the verify decision.
+# The driver can therefore value-hash candidate generation itself, not
+# just spot-check recall. Profile = HIGH_RECALL_LSH (4 planes × 16
+# bands) so the in-window row exercises the recall-oriented geometry.
+# ---------------------------------------------------------------------------
+
+_E03C = {"dim": 64, "n_planes": 4, "n_bands": 16, "seed": 12, "threshold": 0.35}
+
+
+def _e03c_oracle() -> str:
+    P = similarity.rademacher_planes(
+        _E03C["dim"], _E03C["n_planes"], _E03C["n_bands"], _E03C["seed"])
+    n_planes, n_bands = _E03C["n_planes"], _E03C["n_bands"]
+    rows = []
+    for band in range(n_bands):
+        for plane in range(n_planes):
+            w = ", ".join(str(int(x)) for x in P[band * n_planes + plane])
+            rows.append(f"({band}, {plane}, [{w}])")
+    planes_values = ",\n      ".join(rows)
+    scale = similarity.DET_LSH_SCALE
+    return f"""
+    WITH planes(band, plane, wv) AS (VALUES
+      {planes_values}
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(1, {_E03C['dim'] + 1}),
+                            i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sigs AS MATERIALIZED (
+      SELECT q.vec_id, p.band,
+             SUM(CASE WHEN list_sum(list_transform(range(1, {_E03C['dim'] + 1}),
+                                                   i -> q.qv[i] * p.wv[i])) >= 0
+                      THEN (1 << p.plane) ELSE 0 END) AS sig
+      FROM q CROSS JOIN planes p
+      GROUP BY q.vec_id, p.band
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.vec_id < b.vec_id
+    ),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine_sim FROM v WHERE cos >= {_E03C['threshold']}
+    """
+
+
+@register("e03c_similar_pairs_lsh_det", _e03c_oracle())
+def e03c_similar_pairs_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.sources.parquet import footer_row_count
+
+    d = T(spark, sf_dir, "embeddings")
+    return similarity.similar_pairs_lsh_det(
+        d, dim=_E03C["dim"], n_planes=_E03C["n_planes"],
+        n_bands=_E03C["n_bands"], threshold=_E03C["threshold"],
+        seed=_E03C["seed"],
+        n_hint=footer_row_count(sf_dir, "embeddings", spark=spark),
+    )
+
+
+# ---------------------------------------------------------------------------
 # x05 — deterministic train/val split (md5 hash bucket; stable across
 # engines, runs, and partitionings — the reproducible alternative to rand).
 # ---------------------------------------------------------------------------

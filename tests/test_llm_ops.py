@@ -526,6 +526,35 @@ class TestSimilarity:
         assert recall >= 0.9
         assert recall > len(single & exact) / len(exact) + 0.3
 
+    def test_det_lsh_subset_and_recall(self, spark, sf_small):
+        """e03c (deterministic Rademacher-plane LSH, the FULL-oracle
+        family member): exact-fold verification means no false
+        positives, and the 4×16 banding must hold the same ≥0.9 recall
+        floor as the float-plane high-recall profile — Rademacher sign
+        projections share the Gaussian angular collision law
+        (Achlioptas 2001), so the geometry is not weakened by making
+        it oracle-replayable."""
+        e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 similarity.similar_pairs_bruteforce(e, threshold=0.35).collect()}
+        assert exact
+        det = {(r["id_a"], r["id_b"]) for r in
+               similarity.similar_pairs_lsh_det(
+                   e, n_planes=4, n_bands=16, threshold=0.35).collect()}
+        assert det <= exact               # verified: zero false positives
+        assert len(det & exact) / len(exact) >= 0.9
+
+    def test_det_lsh_signatures_are_run_stable(self, spark, sf_small):
+        """Two runs (fresh plans, fresh kernels) produce the identical
+        pair set AND identical rounded cosines — the property the FULL
+        oracle rests on (int64 signatures cannot drift)."""
+        e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        r1 = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in
+              similarity.similar_pairs_lsh_det(e).collect()}
+        r2 = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in
+              similarity.similar_pairs_lsh_det(e).collect()}
+        assert r1 == r2 and r1
+
     def test_e03b_registered_variant_matches_profile(self, spark, sf_small):
         """The registered e03b query IS the pinned profile: same pair
         set as calling the operator with HIGH_RECALL_LSH directly."""
