@@ -720,6 +720,43 @@ def measure_semdedup(spark, base: str, factor: int) -> list[dict]:
     return rows
 
 
+def measure_bpe_train(spark, base: str, factor: int) -> list[dict]:
+    """Round-12 (r11 verdict next-round #2): BPE trainer scaling.
+    Sequential training is O(k) Spark rounds — one argmax collect + one
+    word-table checkpoint per merge — so wall grows linearly in the
+    vocabulary size regardless of cluster width; the greedy
+    max-compatible-set batch (exact=False, batch_max=32) does ~k/32
+    corpus passes. Measured at 1× and N× (alphabet-rotated shards
+    multiply the word vocabulary, so the learnable-merge ceiling grows
+    with scale): both modes at k=256, then greedy alone at k=1024 —
+    the regime the sequential trainer cannot reasonably enter (1024
+    sequential rounds ≈ 20× the greedy wall by the per-round cost
+    measured here)."""
+    from spaceparts_data_pipeline_spark.operators import text as T
+
+    rows = []
+    for scale in ("x1", f"x{factor}"):
+        docs = spark.read.parquet(
+            os.path.join(base, scale, "documents.parquet")).select("doc_id", "text")
+        for mode, kw, k in (
+            ("sequential", {"batch_max": 1}, 256),
+            ("greedy_b32", {"exact": False}, 256),
+            ("greedy_b32", {"exact": False}, 1024),
+        ):
+            if mode == "sequential" and k > 256:
+                continue
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            m = T.bpe_train(docs, k=k, min_count=2, **kw).collect()
+            sec = round(time.perf_counter() - t0, 1)
+            row = {"check": "bpe_train", "scale": scale, "mode": mode,
+                   "k_requested": k, "k_learned": len(m), "sec": sec,
+                   "sec_per_merge": round(sec / max(len(m), 1), 3)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    return rows
+
+
 def measure_gram_skew(spark, base: str, factor: int) -> list[dict]:
     """Round-9 verdict #2: measure BOTH d22 routes (gram-count window
     vs skew_safe groupBy-count + join-back) at 1x and Nx on the zipfian
@@ -908,6 +945,10 @@ def main() -> None:
     ap.add_argument("--substring-pass", action="store_true",
                     help="measure the corpus-WIDE substring dedup pass over the "
                          "assembled 5-batch funnel corpus at 1x and Nx")
+    ap.add_argument("--bpe-train", action="store_true",
+                    help="measure BPE trainer wall at 1x and Nx: sequential "
+                         "(one merge per round) vs greedy batch-32 at k=256, "
+                         "plus greedy at k=1024 — the production-vocab regime")
     ap.add_argument("--semdedup", action="store_true",
                     help="measure d25 SemDeDup at Nx with k fixed (the wrong way: "
                          "n^2/k pair space) vs k scaled with n (the configuration "
@@ -944,6 +985,10 @@ def main() -> None:
 
     if args.substring_pass:
         measure_substring_pass(spark, base, args.factor, args.batches)
+        return
+
+    if args.bpe_train:
+        measure_bpe_train(spark, base, args.factor)
         return
 
     if args.semdedup:

@@ -722,6 +722,7 @@ def semdedup(
     threshold: float = 0.35,
     n_centroids="auto",
     kmeans_iters: int = 1,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): embedding-space
@@ -757,10 +758,25 @@ def semdedup(
     silently run quadratic cells at scale; pass an int to pin k (the
     d25 driver row pins 16 so its DuckDB oracle can replay the exact
     centroid set). A mega-cluster is AQE-skew-splittable since this
-    is a join, not a window. Within-cell cost is exactly the
-    quadratic SemDeDup accepts by design; cross-cell pairs are
-    deliberately unseen (the paper's recall trade), so d10 remains
-    the exactness oracle twin and e03b the recall-pinned alternative.
+    is a join, not a window — but AQE splits the join's ROWS, not the
+    n_cell² PAIR count: one dominant semantic cluster is an
+    indivisible quadratic cell no matter how the tasks are carved
+    (round-11 verdict #5). ``max_cell_size`` caps that: cells larger
+    than the cap are SUB-BLOCKED by a deterministic md5 bucket of the
+    vector id (the x05 split mechanism — engine-portable, so a pinned
+    oracle can replay it), pairs compared only within a sub-block.
+    Cost per mega-cell drops m² → ~m²/s (s = ceil(m/cap) sub-blocks);
+    recall inside the mega-cell drops to ~1/s of its pairs — the same
+    NATURE of trade the paper already makes cross-cluster, now with a
+    bounded worst-case task. Every emitted pair is still exact-cosine
+    verified, so the subset-of-exact property is preserved by
+    construction (sub-blocking only removes candidate pairs).
+    Default None — the paper-faithful full within-cell comparison.
+
+    Within-cell cost is otherwise exactly the quadratic SemDeDup
+    accepts by design; cross-cell pairs are deliberately unseen (the
+    paper's recall trade), so d10 remains the exactness oracle twin
+    and e03b the recall-pinned alternative.
     """
     corpus = embs.select(
         F.col(vec_id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
@@ -778,13 +794,35 @@ def semdedup(
                              n_centroids=n_centroids)
     if kmeans_iters:
         cents = refine_centroids(corpus, cents, iters=kmeans_iters)
+    if max_cell_size is not None and (
+            isinstance(max_cell_size, bool) or not isinstance(max_cell_size, int)
+            or max_cell_size < 2):
+        raise ValueError(f"max_cell_size must be None or an int >= 2, "
+                         f"got {max_cell_size!r}")
     assigned = assign_cells(corpus, cents)
-    a = assigned.select("centroid_id", F.col("neighbor_id").alias("id_a"),
+    join_keys = ["centroid_id"]
+    if max_cell_size is not None:
+        # n_centroids-row agg, broadcast back: number of sub-blocks per
+        # cell, 1 for every cell under the cap. The bucket is the
+        # deterministic md5 split (engine-portable), so a pinned-config
+        # oracle can replay the exact sub-blocking.
+        sizes = (assigned.groupBy("centroid_id")
+                 .agg(F.count(F.lit(1)).alias("__m"))
+                 .select("centroid_id",
+                         F.ceil(F.col("__m") / F.lit(max_cell_size))
+                          .cast("int").alias("__s")))
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 8),
+                   16, 10).cast("long"), F.col("__s")).cast("int")
+        assigned = (assigned.join(F.broadcast(sizes), "centroid_id")
+                    .withColumn("__sub", bucket))
+        join_keys = ["centroid_id", "__sub"]
+    a = assigned.select(*join_keys, F.col("neighbor_id").alias("id_a"),
                         F.col("__nv").alias("__va"))
-    b = assigned.select("centroid_id", F.col("neighbor_id").alias("id_b"),
+    b = assigned.select(*join_keys, F.col("neighbor_id").alias("id_b"),
                         F.col("__nv").alias("__vb"))
     pairs = (
-        a.join(b, "centroid_id")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("__cos") >= threshold)

@@ -640,6 +640,40 @@ class TestSimilarity:
                 assert doc in exact, f"{doc} dup under blocking but not exactly"
                 assert exact[doc] <= dup_of
 
+    def test_semdedup_max_cell_size_subset_and_noop(self, spark, sf_small):
+        """The mega-cell guard (r11 verdict #5): sub-blocking only
+        REMOVES candidate pairs, so the guarded result is (a) identical
+        to unguarded when the cap exceeds every cell, (b) a subset of
+        the unguarded duplicate set under a tight cap, and (c) still a
+        subset of the exact quadratic truth."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+        def dupset(**kw):
+            return {(r["doc_id"], r["dup_of"]) for r in
+                    similarity.semdedup(docs, embs, n_centroids=16, **kw)
+                    .filter("is_dup").collect()}
+
+        base = dupset()
+        assert dupset(max_cell_size=10**9) == base          # cap never binds
+        guarded = dupset(max_cell_size=8)                   # cap always binds
+        guarded_docs = {d for d, _ in guarded}
+        base_docs = {d for d, _ in base}
+        assert guarded_docs <= base_docs and guarded
+        exact = {r["doc_id"] for r in similarity.embedding_near_dup(
+            docs, embs, threshold=0.35).filter("is_dup").collect()}
+        assert guarded_docs <= exact
+
+    def test_semdedup_max_cell_size_validation(self, spark):
+        embs = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        docs = embs.selectExpr("vec_id as doc_id")
+        import pytest as _pytest
+        for bad in (1, 0, True, "big"):
+            with _pytest.raises(ValueError, match="max_cell_size"):
+                similarity.semdedup(docs, embs, n_centroids=2,
+                                    max_cell_size=bad)
+
     def test_semdedup_rejects_bad_k(self, spark):
         embs = spark.createDataFrame(
             [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
@@ -2215,6 +2249,68 @@ class TestBpeTrain:
         assert self._train(spark, docs, 5) == []
         with _pytest.raises(ValueError, match="k must"):
             text.bpe_train(docs, k=0)
+        with _pytest.raises(ValueError, match="batch_max"):
+            text.bpe_train(docs, k=1, batch_max=0)
+
+    def test_batched_rounds_equal_sequential(self, spark, sf_small):
+        """The batched trainer (r11 verdict #2) must be merge-for-merge
+        IDENTICAL to the one-merge-per-round loop — the batch selection
+        (compatible rank prefix, barrier trim, fused-collision batch
+        close) is proven conservative, and this pins it on real corpus
+        text where batches actually form."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+            "doc_id", "text").limit(150)
+        seq = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+               for r in sorted(text.bpe_train(docs, k=24, batch_max=1).collect())]
+        bat = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+               for r in sorted(text.bpe_train(docs, k=24, batch_max=32).collect())]
+        assert bat == seq and len(seq) == 24
+
+    def test_greedy_mode_equals_sequential_on_overlap_fixtures(self, spark):
+        """exact=False (fast-trainer max-compatible-set batching) on
+        overlap-heavy runs: every top candidate shares symbols, the set
+        collapses to one merge per round, and the table equals the
+        sequential reference exactly."""
+        docs = spark.createDataFrame(
+            [(1, "aaa aaa"), (2, "aaaa aaaa"), (3, "aa")],
+            "doc_id long, text string")
+        wc = {"aaa": 2, "aaaa": 2, "aa": 1}
+        got = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+               for r in sorted(text.bpe_train(
+                   docs, k=4, min_count=1, exact=False).collect())]
+        assert got == self._ref_bpe(wc, 4, min_count=1)
+
+    def test_greedy_mode_vocab_quality_parity(self, spark, sf_small):
+        """exact=False may reorder borderline merges but must learn
+        essentially the same vocabulary (high set overlap with the
+        sequential table) and compress the corpus as well (bpe_encode
+        n_symbols parity within 2%) — the fast path is a quality
+        equivalent, not an approximation of convenience."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+            "doc_id", "text").limit(150)
+        seq = text.bpe_train(docs, k=48, min_count=1, batch_max=1)
+        grd = text.bpe_train(docs, k=48, min_count=1, exact=False)
+        # PAIR-level overlap is the wrong metric — greedy reaches the
+        # same subwords via different merge paths (colu+m+n vs
+        # co+lumn), so compare the VOCABULARY (fused strings) and the
+        # objective (corpus compression).
+        sv = {r["lhs"] + r["rhs"] for r in seq.collect()}
+        gv = {r["lhs"] + r["rhs"] for r in grd.collect()}
+        assert len(sv & gv) / len(sv) >= 0.6
+        n_seq = sum(r["n_symbols"] for r in text.bpe_encode(docs, seq).collect())
+        n_grd = sum(r["n_symbols"] for r in text.bpe_encode(docs, grd).collect())
+        assert abs(n_seq - n_grd) / n_seq < 0.02
+
+    def test_batched_flat_counts_degenerate_to_sequential(self, spark):
+        """All-equal pair counts: the barrier equals every count, the
+        trim collapses each batch to one merge, and the tie-break order
+        must match the reference exactly."""
+        docs = spark.createDataFrame(
+            [(1, "ab ab cd cd ef ef gh gh"), (2, "ab cd ef gh")],
+            "doc_id long, text string")
+        wc = {"ab": 3, "cd": 3, "ef": 3, "gh": 3}
+        got = self._train(spark, docs, 4, min_count=2)
+        assert got == self._ref_bpe(wc, 4, min_count=2)
 
     def test_encode_compresses_with_learned_merges(self, spark):
         docs = spark.createDataFrame(
