@@ -720,6 +720,74 @@ def measure_semdedup(spark, base: str, factor: int) -> list[dict]:
     return rows
 
 
+def measure_semdedup_megacell(spark, base: str, factor: int) -> list[dict]:
+    """Round-12 (r11 verdict #5): the mega-cell guard measured on its
+    target hazard. Auto-k fixes the AVERAGE cell, but the cell
+    self-join partitions by the data's OWN cluster structure: this
+    fixture plants HALF the corpus mass inside one tight semantic
+    cluster of IDENTICAL vectors — the duplicate-blob shape a crawl
+    corpus actually produces (boilerplate pages share an embedding).
+    Identity matters: a NOISY 50% cluster is handled by auto-k itself
+    (hash-sampled seeds land inside the cluster proportional to its
+    mass and split it — measured first: straggler 2.1, no hazard),
+    but identical vectors give identical centroid scores and the
+    deterministic argmax sends every copy to ONE cell — an indivisible
+    n_cell² pair space AQE cannot split (it splits join rows, not the
+    pair count). Measures semdedup at 1× and N× with auto-k, unguarded
+    vs max_cell_size=2048, reporting wall + the worst per-task
+    max/median straggler ratio — the bounded-task evidence — and the
+    duplicate count (the guard catches all but one extra survivor per
+    sub-block: each block's min-id element loses its lower-id
+    neighbor; every other planted doc still pairs inside its block)."""
+    import pyspark.sql.functions as F
+
+    from spaceparts_data_pipeline_spark.operators import similarity as S
+
+    rows = []
+    for scale, n_shards in (("x1", 1), (f"x{factor}", factor)):
+        src = os.path.join(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        embs0 = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+        parts = [embs0.withColumn("vec_id", F.col("vec_id") + s * ID_STRIDE)
+                 for s in range(n_shards)]
+        embs = parts[0]
+        for p in parts[1:]:
+            embs = embs.unionByName(p)
+        # plant: 50% of ids collapse onto ONE identical vector e0 — the
+        # exact-duplicate blob that defeats centroid splitting
+        e0 = F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            .cast("float"))
+        embs = embs.withColumn(
+            "embedding",
+            F.when(F.pmod("vec_id", F.lit(2)) == 0, e0)
+             .otherwise(F.col("embedding")))
+        path = os.path.join(base, f"megacell_{scale}")
+        if not os.path.isdir(path):
+            embs.repartition(N_FILES).write.mode("overwrite").parquet(path)
+        embs = spark.read.parquet(path)
+        docs = embs.select(F.col("vec_id").alias("doc_id"))
+        for cap in (None, 2048):
+            spark.catalog.clearCache()
+            since = _max_stage_id(spark)
+            times, dups = [], None
+            # the unguarded mega-cell rep IS the hazard (one quadratic
+            # task); one rep suffices to demonstrate it
+            for _ in range(1 if cap is None else 2):
+                t0 = time.perf_counter()
+                out = S.semdedup(docs, embs, threshold=0.35,
+                                 n_centroids="auto", kmeans_iters=1,
+                                 max_cell_size=cap)
+                dups = out.filter("is_dup").count()
+                times.append(round(time.perf_counter() - t0, 2))
+            row = {"check": "semdedup_megacell", "scale": scale,
+                   "max_cell_size": cap, "sec": min(times), "sec_all": times,
+                   "dups": dups, **_task_straggler(spark, since)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    return rows
+
+
 def measure_bpe_train(spark, base: str, factor: int) -> list[dict]:
     """Round-12 (r11 verdict next-round #2): BPE trainer scaling.
     Sequential training is O(k) Spark rounds — one argmax collect + one
@@ -945,6 +1013,10 @@ def main() -> None:
     ap.add_argument("--substring-pass", action="store_true",
                     help="measure the corpus-WIDE substring dedup pass over the "
                          "assembled 5-batch funnel corpus at 1x and Nx")
+    ap.add_argument("--semdedup-megacell", action="store_true",
+                    help="measure the max_cell_size guard on a planted "
+                         "50%%-mass mega-cluster at 1x and Nx (wall + task "
+                         "straggler ratio, guarded vs unguarded)")
     ap.add_argument("--bpe-train", action="store_true",
                     help="measure BPE trainer wall at 1x and Nx: sequential "
                          "(one merge per round) vs greedy batch-32 at k=256, "
@@ -985,6 +1057,10 @@ def main() -> None:
 
     if args.substring_pass:
         measure_substring_pass(spark, base, args.factor, args.batches)
+        return
+
+    if args.semdedup_megacell:
+        measure_semdedup_megacell(spark, base, args.factor)
         return
 
     if args.bpe_train:

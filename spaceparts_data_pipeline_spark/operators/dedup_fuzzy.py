@@ -199,12 +199,11 @@ def connected_components(
     survives executor loss at the cost of one fs round-trip per
     iteration; the algorithm and its results are identical.
     """
-    if checkpoint == "reliable":
-        _cut = lambda df: df.checkpoint(eager=True)  # noqa: E731
-    elif checkpoint == "local":
-        _cut = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
-    else:
+    from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+
+    if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    _cut = lambda df: stage_cut(df, reliable=(checkpoint == "reliable"))  # noqa: E731
     edges = _cut(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -17,6 +17,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+
 PUNCT_PATTERN = r"[.,!?;:]"
 
 STOPWORDS = {
@@ -1442,8 +1444,8 @@ def bpe_train(
         .filter(F.length("w") > 0)
         .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
         .select("w", "cnt", F.split("w", "").alias("syms"))
-        .localCheckpoint()
     )
+    words = stage_cut(words)
     if batch_max < 1:
         raise ValueError(f"batch_max must be >= 1, got {batch_max!r}")
     merges: list[tuple[int, str, str, int]] = []
@@ -1525,9 +1527,7 @@ def bpe_train(
 
         merged = F.aggregate(
             "syms", F.array().cast("array<string>"), _fold_step)
-        nxt = words.withColumn("syms", merged).localCheckpoint()
-        words.unpersist()
-        words = nxt
+        words = stage_cut(words.withColumn("syms", merged), unpersist=words)
     words.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long")

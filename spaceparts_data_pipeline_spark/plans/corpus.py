@@ -259,14 +259,16 @@ def run_corpus_ingest(
         # CacheManager's cascade walk at unpersist time re-canonicalizes
         # those trees against every cached entry — measured ~30 s of
         # pure DRIVER time per batch (probe: 4 frames × 1-12 s each).
-        # localCheckpoint materializes the same data (it persists the
-        # RDD) AND cuts the logical lineage to a leaf, so downstream
-        # plans stay small and their cache ops stay milliseconds;
-        # replay safety is unchanged (the funnel is idempotent per
-        # batch, so losing checkpoint blocks means re-running the
-        # batch, not corruption). The blocks are released by the
-        # ContextCleaner once the frame goes out of scope.
-        staged = staged.localCheckpoint()
+        # stage_cut materializes the same data (it persists the RDD)
+        # AND cuts the logical lineage to a leaf, so downstream plans
+        # stay small and their cache ops stay milliseconds; replay
+        # safety is unchanged (the funnel is idempotent per batch, so
+        # losing checkpoint blocks means re-running the batch, not
+        # corruption). The blocks are released by the ContextCleaner
+        # once the frame goes out of scope.
+        from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+
+        staged = stage_cut(staged)
     else:
         staged = staged.persist()
         persisted.append(staged)

@@ -366,3 +366,25 @@ def test_e06b_residual_pq_scale_shape(spark, sf_oracle):
             assert "Cross" in line, line
     win = [l for l in plan.splitlines() if l.strip().startswith("Window")]
     assert all("query_id" in l for l in win), win
+
+
+def test_stage_cut_leaves_a_leaf_plan(spark):
+    """stage_cut (the named lineage-cut pattern — r11 verdict #6):
+    downstream plans must see a LEAF (LogicalRDD / ExistingRDD), not
+    the upstream tree — the property that keeps iterative loops O(1)
+    in plan size and cached-frame unpersist at milliseconds. Also
+    pins the unpersist bookkeeping: the previous stage's cache is
+    released after the cut materializes."""
+    from pyspark import StorageLevel
+
+    from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+
+    base = spark.range(100).selectExpr("id", "id * 2 AS v")
+    prev = base.groupBy((base.id % 10).alias("k")).count().persist()
+    prev.count()
+    cut = stage_cut(prev.filter("count >= 0"), unpersist=prev)
+    analyzed = cut._jdf.queryExecution().analyzed().toString()
+    assert "ExistingRDD" in analyzed or "LogicalRDD" in analyzed
+    assert "Aggregate" not in analyzed        # the upstream tree is gone
+    assert prev.storageLevel == StorageLevel.NONE   # previous stage released
+    assert cut.count() == 10
