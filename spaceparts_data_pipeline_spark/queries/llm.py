@@ -622,7 +622,12 @@ def e02_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# e03 — LSH-bucketed similar pairs (the scale path; approximate → rows-only).
+# e03 — LSH-bucketed similar pairs (the scale path; approximate → rows-only:
+# numpy Gaussian planes aren't SQL-replayable. The banding geometry is
+# driver-VALUE-checked through e03c below — the deterministic fixed-point
+# variant with a FULL oracle — while e03/e03b keep their recall/precision
+# floors pinned in tests/test_llm_ops.py; both are standing out-of-window
+# rows-only exceptions per the weak-evidence rotation policy.)
 # ---------------------------------------------------------------------------
 
 @register("e03_similar_pairs_lsh")
