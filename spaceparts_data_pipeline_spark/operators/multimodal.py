@@ -3,10 +3,12 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The heavy decode libraries (PIL/ffmpeg/librosa) are NOT in this
 container. PNG decode is REAL anyway (stdlib zlib inflate + scanline
-unfilter, :func:`decode_png`), and so are baseline JPEG
+unfilter, :func:`decode_png` — since r12 the FULL valid-PNG space:
+palette/sub-byte/16-bit/Adam7), and so are baseline JPEG
 (``operators.jpeg.decode_jpeg`` — huffman + IDCT, no codec library)
-and PCM16 WAV audio (:func:`decode_wav` — RIFF chunk walk +
-frombuffer); the remaining codecs (progressive JPEG, compressed audio,
+and every UNCOMPRESSED WAV (:func:`decode_wav` — PCM 8/16/24/32 +
+IEEE float, RIFF chunk walk + frombuffer); the remaining codecs
+(progressive JPEG, compressed audio,
 video) stay behind the honest :func:`real_decode` boundary, which
 accepts an INJECTED ``decoder`` callable — a codec-equipped deployment
 plugs its library in there and every Spark stage (schemas, batch
@@ -58,69 +60,32 @@ def _fake_decode(payload: bytes, media_type: str) -> str:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(payload: bytes):
-    """Decode an 8-bit, non-interlaced PNG to an (h, w, 3) uint8 RGB
-    numpy array using ONLY stdlib ``zlib`` — no external codec: chunk
-    walk (IHDR / concatenated IDAT / IEND), one inflate, then the five
-    PNG scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
-    Gray and gray+alpha replicate to RGB; RGBA drops alpha.
+#: Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    Returns None for non-PNG/corrupt payloads — including bit-flipped
-    chunks: every chunk's CRC32 (over type+data, per the PNG spec) is
-    verified, so corruption that would still inflate cleanly cannot
-    silently decode to wrong pixels. Raises NotImplementedError for
-    valid PNGs outside the supported subset (bit depth ≠ 8, palette
-    color, interlaced) — those need a real codec library, which is the
-    boundary :func:`real_decode` keeps honest. Unfiltering of Sub/Average/Paeth rows is a per-byte Python
-    loop (each byte depends on the previous reconstructed byte) — fine
-    for the thumbnail/metadata scale this pipeline handles in-cluster;
-    bulk image decode belongs behind a native codec.
-    """
-    import zlib
+#: Valid (color_type → allowed bit depths) combinations, PNG spec §11.2.2.
+#: Everything OUTSIDE this table is an invalid file (→ None), and since
+#: r12 everything INSIDE it decodes — the PNG half of the codec-free
+#: boundary closed (only JPEG-progressive and compressed audio remain
+#: behind the injected-decoder seam).
+_PNG_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
 
+
+def _png_unfilter(rows, stride: int, bpp: int):
+    """Invert the five PNG scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over a (h, stride+1) byte block; returns (h, stride)
+    uint8 or None on an unknown filter code. Sub/Average/Paeth are
+    per-byte Python loops (each byte depends on the previous
+    reconstructed byte) — fine for the thumbnail/metadata scale this
+    pipeline handles in-cluster; bulk decode belongs behind a native
+    codec."""
     import numpy as np
 
-    if payload is None or len(payload) < 8 or bytes(payload[:8]) != _PNG_MAGIC:
-        return None
-    payload = bytes(payload)
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos:pos + 4], "big")
-        typ = payload[pos + 4:pos + 8]
-        if pos + 12 + ln > len(payload):
-            return None  # truncated chunk: explicit, not a downstream zlib error
-        data = payload[pos + 8:pos + 8 + ln]
-        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
-        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-            return None  # bit-flipped chunk that might still inflate cleanly
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        return None
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or interlace != 0:
-        raise NotImplementedError(
-            f"PNG subset: bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace} needs a real codec")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-    stride = w * channels
-    if w == 0 or h == 0 or len(raw) != h * (stride + 1):
-        return None
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    h = rows.shape[0]
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
-    bpp = channels
     for y in range(h):
         f = int(rows[y, 0])
         cur = rows[y, 1:].astype(np.int32)
@@ -148,33 +113,157 @@ def decode_png(payload: bytes):
             return None
         out[y] = cur
         prev = cur
-    img = out.astype(np.uint8).reshape(h, w, channels)
+    return out.astype(np.uint8)
+
+
+def _png_rows_to_rgb(rows, w: int, channels: int, bit_depth: int,
+                     color_type: int, plte):
+    """(h, stride) unfiltered bytes → (h, w, 3) uint8 RGB: sub-byte
+    pixels unpacked MSB-first and scaled to 8-bit (×255/(2^d−1)),
+    16-bit narrowed to the high byte (the spec's sample-depth scaling),
+    palette indices looked up in PLTE, gray/gray+alpha replicated,
+    RGBA's alpha dropped."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if bit_depth < 8:                       # gray (0) or palette (3): 1 channel
+        bits = np.unpackbits(rows, axis=1)
+        vals = bits.reshape(h, -1, bit_depth)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        idx = (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+        if color_type == 3:
+            return plte[idx]
+        return np.repeat((idx * (255 // ((1 << bit_depth) - 1)))
+                         .astype(np.uint8)[:, :, None], 3, axis=2)
+    if bit_depth == 16:                     # big-endian: high byte first
+        img = rows.reshape(h, w, channels, 2)[:, :, :, 0]
+    else:
+        img = rows.reshape(h, w, channels)
+    if color_type == 3:
+        return plte[img[:, :, 0]]
     if channels == 1:
         return np.repeat(img, 3, axis=2)
     if channels == 2:                       # gray+alpha: replicate gray
         return np.repeat(img[:, :, :1], 3, axis=2)
     if channels == 4:                       # RGBA: drop alpha
         return np.ascontiguousarray(img[:, :, :3])
-    return img
+    return np.ascontiguousarray(img)
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG to an (h, w, 3) uint8 RGB numpy array using ONLY
+    stdlib ``zlib`` — no external codec: chunk walk (IHDR / PLTE /
+    concatenated IDAT / IEND), one inflate, the five PNG scanline
+    unfilters, then sample expansion. Since r12 the FULL valid-PNG
+    space decodes: every legal (color_type, bit_depth) combination —
+    gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8, gray+alpha and RGBA
+    8/16 — plus Adam7 interlacing (the 7 sub-images unfiltered
+    independently and scattered into the output grid). Gray and
+    gray+alpha replicate to RGB; RGBA drops alpha; 16-bit narrows to
+    the high byte.
+
+    Returns None for non-PNG/corrupt payloads — including bit-flipped
+    chunks: every chunk's CRC32 (over type+data, per the PNG spec) is
+    verified, so corruption that would still inflate cleanly cannot
+    silently decode to wrong pixels — and for spec-INVALID combinations
+    (e.g. palette at depth 16), which are malformed files, not a codec
+    gap.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or bytes(payload[:8]) != _PNG_MAGIC:
+        return None
+    payload = bytes(payload)
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        if pos + 12 + ln > len(payload):
+            return None  # truncated chunk: explicit, not a downstream zlib error
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            return None  # bit-flipped chunk that might still inflate cleanly
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            if ln % 3 or ln == 0:
+                return None
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if (bit_depth not in _PNG_VALID_DEPTHS.get(color_type, ())
+            or interlace not in (0, 1) or w == 0 or h == 0):
+        return None  # spec-invalid header: malformed file, not a codec gap
+    if color_type == 3 and plte is None:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp = max(1, channels * bit_depth // 8)
+    if color_type == 3 and plte.shape[0] < (1 << bit_depth):
+        plte = np.vstack([plte, np.zeros((256 - plte.shape[0], 3), np.uint8)])
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    dims = []
+    expect = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        stride = (pw * channels * bit_depth + 7) // 8
+        dims.append((pw, ph, stride))
+        if pw and ph:
+            expect += ph * (stride + 1)
+    if len(raw) != expect:
+        return None
+    out_img = np.zeros((h, w, 3), dtype=np.uint8)
+    off = 0
+    for (x0, y0, dx, dy), (pw, ph, stride) in zip(passes, dims):
+        if not (pw and ph):
+            continue
+        block = np.frombuffer(raw[off:off + ph * (stride + 1)],
+                              dtype=np.uint8).reshape(ph, stride + 1)
+        off += ph * (stride + 1)
+        rows = _png_unfilter(block, stride, bpp)
+        if rows is None:
+            return None
+        out_img[y0::dy, x0::dx] = _png_rows_to_rgb(
+            rows, pw, channels, bit_depth, color_type, plte)
+    return out_img
 
 
 _RIFF_MAGIC = b"RIFF"
 
 
 def decode_wav(payload: bytes):
-    """Decode a RIFF/WAVE PCM16 payload to (samples, sample_rate) using
-    ONLY byte slicing + numpy — no codec: RIFF header check, chunk walk
-    (``fmt `` / ``data``), then one ``frombuffer``. ``samples`` is an
-    int16 array shaped (n_frames, n_channels). This makes the audio
-    half of the :func:`real_decode` boundary REAL for uncompressed WAV
-    — the dominant landing format for raw audio — while compressed
+    """Decode a RIFF/WAVE payload of ANY uncompressed sample format to
+    (samples, sample_rate) using ONLY byte slicing + numpy — no codec:
+    RIFF header check, chunk walk (``fmt `` / ``data``), then one
+    ``frombuffer`` + width conversion. ``samples`` is an int16 array
+    shaped (n_frames, n_channels) regardless of the on-disk width
+    (PCM 8u / 16 / 24 / 32 and IEEE float 32 / 64 all narrow to the
+    top 16 bits — the downstream RMS/windowing consumers are
+    width-agnostic by contract), including WAVE_FORMAT_EXTENSIBLE
+    wrappers around those codes. This makes the audio half of the
+    :func:`real_decode` boundary REAL for every uncompressed WAV —
+    the dominant landing format for raw audio — while compressed
     codecs (MP3/AAC/FLAC) stay behind the injected-decoder seam.
 
     Returns None for non-WAV/corrupt/truncated payloads (including a
     declared chunk length running past the payload end — explicit, same
     policy as :func:`decode_png`); raises NotImplementedError for valid
-    WAVs outside the subset (compressed format codes, bit depth ≠ 16)
-    — those need a real codec library.
+    WAVs outside the subset (compressed format codes: ADPCM, MP3, ...).
     """
     import numpy as np
 
@@ -200,14 +289,37 @@ def decode_wav(payload: bytes):
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
+    if audio_format == 0xFFFE:              # WAVE_FORMAT_EXTENSIBLE
+        if len(fmt) < 26:
+            return None
+        audio_format = int.from_bytes(fmt[24:26], "little")  # SubFormat GUID head
+    PCM, FLOAT = 1, 3
+    supported = {(PCM, 8), (PCM, 16), (PCM, 24), (PCM, 32),
+                 (FLOAT, 32), (FLOAT, 64)}
+    if (audio_format, bits) not in supported:
         raise NotImplementedError(
             f"WAV subset: format={audio_format} bits={bits} needs a real codec")
     if n_channels < 1:
         return None
-    usable = len(data) - (len(data) % (2 * n_channels))
-    samples = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, n_channels)
-    return samples, sample_rate
+    width = bits // 8
+    usable = len(data) - (len(data) % (width * n_channels))
+    buf = data[:usable]
+    if audio_format == PCM and bits == 16:
+        samples = np.frombuffer(buf, dtype="<i2")
+    elif audio_format == PCM and bits == 8:         # unsigned, center 128
+        samples = ((np.frombuffer(buf, dtype=np.uint8).astype(np.int16)
+                    - 128) << 8)
+    elif audio_format == PCM and bits == 24:        # little-endian, signed
+        b = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        full = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        full -= (full & 0x800000) << 1              # sign-extend bit 23
+        samples = (full >> 8).astype(np.int16)
+    elif audio_format == PCM and bits == 32:
+        samples = (np.frombuffer(buf, dtype="<i4") >> 16).astype(np.int16)
+    else:                                           # IEEE float 32/64
+        f = np.frombuffer(buf, dtype="<f4" if bits == 32 else "<f8")
+        samples = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    return samples.reshape(-1, n_channels), sample_rate
 
 
 def decode_wav_assets(
@@ -252,14 +364,16 @@ def decode_wav_assets(
 
 def real_decode(payload: bytes, media_type: str, decoder=None):
     """Real decoder boundary. PNG images (:func:`decode_png` — stdlib
-    zlib inflate + scanline unfilter), baseline JPEG images
-    (:func:`operators.jpeg.decode_jpeg` — full T.81 baseline: huffman
-    entropy decode, dequant, vectorized IDCT, chroma upsample, YCbCr→
-    RGB), and PCM16 WAV audio (:func:`decode_wav` — RIFF chunk walk,
-    returns the (frames, channels) int16 sample array) decode HERE,
-    codec-free; the remainder (progressive/arithmetic JPEG, compressed
-    audio, video) stays behind the honest NotImplementedError until a
-    codec library is present.
+    zlib inflate + scanline unfilter; since r12 the FULL valid-PNG
+    space: every legal color-type/bit-depth combination plus Adam7
+    interlace), baseline JPEG images (:func:`operators.jpeg.decode_jpeg`
+    — full T.81 baseline: huffman entropy decode, dequant, vectorized
+    IDCT, chroma upsample, YCbCr→RGB), and every UNCOMPRESSED WAV
+    (:func:`decode_wav` — PCM 8/16/24/32 + IEEE float 32/64 incl.
+    EXTENSIBLE wrappers, narrowed to (frames, channels) int16) decode
+    HERE, codec-free; the remainder (progressive/arithmetic JPEG,
+    compressed audio, video) stays behind the honest
+    NotImplementedError until a codec library is present.
 
     ``decoder`` is the pluggable seam: a codec-equipped deployment
     injects ``Callable[[bytes, str], ndarray]`` (e.g. a PIL/ffmpeg
@@ -296,8 +410,8 @@ def real_decode(payload: bytes, media_type: str, decoder=None):
         if img is not None:
             return img
     raise NotImplementedError(
-        "codec-free subset is 8-bit non-interlaced PNG, baseline JPEG, "
-        "and PCM16 WAV; other codecs need an injected decoder")
+        "codec-free subset is PNG (all valid subtypes), baseline JPEG, "
+        "and uncompressed WAV; other codecs need an injected decoder")
 
 
 def decode_png_assets(

@@ -150,20 +150,175 @@ class TestMultimodal:
         out = multimodal.decode_png(
             self._encode_png(gray, color_type=0, filters=[0, 4, 3]))
         assert np.array_equal(out, np.repeat(gray, 3, axis=2))
-        # corrupt payloads return None, unsupported subsets raise
+        # corrupt payloads return None; a palette PNG MISSING its PLTE
+        # chunk is malformed → None (palette itself decodes since r12,
+        # see test_decode_png_extended_subtypes)
         assert multimodal.decode_png(b"not a png") is None
-        with pytest.raises(NotImplementedError):
-            # palette color (type 3) is outside the codec-free subset
-            import struct
-            import zlib
+        import struct
+        import zlib
 
-            def chunk(typ, data):
-                return (struct.pack(">I", len(data)) + typ + data
-                        + struct.pack(">I", zlib.crc32(typ + data)))
-            bad = (b"\x89PNG\r\n\x1a\n"
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+        no_plte = (b"\x89PNG\r\n\x1a\n"
                    + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
                    + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02")))
-            multimodal.decode_png(bad)
+        assert multimodal.decode_png(no_plte) is None
+        # spec-INVALID combination (palette at depth 16): malformed → None
+        bad_combo = (b"\x89PNG\r\n\x1a\n"
+                     + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+                     + chunk(b"PLTE", bytes(6))
+                     + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02")))
+        assert multimodal.decode_png(bad_combo) is None
+
+    @staticmethod
+    def _encode_png_ext(samples, color_type, bit_depth, plte=None,
+                        interlace=0, filters=(0,)):
+        """Independent test-side encoder for the extended PNG space:
+        sub-byte packing (MSB-first), 16-bit big-endian samples, PLTE,
+        and Adam7 pass extraction — the forward transforms decode_png
+        must invert. ``samples``: (h, w) for gray/palette, (h, w, ch)
+        otherwise; uint16 when bit_depth is 16."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        if samples.ndim == 2:
+            h, w = samples.shape
+            ch = 1
+        else:
+            h, w, ch = samples.shape
+        bpp = max(1, ch * bit_depth // 8)
+        adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+        def pack_pass(sub):
+            ph, pw = sub.shape[0], sub.shape[1]
+            if bit_depth < 8:
+                rows = []
+                for y in range(ph):
+                    bits = []
+                    for v in sub[y].reshape(-1):
+                        for b in range(bit_depth - 1, -1, -1):
+                            bits.append((int(v) >> b) & 1)
+                    while len(bits) % 8:
+                        bits.append(0)
+                    rows.append(np.packbits(np.array(bits, dtype=np.uint8)))
+                rowbytes = np.stack(rows)
+            elif bit_depth == 16:
+                rowbytes = (sub.reshape(ph, pw * ch).astype(">u2")
+                            .view(np.uint8).reshape(ph, pw * ch * 2))
+            else:
+                rowbytes = sub.reshape(ph, pw * ch).astype(np.uint8)
+            stride = rowbytes.shape[1]
+            out = bytearray()
+            prev = np.zeros(stride, dtype=np.int32)
+            for y in range(ph):
+                f = filters[y % len(filters)]
+                cur = rowbytes[y].astype(np.int32)
+                enc = cur.copy()
+                if f == 1:
+                    enc[bpp:] = (cur[bpp:] - cur[:-bpp]) & 0xFF
+                elif f == 2:
+                    enc = (cur - prev) & 0xFF
+                elif f == 3:
+                    for x in range(stride):
+                        a = cur[x - bpp] if x >= bpp else 0
+                        enc[x] = (cur[x] - ((a + prev[x]) >> 1)) & 0xFF
+                elif f == 4:
+                    for x in range(stride):
+                        a = int(cur[x - bpp]) if x >= bpp else 0
+                        b = int(prev[x])
+                        c = int(prev[x - bpp]) if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        enc[x] = (cur[x] - pred) & 0xFF
+                out += bytes([f]) + bytes(enc.astype(np.uint8))
+                prev = cur
+            return bytes(out)
+
+        raw = bytearray()
+        for x0, y0, dx, dy in (adam7 if interlace else [(0, 0, 1, 1)]):
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += pack_pass(sub)
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                           interlace)
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", bytes(np.asarray(plte, np.uint8).reshape(-1)))
+        return (b"\x89PNG\r\n\x1a\n" + body
+                + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+    def test_decode_png_extended_subtypes(self):
+        """r12: the PNG half of the codec boundary closed — palette
+        (1/2/4/8-bit), sub-byte grayscale, and 16-bit samples all
+        decode against the independent test encoder."""
+        import numpy as np
+
+        rng = np.random.default_rng(19)
+        # palette 8-bit, filters incl. Paeth on the index bytes
+        plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx8 = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+        out = multimodal.decode_png(self._encode_png_ext(
+            idx8, color_type=3, bit_depth=8, plte=plte, filters=(0, 4, 1, 2)))
+        assert np.array_equal(out, plte[idx8])
+        # palette 4-bit and 2-bit (sub-byte index unpack, odd width)
+        for d in (4, 2):
+            idx = rng.integers(0, 1 << d, size=(4, 5), dtype=np.uint8)
+            out = multimodal.decode_png(self._encode_png_ext(
+                idx, color_type=3, bit_depth=d, plte=plte))
+            assert np.array_equal(out, plte[idx]), d
+        # 1-bit grayscale scales to {0, 255}
+        bw = rng.integers(0, 2, size=(3, 10), dtype=np.uint8)
+        out = multimodal.decode_png(self._encode_png_ext(
+            bw, color_type=0, bit_depth=1))
+        assert np.array_equal(out, np.repeat((bw * 255)[:, :, None], 3, axis=2))
+        # 4-bit grayscale scales by 17 (255 // 15)
+        g4 = rng.integers(0, 16, size=(3, 3), dtype=np.uint8)
+        out = multimodal.decode_png(self._encode_png_ext(
+            g4, color_type=0, bit_depth=4))
+        assert np.array_equal(out, np.repeat((g4 * 17)[:, :, None], 3, axis=2))
+        # 16-bit RGB narrows to the high byte
+        rgb16 = rng.integers(0, 1 << 16, size=(4, 3, 3), dtype=np.uint16)
+        out = multimodal.decode_png(self._encode_png_ext(
+            rgb16, color_type=2, bit_depth=16, filters=(2, 0, 1)))
+        assert np.array_equal(out, (rgb16 >> 8).astype(np.uint8))
+        # 16-bit gray+alpha: gray high byte replicated
+        ga16 = rng.integers(0, 1 << 16, size=(3, 4, 2), dtype=np.uint16)
+        out = multimodal.decode_png(self._encode_png_ext(
+            ga16, color_type=4, bit_depth=16))
+        assert np.array_equal(
+            out, np.repeat((ga16[:, :, :1] >> 8).astype(np.uint8), 3, axis=2))
+
+    def test_decode_png_adam7_interlace(self):
+        """r12: Adam7 — per-pass unfilter state (each sub-image's
+        filters reference ITS OWN previous row, not the neighbor
+        scanline) and the scatter back into the output grid, on
+        dimensions that exercise empty and 1-pixel passes."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        for shape in ((9, 11, 3), (3, 5, 3), (1, 1, 3), (16, 8, 3)):
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            png = self._encode_png_ext(
+                img, color_type=2, bit_depth=8, interlace=1,
+                filters=(0, 4, 2, 1, 3))
+            out = multimodal.decode_png(png)
+            assert np.array_equal(out, img), shape
+        # interlaced palette at 4 bits: both extensions composed
+        plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(10, 6), dtype=np.uint8)
+        out = multimodal.decode_png(self._encode_png_ext(
+            idx, color_type=3, bit_depth=4, plte=plte, interlace=1))
+        assert np.array_equal(out, plte[idx])
 
     def test_decode_png_assets_feeds_resize(self, spark):
         """The decode stage produces exactly what resize_images consumes:
@@ -410,15 +565,67 @@ class TestMultimodal:
         assert np.array_equal(multimodal.real_decode(wav, "audio"), stereo)
         assert multimodal.decode_wav(b"not riff") is None
         assert multimodal.decode_wav(wav[:30]) is None   # truncated chunk
-        # 8-bit WAV: valid but outside the codec-free subset
+        # compressed format codes stay behind the boundary (ADPCM = 2)
+        adpcm = bytearray(wav)
+        fmt_off = wav.index(b"fmt ") + 8
+        adpcm[fmt_off:fmt_off + 2] = (2).to_bytes(2, "little")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_wav(bytes(adpcm))
+
+    @staticmethod
+    def _raw_wav(fmt_code, bits, channels, rate, data, fmt_extra=b""):
+        """Hand-built RIFF/WAVE container (stdlib wave only writes PCM)."""
+        fmt = (fmt_code.to_bytes(2, "little") + channels.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * channels * bits // 8).to_bytes(4, "little")
+               + (channels * bits // 8).to_bytes(2, "little")
+               + bits.to_bytes(2, "little") + fmt_extra)
+        body = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + (b"\x00" if len(fmt) % 2 else b"")
+                + b"data" + len(data).to_bytes(4, "little") + data)
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+    def test_decode_wav_extended_formats(self):
+        """r12: the audio half of the codec boundary closed for every
+        UNCOMPRESSED sample format — PCM 8/24/32 and IEEE float narrow
+        to the top 16 bits, EXTENSIBLE wrappers resolve to their
+        SubFormat code."""
+        import numpy as np
+
+        # PCM8: unsigned, centered at 128 — stdlib wave writes it too
         import io
         import wave as wv
         buf = io.BytesIO()
         with wv.open(buf, "wb") as w:
             w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
-            w.writeframes(bytes(100))
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_wav(buf.getvalue())
+            w.writeframes(bytes([0, 128, 255, 200]))
+        samples, rate = multimodal.decode_wav(buf.getvalue())
+        assert rate == 8000
+        assert samples.ravel().tolist() == [-32768, 0, 32512, 18432]
+        # PCM24: little-endian signed, top 16 bits kept
+        vals24 = [0x000000, 0x7FFFFF, 0x800000, 0xABCDEF]  # raw 3-byte LE
+        data24 = b"".join(v.to_bytes(3, "little") for v in vals24)
+        samples, rate = multimodal.decode_wav(self._raw_wav(1, 24, 1, 44100, data24))
+        want = []
+        for v in vals24:
+            s = v - (1 << 24) if v & 0x800000 else v
+            want.append(s >> 8)
+        assert samples.ravel().tolist() == want and rate == 44100
+        # PCM32 stereo
+        s32 = np.array([[1 << 30, -(1 << 30)], [0, 123 << 16]], dtype="<i4")
+        samples, _ = multimodal.decode_wav(self._raw_wav(1, 32, 2, 16000, s32.tobytes()))
+        assert np.array_equal(samples, (s32.astype(np.int64) >> 16).astype(np.int16))
+        # IEEE float32, clipped and scaled
+        f32 = np.array([0.0, 1.0, -1.0, 0.5, 2.0], dtype="<f4")
+        samples, _ = multimodal.decode_wav(self._raw_wav(3, 32, 1, 22050, f32.tobytes()))
+        assert samples.ravel().tolist() == [0, 32767, -32767, 16384, 32767]
+        # WAVE_FORMAT_EXTENSIBLE wrapping PCM16
+        sig = np.array([100, -100, 32000], dtype="<i2")
+        extra = (22).to_bytes(2, "little") + (16).to_bytes(2, "little") \
+            + (0).to_bytes(4, "little") + (1).to_bytes(2, "little") + bytes(14)
+        ext = self._raw_wav(0xFFFE, 16, 1, 8000, sig.tobytes(), fmt_extra=extra)
+        samples, _ = multimodal.decode_wav(ext)
+        assert samples.ravel().tolist() == sig.tolist()
 
     def test_decode_wav_assets_feeds_rms(self, spark):
         """The WAV decode stage produces exactly what audio_rms_windows
