@@ -1624,3 +1624,109 @@ def bpe_encode(
         .agg(F.count(F.lit(1)).alias("n_words"),
              F.sum("n_syms").cast("long").alias("n_symbols"))
     )
+
+
+def bpe_vocab(docs: DataFrame, merges: DataFrame,
+              text_col: str = "text") -> DataFrame:
+    """The (token, token_id) table a trained BPE tokenizer ships:
+    base vocabulary = every distinct character the corpus's whitespace
+    words contain, id'd by sorted (binary) order — deterministic across
+    runs and partitionings; learned vocabulary = each merge's fused
+    string at ``base_size + merge_rank``, mirroring how production BPE
+    tokenizers (Sennrich reference implementation, GPT-2) number
+    merges after the base alphabet.
+
+    One corpus pass (distinct chars — a ≤vocabulary-sized agg), then a
+    driver-side offset join on the tiny merge table. Output columns:
+    ``token string, token_id int``. The global row_number window runs
+    over the DISTINCT-CHARACTER table (≤ alphabet-sized), so the
+    single-reducer sort it implies is bounded, never corpus-bounded.
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.col(text_col))
+    chars = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(t) > 0))
+        .select(F.explode(F.split(t, r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .select(F.explode(F.split("w", "")).alias("token"))
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    base = chars.select(
+        "token", (F.row_number().over(w) - F.lit(1)).cast("int").alias("token_id"))
+    n_base = base.count()
+    fused = merges.select(
+        F.concat("lhs", "rhs").alias("token"),
+        (F.col("merge_rank") + F.lit(n_base)).cast("int").alias("token_id"))
+    return base.unionByName(fused)
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Full tokenizer ENCODE — the artifact a training-data pipeline
+    actually emits: per document, whitespace words → char symbols →
+    every merge replayed in rank order (the same greedy left-to-right
+    pass :func:`bpe_encode` counts) → symbols mapped to ids through
+    ``vocab`` (:func:`bpe_vocab`'s output; characters unseen at vocab
+    build time get ``unk_id``). Output: ``(id, token_ids array<int>,
+    n_tokens)`` with token order preserved across word boundaries.
+
+    Plan shape: the merge table and vocab ride in the Arrow kernel's
+    closure (both vocabulary-sized — broadcast-class); words keep
+    their in-document position through ``posexplode`` so the one
+    shuffle (the per-doc reassembly agg, keyed by the unskewable doc
+    id) can restore order with ``array_sort`` on (pos, ids) structs
+    and flatten. Each DISTINCT word per Arrow batch is encoded once,
+    the bpe_encode kernel-route economics."""
+    rules = [(r["lhs"], r["rhs"]) for r in sorted(
+        merges.collect(), key=lambda r: r["merge_rank"])]
+    tok2id = {r["token"]: r["token_id"] for r in vocab.collect()}
+    t = F.trim(F.col(text_col))
+    word_df = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(t) > 0))
+        .select(F.col(id_col), F.posexplode(F.split(t, r"\s+")).alias("pos", "w"))
+        .filter(F.length("w") > 0)
+    )
+
+    def _encode_batches(batches):
+        import pandas as pd
+
+        def ids(word: str):
+            syms = list(word)
+            for lhs, rhs in rules:
+                out = []
+                for s in syms:
+                    if out and out[-1] == lhs and s == rhs:
+                        out[-1] = lhs + rhs
+                    else:
+                        out.append(s)
+                syms = out
+            return [tok2id.get(s, unk_id) for s in syms]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            enc = {w: ids(w) for w in pdf["w"].unique()}
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "pos": pdf["pos"].to_numpy(),
+                "ids": pdf["w"].map(enc),
+            })
+
+    encoded = word_df.mapInPandas(
+        _encode_batches, schema=f"{id_col} long, pos int, ids array<int>")
+    per_doc = (
+        encoded.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "ids"))).alias("__ws"))
+        .select(
+            F.col(id_col),
+            F.flatten(F.transform("__ws", lambda s: s["ids"])).alias("token_ids"))
+    )
+    return per_doc.withColumn("n_tokens", F.size("token_ids"))

@@ -2532,6 +2532,42 @@ class TestBpeTrain:
         # symbol, 'lowest' = low+e+s+t = 4
         assert enc[1][1] == 1 + 1 + 4 and enc[3] == (1, 1)
 
+    def test_encode_ids_roundtrip_and_count_consistency(self, spark, sf_small):
+        """bpe_encode_ids (r12 — the id sequences a training pipeline
+        actually emits): (a) mapping ids back through the vocab and
+        concatenating must reproduce each document's whitespace words
+        in order (lossless tokenization over the vocab's alphabet);
+        (b) n_tokens must equal bpe_encode's n_symbols doc for doc —
+        the two routes share one greedy-apply semantics."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+            "doc_id", "text").limit(60)
+        merges = text.bpe_train(docs, k=12, min_count=2)
+        vocab = text.bpe_vocab(docs, merges)
+        vrows = vocab.collect()
+        id2tok = {r["token_id"]: r["token"] for r in vrows}
+        assert len(id2tok) == len(vrows)            # ids are unique
+        enc = {r["doc_id"]: list(r["token_ids"]) for r in
+               text.bpe_encode_ids(docs, merges, vocab).collect()}
+        counts = {r["doc_id"]: r["n_symbols"] for r in
+                  text.bpe_encode(docs, merges).collect()}
+        assert set(enc) == set(counts)
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for did, ids in enc.items():
+            assert len(ids) == counts[did]
+            assert all(i >= 0 for i in ids)         # corpus-built vocab: no UNK
+            assert "".join(id2tok[i] for i in ids) == "".join(texts[did].split())
+
+    def test_encode_ids_unk_for_unseen_chars(self, spark):
+        """Characters absent from the vocab-building corpus map to
+        unk_id instead of failing or silently dropping."""
+        train = spark.createDataFrame([(1, "abba abab")], "doc_id long, text string")
+        merges = text.bpe_train(train, k=2, min_count=1)
+        vocab = text.bpe_vocab(train, merges)
+        new = spark.createDataFrame([(9, "abba xyz")], "doc_id long, text string")
+        row = text.bpe_encode_ids(new, merges, vocab, unk_id=-7).collect()[0]
+        ids = list(row["token_ids"])
+        assert ids.count(-7) == 3 and row["n_tokens"] == len(ids)
+
     def test_encode_kernel_route_matches_unrolled_route(self, spark, sf_small):
         """Past max_unrolled_merges the encode switches from the chained
         Catalyst fold to the Arrow kernel (ADVICE r11: depth-k trees
