@@ -388,3 +388,27 @@ def test_stage_cut_leaves_a_leaf_plan(spark):
     assert "Aggregate" not in analyzed        # the upstream tree is gone
     assert prev.storageLevel == StorageLevel.NONE   # previous stage released
     assert cut.count() == 10
+
+
+def test_e03c_det_lsh_scale_shape(spark, sf_oracle):
+    """e03c (deterministic LSH, in-window r12): one signature pass
+    (MapInPandas), one bucket-keyed exchange into the grouped verify
+    kernel, candidate dedup partial-aggregates map-side (HashAggregate
+    below the exchange), and no CartesianProduct anywhere — the
+    LSH-not-all-pairs property, now pinned on the FULL-oracle variant."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    plan = llm.QUERIES["e03c_similar_pairs_lsh_det"](spark, sf_oracle) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1          # one signature pass
+    assert "FlatMapGroupsInPandas" in plan         # bucket-grouped verify
+    lines = plan.splitlines()
+    # partial dedup below its exchange: HashAggregate appears on both
+    # sides of the id_a/id_b hash exchange
+    ex = [i for i, l in enumerate(lines)
+          if "Exchange hashpartitioning(id_a" in l]
+    assert ex, plan
+    above = any("HashAggregate" in l for l in lines[:ex[0]])
+    below = any("HashAggregate" in l for l in lines[ex[0]:])
+    assert above and below
