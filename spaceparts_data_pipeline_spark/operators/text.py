@@ -1514,16 +1514,31 @@ def bpe_train(
         for lhs, rhs, c in accepted:
             merges.append((len(merges), lhs, rhs, c))
 
+        # ONE pass applies the whole batch: the (last, current) pair is
+        # looked up in a literal map instead of a depth-|batch| when
+        # chain — expression depth stays O(1) in batch size, so greedy
+        # mode can raise batch_max without Catalyst analysis blowing up
+        # (the bpe_encode unroll lesson). STRUCT keys, not string
+        # concatenation: corpus symbols may contain any separator byte,
+        # and a (lhs, rhs) struct cannot alias across the boundary.
+        # Each (last, s) matches at most one rule (duplicate lhs or rhs
+        # within a batch is symbol-sharing → incompatible → excluded),
+        # so lookup order is immaterial and the map keys are unique.
+        pairs_map = F.create_map(*[
+            x for lhs, rhs, _ in accepted
+            for x in (F.struct(F.lit(lhs).alias("l"), F.lit(rhs).alias("r")),
+                      F.lit(lhs + rhs))
+        ])
+
         def _fold_step(acc, s):
-            out = F.concat(acc, F.array(s))
-            for lhs, rhs, _ in accepted:
-                out = F.when(
-                    (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs))
-                    & (s == F.lit(rhs)),
-                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
-                             F.array(F.lit(lhs + rhs))),
-                ).otherwise(out)
-            return out
+            key = F.struct(F.try_element_at(acc, F.lit(-1)).alias("l"),
+                           s.alias("r"))
+            fused = F.try_element_at(pairs_map, key)
+            return F.when(
+                fused.isNotNull(),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                         F.array(fused)),
+            ).otherwise(F.concat(acc, F.array(s)))
 
         merged = F.aggregate(
             "syms", F.array().cast("array<string>"), _fold_step)
