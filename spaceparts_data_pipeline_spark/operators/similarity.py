@@ -608,6 +608,81 @@ def similar_pairs_lsh(
     )
 
 
+def incremental_semdedup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_bands: int = 16,
+    threshold: float = 0.35,
+    seed: int = 12,
+    n_hint: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run SEMANTIC dedup — the embedding-space member of the
+    incremental-screen family (``dedup.incremental_dedup`` screens
+    exact md5 fingerprints, ``dedup_fuzzy.incremental_near_dedup``
+    screens MinHash text signatures; nothing screened EMBEDDINGS):
+    each run admits only vectors with no semantic near-duplicate
+    (cosine ≥ ``threshold``) among (a) lower-id vectors of the same
+    batch — d10/d25's min-id survivor decision — or (b) anything any
+    prior run admitted.
+
+    Candidates come from the DETERMINISTIC banded LSH
+    (:func:`det_lsh_signatures` — the e03c machinery), and every
+    candidate is verified with the exact sequential-fold cosine before
+    it can reject anything, so there are NO false rejections; banding
+    recall (≥0.9 at the default 4×16 high-recall profile, pinned for
+    e03c) bounds what can slip PAST the screen. Because the store
+    keeps the vectors (unlike the MinHash screen, whose store is
+    signature-only by design), the whole decision — signatures,
+    collisions, verification — is replayable in SQL: the d26 driver
+    query carries a FULL value oracle, no admit-set-equality
+    assumption needed.
+
+    Returns ``(admitted, admitted_store_rows)``: ``admitted`` is the
+    surviving batch rows in the batch's own schema;
+    ``admitted_store_rows`` is their ``(id, vector-as-double, sigs)``
+    store table — append it to the store (append-only is safe: the
+    screen is an existence test, duplicates in the store change
+    nothing). Store cost: one row per admitted vector (~8·dim bytes +
+    n_bands longs), NOT per band — the band explode happens at screen
+    time, transiently.
+
+    Scale shape: one Arrow signature pass per batch; within-batch
+    pairs are the e03c plan (bucket-grouped verify, Σ bucket² work);
+    the store screen shuffles (band, sig, id) triples + joins
+    candidate vectors back — batch-sized left side, store side pruned
+    to colliding rows. Compact the store by plain distinct-rewrite if
+    its file count grows.
+    """
+    sig = det_lsh_signatures(batch, id_col=id_col, vec_col=vec_col, dim=dim,
+                             n_planes=n_planes, n_bands=n_bands, seed=seed,
+                             n_hint=n_hint)
+    pairs = similar_pairs_lsh_det(
+        batch, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes,
+        n_bands=n_bands, threshold=threshold, seed=seed, n_hint=n_hint)
+    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    surv = sig.join(dup_ids, id_col, "left_anti")
+    if store is not None:
+        sb = store.select(F.col(id_col).alias("__sid"),
+                          F.col(vec_col).alias("__sv"),
+                          F.posexplode("sigs").alias("band", "sig"))
+        bb = surv.select(F.col(id_col), F.col(vec_col),
+                         F.posexplode("sigs").alias("band", "sig"))
+        hits = (
+            bb.join(sb, ["band", "sig"])
+            .dropDuplicates([id_col, "__sid"])
+            .withColumn("__cos", cosine(F.col(vec_col), F.col("__sv")))
+            .filter(F.col("__cos") >= F.lit(threshold))
+            .select(id_col).distinct()
+        )
+        surv = surv.join(hits, id_col, "left_anti")
+    admitted = batch.join(surv.select(id_col), id_col, "left_semi")
+    return admitted, surv
+
+
 #: Fixed-point scale for the deterministic LSH's embedding quantization.
 #: 2^20 is an EXPONENT SHIFT: double * 2^20 never rounds, floor() is
 #: exact, and the resulting int64s are small enough (|emb| ≲ 2^10 →
@@ -632,6 +707,48 @@ def rademacher_planes(dim: int, n_planes: int, n_bands: int, seed: int = 12):
     rs = np.random.RandomState(seed)
     return rs.choice(np.array([-1, 1], dtype=np.int64),
                      size=(n_bands * n_planes, dim))
+
+
+def det_lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_bands: int = 16,
+    seed: int = 12,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """The deterministic banded signature stage shared by
+    :func:`similar_pairs_lsh_det` and :func:`incremental_semdedup`:
+    one Arrow pass emitting ``(id, vector-as-double, sigs array<long>)``
+    where each of the ``n_bands`` signatures is ``n_planes`` sign bits
+    of the OVERFLOW-FREE int64 projection ``floor(v·2^20) @ P`` against
+    the seeded Rademacher planes — bit-identical in any engine, any
+    order (see DET_LSH_SCALE / :func:`rademacher_planes`)."""
+    import numpy as np
+
+    P = rademacher_planes(dim, n_planes, n_bands, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    df = _ensure_parallel(df, n_hint=n_hint)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+
+    def sig_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q = np.floor(V * DET_LSH_SCALE).astype(np.int64)
+            bits = (Q @ P.T) >= 0                                # exact int64
+            sigs = bits.reshape(len(pdf), n_bands, n_planes).astype(np.int64) @ weights
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(), vec_col: list(V), "sigs": list(sigs),
+            })
+
+    return vecs.mapInPandas(
+        sig_fn, schema=f"{id_col} long, {vec_col} array<double>, sigs array<long>")
 
 
 def similar_pairs_lsh_det(
@@ -665,29 +782,9 @@ def similar_pairs_lsh_det(
     bucket-keyed shuffle with vectors riding, Σ bucket² verify work, and
     a final ~survivors-sized exact-fold pass (the one extra exchange the
     determinism costs)."""
-    import numpy as np
-
-    P = rademacher_planes(dim, n_planes, n_bands, seed)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    df = _ensure_parallel(df, n_hint=n_hint)
-    vecs = df.select(F.col(id_col), F.col(vec_col))
-
-    def sig_fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Q = np.floor(V * DET_LSH_SCALE).astype(np.int64)
-            bits = (Q @ P.T) >= 0                                # exact int64
-            sigs = bits.reshape(len(pdf), n_bands, n_planes).astype(np.int64) @ weights
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(), vec_col: list(V), "sigs": list(sigs),
-            })
-
-    sig_df = vecs.mapInPandas(
-        sig_fn, schema=f"{id_col} long, {vec_col} array<double>, sigs array<long>")
+    sig_df = det_lsh_signatures(df, id_col=id_col, vec_col=vec_col, dim=dim,
+                                n_planes=n_planes, n_bands=n_bands,
+                                seed=seed, n_hint=n_hint)
     bands = sig_df.select(
         F.col(id_col), F.col(vec_col), F.posexplode("sigs").alias("band", "sig"))
     total_rows = (n_hint * n_bands) if n_hint is not None else None

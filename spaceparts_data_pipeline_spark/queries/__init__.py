@@ -347,6 +347,12 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   r11: q03, q19, q20, q24, d01, d02, d03, d06, d09, d25, e02, x05,
 #        x06, x14, x19, x23, x29 (this round's OUT set — yield-back
 #        pool for later tranches).
+#   NEW, first-appearance DEFERRED once (the late-r11 precedent —
+#        added after this round's window was set; green in the local
+#        parity suite at sf0.01 + sf0.1 on first run; MUST rotate in
+#        r13): d26_incremental_semdedup (cross-run embedding dedup —
+#        deterministic-LSH screen with exact-verified rejections and a
+#        FULL two-round oracle sharing e03c's signature CTEs).
 # Round-12 rotation (round-11 verdict next-round #1, executed exactly):
 # IN — the five late-r11 FULL-oracle deferrals get their promised
 # first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE

@@ -676,8 +676,20 @@ def e03b_similar_pairs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _E03C = {"dim": 64, "n_planes": 4, "n_bands": 16, "seed": 12, "threshold": 0.35}
 
+#: e02's exact-cosine expression between two embedding relations ea/eb —
+#: the shared verify tail of e03c's and d26's oracles.
+_COS_EA_EB = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))"
+)
 
-def _e03c_oracle() -> str:
+
+def _det_lsh_sql_prefix() -> str:
+    """The shared deterministic-LSH CTE prefix (planes literals +
+    fixed-point quantization + int64 band signatures) both e03c's and
+    d26's oracles open with — generated from the SAME
+    rademacher_planes matrix the Spark kernels use."""
     P = similarity.rademacher_planes(
         _E03C["dim"], _E03C["n_planes"], _E03C["n_bands"], _E03C["seed"])
     n_planes, n_bands = _E03C["n_planes"], _E03C["n_bands"]
@@ -705,7 +717,11 @@ def _e03c_oracle() -> str:
                       THEN (1 << p.plane) ELSE 0 END) AS sig
       FROM q CROSS JOIN planes p
       GROUP BY q.vec_id, p.band
-    ),
+    )"""
+
+
+def _e03c_oracle() -> str:
+    return _det_lsh_sql_prefix() + f""",
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
@@ -735,6 +751,91 @@ def e03c_similar_pairs_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_E03C["seed"],
         n_hint=footer_row_count(sf_dir, "embeddings", spark=spark),
     )
+
+
+# ---------------------------------------------------------------------------
+# d26 — cross-run SEMANTIC dedup (incremental_semdedup): the embedding
+# member of the incremental-screen family (d15 = exact md5, d16 = MinHash
+# text). Two rounds replayed end to end: batch 1 (vec_id < 250) admits
+# against an empty store, batch 2 admits against batch 1's store — the
+# output is round-2's admitted ids. FULL oracle: deterministic signatures
+# make the whole decision — banding, collisions, exact-cosine verify —
+# SQL-replayable; unlike d16 no admit-set-equality assumption is needed
+# because the store keeps vectors and every rejection is verified.
+# ---------------------------------------------------------------------------
+
+_D26_SPLIT = 250
+
+
+def _d26_oracle() -> str:
+    t = _E03C["threshold"]
+    s = _D26_SPLIT
+    return _det_lsh_sql_prefix() + f""",
+    cand1 AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.vec_id < b.vec_id
+      WHERE a.vec_id < {s} AND b.vec_id < {s}
+    ),
+    d1 AS (
+      SELECT DISTINCT c.id_b AS vec_id FROM cand1 c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE {_COS_EA_EB} >= {t}
+    ),
+    adm1 AS MATERIALIZED (
+      SELECT e.vec_id FROM embeddings e
+      WHERE e.vec_id < {s}
+        AND NOT EXISTS (SELECT 1 FROM d1 WHERE d1.vec_id = e.vec_id)
+    ),
+    cand2 AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.vec_id < b.vec_id
+      WHERE a.vec_id >= {s} AND b.vec_id >= {s}
+    ),
+    d2 AS (
+      SELECT DISTINCT c.id_b AS vec_id FROM cand2 c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE {_COS_EA_EB} >= {t}
+    ),
+    surv2 AS MATERIALIZED (
+      SELECT e.vec_id FROM embeddings e
+      WHERE e.vec_id >= {s}
+        AND NOT EXISTS (SELECT 1 FROM d2 WHERE d2.vec_id = e.vec_id)
+    ),
+    screen_cand AS (
+      SELECT DISTINCT sb.vec_id, ss.vec_id AS sid
+      FROM sigs sb JOIN surv2 ON surv2.vec_id = sb.vec_id
+      JOIN sigs ss ON ss.band = sb.band AND ss.sig = sb.sig
+      JOIN adm1 ON adm1.vec_id = ss.vec_id
+    ),
+    hits AS (
+      SELECT DISTINCT c.vec_id FROM screen_cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_id
+      JOIN embeddings eb ON eb.vec_id = c.sid
+      WHERE {_COS_EA_EB} >= {t}
+    )
+    SELECT vec_id FROM surv2
+    WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.vec_id = surv2.vec_id)
+    """
+
+
+@register("d26_incremental_semdedup", _d26_oracle())
+def d26_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 1 admits embeddings vec_id < 250 against an empty store;
+    round 2 admits the rest against round 1's store; output = round-2
+    admitted ids. Cites the reference's incremental watermark-batch
+    shape (SURVEY §2.11) transplanted to embedding space."""
+    e = T(spark, sf_dir, "embeddings")
+    b1 = e.filter(F.col("vec_id") < _D26_SPLIT)
+    b2 = e.filter(F.col("vec_id") >= _D26_SPLIT)
+    _, store = similarity.incremental_semdedup(
+        b1, None, threshold=_E03C["threshold"])
+    admitted, _ = similarity.incremental_semdedup(
+        b2, store, threshold=_E03C["threshold"])
+    return admitted.select("vec_id")
 
 
 # ---------------------------------------------------------------------------

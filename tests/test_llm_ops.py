@@ -762,6 +762,56 @@ class TestSimilarity:
               similarity.similar_pairs_lsh_det(e).collect()}
         assert r1 == r2 and r1
 
+    def test_incremental_semdedup_screen_and_no_false_rejection(self, spark, sf_small):
+        """d26 (r12 — the embedding member of the incremental-screen
+        family): (a) a later batch's near-copy of a STORED vector is
+        rejected while novel vectors are admitted; (b) nothing is
+        rejected without a verified cosine>=threshold witness (no false
+        rejections — every screen decision is exact-verified); (c) the
+        store table is append-only reusable across runs."""
+        import numpy as np
+
+        e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        b1 = e.filter("vec_id < 250")
+        adm1, store1 = similarity.incremental_semdedup(b1, None)
+        # every admitted row is in the store table, ids match
+        a1 = {r["vec_id"] for r in adm1.collect()}
+        s1 = {r["vec_id"] for r in store1.collect()}
+        assert a1 == s1 and a1
+        # batch 2: exact copies of two stored vectors under new ids,
+        # plus one orthogonal novel vector
+        stored = {r["vec_id"]: list(r["embedding"]) for r in b1.collect()}
+        keep2 = sorted(a1)[:2]
+        novel = [0.0] * 64
+        novel[0], novel[1] = 7.0, -3.0
+        rows = [(9001, [float(x) for x in stored[keep2[0]]]),
+                (9002, [float(x) for x in stored[keep2[1]]]),
+                (9003, novel)]
+        b2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        adm2, _ = similarity.incremental_semdedup(b2, store1)
+        a2 = {r["vec_id"] for r in adm2.collect()}
+        assert 9001 not in a2 and 9002 not in a2     # exact copies screened
+        # 9003 admitted unless the corpus genuinely contains a
+        # >=threshold neighbor of it (verify against brute force)
+        if 9003 not in a2:
+            sims = [np.dot(novel, v) / (np.linalg.norm(novel) * np.linalg.norm(v))
+                    for v in stored.values()]
+            assert max(sims) >= 0.35
+        # (b) full-batch property on real data: every round-2 rejection
+        # has a verified witness among stored vectors or lower-id batch
+        b2r = e.filter("vec_id >= 250 and vec_id < 350")
+        adm2r, _ = similarity.incremental_semdedup(b2r, store1)
+        admitted = {r["vec_id"] for r in adm2r.collect()}
+        rejected = {r["vec_id"] for r in b2r.collect()} - admitted
+        embs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in e.filter("vec_id < 350").collect()}
+        for rid in rejected:
+            v = embs[rid]
+            witnesses = [w for w, u in embs.items()
+                         if (w in s1 or (250 <= w < rid))
+                         and np.dot(v, u) / (np.linalg.norm(v) * np.linalg.norm(u)) >= 0.35]
+            assert witnesses, rid
+
     def test_e03b_registered_variant_matches_profile(self, spark, sf_small):
         """The registered e03b query IS the pinned profile: same pair
         set as calling the operator with HIGH_RECALL_LSH directly."""
