@@ -33,7 +33,11 @@ SparkContext checkpoint dir instead (requires ``sc.setCheckpointDir``).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def stage_cut(df: DataFrame, *, eager: bool = True, reliable: bool = False,
@@ -48,8 +52,18 @@ def stage_cut(df: DataFrame, *, eager: bool = True, reliable: bool = False,
     if unpersist is not None:
         prev = unpersist if isinstance(unpersist, (list, tuple)) else [unpersist]
         for p in prev:
+            # never-persisted frames are the expected no-op (checked, not
+            # caught); a genuine release failure — stopped SparkContext,
+            # JVM error mid-loop — is LOGGED so leaking cached stages has
+            # a signal instead of a silent pass (ADVICE r12). Cleanup
+            # still doesn't abort the caller: the surrounding iteration
+            # is idempotent and the leak is bounded by one stage frame.
             try:
-                p.unpersist()
+                sl = p.storageLevel
+                if sl.useMemory or sl.useDisk or sl.useOffHeap:
+                    p.unpersist()
             except Exception:
-                pass  # releasing a never-persisted frame is a no-op
+                _log.warning("stage_cut: failed to release a cached "
+                             "previous-stage frame; its blocks may leak "
+                             "until session end", exc_info=True)
     return cut

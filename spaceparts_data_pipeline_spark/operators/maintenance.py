@@ -82,7 +82,8 @@ def _split_db(table: str) -> tuple[str | None, str]:
 
 
 def _clear_orphan_location(spark: SparkSession, table: str, *,
-                           force: bool = False) -> bool:
+                           force: bool = False,
+                           min_age_s: float = 0.0) -> bool:
     """Delete ``table``'s default warehouse DIRECTORY iff the catalog
     has no such table but the directory exists — the object-store crumb
     a crash leaves between a catalog drop and its location cleanup (or
@@ -122,12 +123,70 @@ def _clear_orphan_location(spark: SparkSession, table: str, *,
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return False
+    if min_age_s > 0 and _newest_mtime_ms(fs, path) > _now_ms() - min_age_s * 1000:
+        # A directory written to within the grace window may belong to a
+        # CONCURRENT writer racing the first-ever create of a shared sink
+        # (its saveAsTable has materialized files but not yet committed
+        # the catalog entry) — deleting it would turn a transient
+        # LOCATION_ALREADY_EXISTS wedge into silent data loss. Leave it;
+        # the caller re-raises and a later (single-writer) run recovers.
+        return False
     fs.delete(path, True)
     return True
 
 
+def _now_ms() -> int:
+    import time
+    return int(time.time() * 1000)
+
+
+def _newest_mtime_ms(fs, path) -> int:
+    """Newest modification time (epoch ms) of ``path`` or any direct
+    child — one level is enough: saveAsTable writes part files directly
+    under the table directory (plus _temporary/, whose own mtime updates
+    as tasks commit)."""
+    newest = fs.getFileStatus(path).getModificationTime()
+    try:
+        for st in fs.listStatus(path):
+            newest = max(newest, st.getModificationTime())
+    except Exception:
+        pass
+    return newest
+
+
+def _is_location_collision(exc: Exception, bare_table: str) -> bool:
+    """True iff ``exc`` is Spark's LOCATION_ALREADY_EXISTS error class
+    for ``bare_table`` — matched on the structured error condition when
+    the exception exposes one, else on the class name in the message.
+    Deliberately NOT a generic 'already exists' substring: TABLE_OR_VIEW
+    _ALREADY_EXISTS and friends must surface, never trigger recovery."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        getter = getattr(exc, attr, None)
+        if callable(getter):
+            try:
+                cond = getter()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    msg = str(exc)
+    if cond is not None:
+        return cond == "LOCATION_ALREADY_EXISTS"
+    return "LOCATION_ALREADY_EXISTS" in msg and bare_table.lower() in msg.lower()
+
+
+#: How recently a catalog-less colliding directory may have been written
+#: and still be treated as a crash orphan. Directories younger than this
+#: are presumed to belong to a concurrent writer mid-``saveAsTable`` (the
+#: multi-writer race on a shared sink's first-ever create), so recovery
+#: declines and the collision error surfaces instead.
+DEFAULT_ORPHAN_GRACE_S = 60.0
+
+
 def safe_save_as_table(df, table: str, mode: str = "overwrite",
-                       partition_by=None, **options) -> None:
+                       partition_by=None,
+                       orphan_grace_s: float | None = None, **options) -> None:
     """``df.write.saveAsTable(table)`` hardened against the crash-orphan
     wedge (VERDICT r11 "What's wrong #2"): a SIGKILL mid-``saveAsTable``
     leaves a catalog-less warehouse directory, and every LATER create of
@@ -138,12 +197,22 @@ def safe_save_as_table(df, table: str, mode: str = "overwrite",
 
     Recovery is reactive, not proactive: we attempt the write first and
     only clear the location after Spark itself raises the
-    location-collision error for a table the catalog does NOT know —
-    that pair of facts proves the directory is an orphaned crumb of this
-    very table, so the ``force=True`` bypass of the artifact-name check
-    is sound even for plain names. One retry; a second failure (or any
-    other error) surfaces."""
+    LOCATION_ALREADY_EXISTS error class (matched structurally via the
+    exception's error condition, never a loose 'already exists'
+    substring) for a table the catalog does NOT know. For a SINGLE
+    writer that pair of facts proves the directory is an orphaned crumb
+    of this very table, so the ``force=True`` bypass of the
+    artifact-name check is sound even for plain names. Because shared
+    sinks (append_log / append_control are written by both batch and
+    streaming paths) can race their first-ever create, recovery
+    additionally refuses to delete a directory modified within
+    ``orphan_grace_s`` seconds (default :data:`DEFAULT_ORPHAN_GRACE_S`)
+    — a concurrent writer's in-flight files are that young, a crashed
+    run's crumb is not — and re-raises the transient error instead.
+    One retry; a second failure (or any other error) surfaces."""
     spark = df.sparkSession
+    if orphan_grace_s is None:
+        orphan_grace_s = DEFAULT_ORPHAN_GRACE_S
 
     def _write():
         w = df.write.mode(mode)
@@ -157,13 +226,12 @@ def safe_save_as_table(df, table: str, mode: str = "overwrite",
     try:
         _write()
     except Exception as exc:
-        msg = str(exc)
         _, bare = _split_db(table)
-        collision = ("LOCATION_ALREADY_EXISTS" in msg
-                     or "already exists" in msg.lower()) and bare.lower() in msg.lower()
-        if not (collision and not spark.catalog.tableExists(table)):
+        if not (_is_location_collision(exc, bare)
+                and not spark.catalog.tableExists(table)):
             raise
-        if not _clear_orphan_location(spark, table, force=True):
+        if not _clear_orphan_location(spark, table, force=True,
+                                      min_age_s=orphan_grace_s):
             raise
         _write()
 

@@ -662,7 +662,8 @@ def incremental_semdedup(
                              n_hint=n_hint)
     pairs = similar_pairs_lsh_det(
         batch, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes,
-        n_bands=n_bands, threshold=threshold, seed=seed, n_hint=n_hint)
+        n_bands=n_bands, threshold=threshold, seed=seed, n_hint=n_hint,
+        sig_df=sig)
     dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     surv = sig.join(dup_ids, id_col, "left_anti")
     if store is not None:
@@ -761,6 +762,7 @@ def similar_pairs_lsh_det(
     threshold: float = 0.35,
     seed: int = 12,
     n_hint: int | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`similar_pairs_lsh` made CROSS-ENGINE DETERMINISTIC so the
     whole pipeline — candidate generation included — replays under a SQL
@@ -781,10 +783,17 @@ def similar_pairs_lsh_det(
     Same scale shape as the production path: one signature pass, one
     bucket-keyed shuffle with vectors riding, Σ bucket² verify work, and
     a final ~survivors-sized exact-fold pass (the one extra exchange the
-    determinism costs)."""
-    sig_df = det_lsh_signatures(df, id_col=id_col, vec_col=vec_col, dim=dim,
-                                n_planes=n_planes, n_bands=n_bands,
-                                seed=seed, n_hint=n_hint)
+    determinism costs).
+
+    ``sig_df``: optional precomputed :func:`det_lsh_signatures` output
+    for the SAME (df, dim, n_planes, n_bands, seed) — callers that also
+    need the signatures themselves (:func:`incremental_semdedup`'s store
+    screen) pass theirs in so each batch pays ONE Arrow signature pass,
+    not two (ADVICE r12)."""
+    if sig_df is None:
+        sig_df = det_lsh_signatures(df, id_col=id_col, vec_col=vec_col,
+                                    dim=dim, n_planes=n_planes,
+                                    n_bands=n_bands, seed=seed, n_hint=n_hint)
     bands = sig_df.select(
         F.col(id_col), F.col(vec_col), F.posexplode("sigs").alias("band", "sig"))
     total_rows = (n_hint * n_bands) if n_hint is not None else None

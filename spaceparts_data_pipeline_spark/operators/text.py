@@ -1656,6 +1656,14 @@ def bpe_vocab(docs: DataFrame, merges: DataFrame,
     ``token string, token_id int``. The global row_number window runs
     over the DISTINCT-CHARACTER table (≤ alphabet-sized), so the
     single-reducer sort it implies is bounded, never corpus-bounded.
+
+    Token↔id is a BIJECTION: two merges can fuse to the same string —
+    (a,bc) and (ab,c) both yield 'abc', which ``_bpe_compatible``
+    permits — so fused tokens are deduplicated keeping the LOWEST
+    merge_rank (the id a consumer replaying merges in order reaches
+    first), instead of silently shipping a two-ids-one-token table
+    (ADVICE r12). Fused strings are ≥2 chars, so base-vs-fused
+    collisions are impossible by construction.
     """
     from pyspark.sql import Window
 
@@ -1671,9 +1679,13 @@ def bpe_vocab(docs: DataFrame, merges: DataFrame,
     base = chars.select(
         "token", (F.row_number().over(w) - F.lit(1)).cast("int").alias("token_id"))
     n_base = base.count()
-    fused = merges.select(
-        F.concat("lhs", "rhs").alias("token"),
-        (F.col("merge_rank") + F.lit(n_base)).cast("int").alias("token_id"))
+    fused = (
+        merges.select(F.concat("lhs", "rhs").alias("token"), "merge_rank")
+        .groupBy("token").agg(F.min("merge_rank").alias("merge_rank"))
+        .select(
+            "token",
+            (F.col("merge_rank") + F.lit(n_base)).cast("int").alias("token_id"))
+    )
     return base.unionByName(fused)
 
 

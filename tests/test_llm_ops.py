@@ -2607,6 +2607,24 @@ class TestBpeTrain:
             assert all(i >= 0 for i in ids)         # corpus-built vocab: no UNK
             assert "".join(id2tok[i] for i in ids) == "".join(texts[did].split())
 
+    def test_vocab_dedupes_colliding_fused_tokens(self, spark):
+        """ADVICE r12: two merges can fuse to the same string — (b,c)
+        then (a,bc), and (a,b) then (ab,c), both yield 'abc'. The vocab
+        must stay a token↔id bijection, keeping the LOWEST merge_rank
+        (the id a rank-order replay reaches first)."""
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        merges = spark.createDataFrame(
+            [("b", "c", 0), ("a", "bc", 1), ("a", "b", 2), ("ab", "c", 3)],
+            "lhs string, rhs string, merge_rank long")
+        rows = text.bpe_vocab(docs, merges).collect()
+        toks = [r["token"] for r in rows]
+        assert len(toks) == len(set(toks))           # bijection
+        by_tok = {r["token"]: r["token_id"] for r in rows}
+        # base = {a,b,c} -> n_base=3; 'abc' keeps rank 1 -> id 4, and
+        # rank-3's duplicate fuse never ships
+        assert by_tok["abc"] == 3 + 1
+        assert sorted(by_tok) == ["a", "ab", "abc", "b", "bc", "c"]
+
     def test_encode_ids_unk_for_unseen_chars(self, spark):
         """Characters absent from the vocab-building corpus map to
         unk_id instead of failing or silently dropping."""

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -575,6 +576,11 @@ def test_safe_save_as_table_recovers_plain_sink_orphan(spark, maint_db):
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "part-zombie.parquet"), "w") as f:
         f.write("not parquet")
+    # a real crash crumb is minutes-to-days old; backdate past the
+    # concurrent-writer grace window so recovery engages
+    old = time.time() - 3600
+    os.utime(os.path.join(d, "part-zombie.parquet"), (old, old))
+    os.utime(d, (old, old))
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     # append-mode create (the control/log sink shape) recovers
     safe_save_as_table(df, "plain_sink", mode="append")
@@ -611,6 +617,63 @@ def test_clear_orphan_location_refuses_plain_names(spark, maint_db):
     # artifact names pass the check (nothing to delete → False)
     assert _clear_orphan_location(spark, "nope__staging") is False
     assert _clear_orphan_location(spark, "nope__v3") is False
+
+
+def test_safe_save_refuses_fresh_collision_dirs(spark, maint_db):
+    """ADVICE r12 (medium): two jobs racing the first-ever create of a
+    shared plain sink — writer B's LOCATION_ALREADY_EXISTS fires while
+    writer A's saveAsTable is mid-write. A's in-flight directory is
+    seconds old; recovery must REFUSE to delete it and re-raise, so the
+    race stays a transient wedge instead of silent data loss."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        safe_save_as_table)
+
+    loc = None
+    for row in spark.sql("DESCRIBE DATABASE maint_db").collect():
+        if row[0] == "Location":
+            loc = row[1].replace("file:", "")
+    d = os.path.join(loc, "racy_sink")
+    os.makedirs(d, exist_ok=True)
+    inflight = os.path.join(d, "part-00000-inflight.parquet")
+    with open(inflight, "w") as f:
+        f.write("writer A's in-flight bytes")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(Exception):
+        safe_save_as_table(df, "racy_sink", mode="append")
+    # writer A's data survived
+    assert os.path.exists(inflight)
+    # explicit opt-out (known single-writer sink) still recovers
+    safe_save_as_table(df, "racy_sink", mode="append", orphan_grace_s=0.0)
+    assert spark.table("racy_sink").count() == 1
+
+
+def test_location_collision_match_is_error_class_narrow(spark):
+    """The recovery trigger matches the LOCATION_ALREADY_EXISTS error
+    class only — TABLE_OR_VIEW_ALREADY_EXISTS and generic 'already
+    exists' messages must NOT trigger directory deletion."""
+    from pyspark.errors import AnalysisException
+
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        _is_location_collision)
+
+    assert _is_location_collision(
+        Exception("[LOCATION_ALREADY_EXISTS] Cannot name the managed table"
+                  " as `spark_catalog`.`db`.`my_sink`, as its associated"
+                  " location already exists"), "my_sink")
+    assert not _is_location_collision(
+        Exception("[TABLE_OR_VIEW_ALREADY_EXISTS] Cannot create table or"
+                  " view `db`.`my_sink` because it already exists."),
+        "my_sink")
+    assert not _is_location_collision(
+        Exception("Table my_sink already exists"), "my_sink")
+    # structured condition wins over message text when present
+    exc = AnalysisException("path collision for my_sink already exists",
+                            errorClass="LOCATION_ALREADY_EXISTS")
+    assert _is_location_collision(exc, "my_sink")
+    exc2 = AnalysisException(
+        "LOCATION_ALREADY_EXISTS mentioned but class says otherwise:"
+        " my_sink", errorClass="TABLE_OR_VIEW_ALREADY_EXISTS")
+    assert not _is_location_collision(exc2, "my_sink")
 
 
 def test_version_race_classifier_is_case_insensitive(spark):
