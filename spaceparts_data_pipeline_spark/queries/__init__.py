@@ -338,8 +338,8 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #        signature emitters; the hyperplane family's banding geometry
 #        is driver-value-hashed through in-window e03c, and every
 #        recall/precision floor is pinned locally),
-#   r08 (4-stale at r12 — the FIRST tranche for r13): d13, d19, d20,
-#        x34, x36,
+#   r08 tranche (d13, d19, d20, x34, x36): DRAINED r13 — all five
+#        rotated back in (see the round-13 rotation note below),
 #   r09: q01, q10, q18, q23, x02, x11, x12, x15, x21, d10, d16,
 #        d17, d18, d21, x31b,
 #   r10: x03, x04, x08, x09, x10, x13, x16, x17, x20, x22, x24,
@@ -347,12 +347,9 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   r11: q03, q19, q20, q24, d01, d02, d03, d06, d09, d25, e02, x05,
 #        x06, x14, x19, x23, x29 (this round's OUT set — yield-back
 #        pool for later tranches).
-#   NEW, first-appearance DEFERRED once (the late-r11 precedent —
-#        added after this round's window was set; green in the local
-#        parity suite at sf0.01 + sf0.1 on first run; MUST rotate in
-#        r13): d26_incremental_semdedup (cross-run embedding dedup —
-#        deterministic-LSH screen with exact-verified rejections and a
-#        FULL two-round oracle sharing e03c's signature CTEs).
+#   d26_incremental_semdedup: first-appearance deferral CLOSED r13 —
+#        rotated in as promised (cross-run embedding dedup, FULL
+#        two-round oracle sharing e03c's signature CTEs).
 # Round-12 rotation (round-11 verdict next-round #1, executed exactly):
 # IN — the five late-r11 FULL-oracle deferrals get their promised
 # first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE
@@ -411,6 +408,36 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   x29 (contamination md5-gram join — the gram machinery is
 #       in-window d22's substring grams + d14's banding; its
 #       test-set-overlap semantics stay oracle-checked locally).
+# Round-13 rotation (round-12 verdict next-round #1 + #3, executed):
+# IN — d26_incremental_semdedup gets its promised first driver row
+# (the late-r11/late-r12 first-appearance-deferral precedent, closed);
+# the whole r08-stale tranche drains (d13, d19, d20, x34, x36 — last
+# rows r08, the ≤4-round staleness discipline's first tranche); and
+# NEW x37b_bpe_merges_greedy — the PRODUCTION-vocab greedy-batched BPE
+# trainer path (exact=False) under a FULL oracle for the first time:
+# the ranked compatibility scan is prefix-closed, so the oracle
+# unrolls it one CTE per batch slot and truncates to the round cap,
+# and the disjoint-rules batch rebuild reuses x37's run-parity
+# machinery verbatim (green at sf0.001 + sf0.01 + sf0.1 on first run).
+# OUT, all with r12 full-hash rows (≤1-round-stale through r14) and
+# all still in the local parity suite every round:
+#   d04/d05/d11 — their gate bodies run VERBATIM inside in-window
+#       c01/c01b's FULL oracles (the standing containment the r12
+#       verdict's coverage table already records for the whole
+#       quality-gate family),
+#   x33 — its regex pretokenize explode is the LEADING CTE of
+#       in-window x37/x37b/x38's oracles (trained and replayed every
+#       driver run),
+#   x30 — its posexplode + running-sum packing window evidence is held
+#       by in-window x01 (lag+cumsum sessions) and incoming x36's
+#       per-shard rank window; the two-phase≡window equality stays a
+#       pinned test property,
+#   x32 — pure regexp projection machinery, driver-checked through
+#       incoming d20's regexp_extract_all blocklist and c01b's C4
+#       gates,
+#   d12 — md5-bucket determinism held by in-window d15's md5 canon;
+#       the per-group row_number stratification is q05/p01's rn=1
+#       window shape (both in-window).
 _PRIORITY = [
     # reference-parity core (SURVEY §2)
     "q02_dim_customer_enrich", "q21_sample_scan",
@@ -421,20 +448,21 @@ _PRIORITY = [
     "q16_budget_variance_monthly", "q17_otd_quality",
     "q22_dim_product_enrich",
     "p01_silver_events_pipeline",
-    # LLM data ops: dedup + corpus-quality family (r06 tranche drained)
-    "d25b_semdedup_auto", "d12_stratified_sample",
+    # LLM data ops: dedup + corpus-quality family (r08 tranche drained)
+    "d25b_semdedup_auto", "d13_canonical_corpus",
     "d22_substring_dedup", "d14_canonical_corpus_lsh",
+    "d19_duplicate_passages", "d20_blocklist_filter",
     "x07_tfidf_topterms",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
-    "d04_text_quality", "d05_lang_id", "d11_repetition_stats",
-    "d15_incremental_dedup",
-    # analytic-extension tail rotation (round-12: the r06 tranche)
-    "x30_sequence_packing", "x31_bigram_topk", "x32_pii_redact",
-    "x33_bpe_token_stats", "x18b_exact_quantiles",
+    "d15_incremental_dedup", "d26_incremental_semdedup",
+    # analytic-extension tail rotation (round-13: the r08 tranche)
+    "x34_corpus_summary", "x36_corpus_shuffle",
+    "x31_bigram_topk", "x18b_exact_quantiles",
     # LLM data ops: similarity / ANN family
     "e05_knn_topk_vectorized", "e03c_similar_pairs_lsh_det",
     "e04_knn_ivf", "e06_knn_ivf_pq", "e06b_knn_ivf_pq_residual",
-    "s05_stream_ingest_near_dedup", "x37_bpe_merges", "x38_bpe_encode",
+    "s05_stream_ingest_near_dedup", "x37_bpe_merges",
+    "x37b_bpe_merges_greedy", "x38_bpe_encode",
     # LLM data ops: multimodal + corpus extensions
     "m01_binary_bytes",
     # windowed sessionization (guards the NTZ-safe epoch-micros path)

@@ -2458,6 +2458,158 @@ def x37_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x37b — GREEDY-batched BPE training (the production-vocab trainer
+# path, VERDICT r12 next-round #3): per round, scan the ranked pair
+# counts and accept every pair compatible with the batch so far
+# (disjoint symbols, no fused-string collision), up to batch_max, then
+# apply the whole batch in one fold pass. Deterministic end to end —
+# ranked scan order (c DESC, l, r), _bpe_compatible predicate, cap
+# truncation, greedy-fold application — so the merge table is FULLY
+# oracle-able, closing the one below-house-standard validation gap
+# (exact mode carried x37's oracle; greedy carried only overlap /
+# compression pins).
+#
+# Oracle mechanics, mirroring operators/text.py:bpe_train(exact=False)
+# statement for statement:
+#  - pr{k}: pair counts ranked by (c DESC, l, r), truncated to the
+#    SAME bounded collect window Spark scans (top_l = max(64,
+#    16*batch_max)) — a compatible pair past the window is invisible
+#    to BOTH engines;
+#  - s{k}b{j}: the greedy max-compatible scan unrolled one CTE per
+#    batch slot — slot j is the lowest-rank row after slot j-1 that is
+#    _bpe_compatible with every earlier slot ({l,r} disjoint from each
+#    accepted {al, ar, al||ar}, and l||r colliding with no accepted
+#    al/ar). Greedy selection is PREFIX-CLOSED (the first c accepted
+#    pairs never depend on the cap), so selecting batch_max slots and
+#    truncating to this round's cap (k − merges-so-far, via the acc{k}
+#    scalar subquery) replays Spark's break-at-cap loop exactly;
+#  - rebuild: x37's run-parity machinery verbatim. Two DIFFERENT
+#    accepted rules can never hit adjacent positions (that would need
+#    a shared symbol — incompatible by construction), so overlap runs
+#    are single-rule and the odd-offset trick carries over unchanged;
+#    rounds after the cap empties (m{k} empty) pass pos through.
+# ---------------------------------------------------------------------------
+
+_BPE_GREEDY_K = 10
+_BPE_GREEDY_BATCH = 4
+
+_COMPAT = ("q.l IN (a.l, a.r, a.l || a.r) OR q.r IN (a.l, a.r, a.l || a.r)"
+           " OR (q.l || q.r) IN (a.l, a.r)")
+
+
+def _bpe_greedy_round(k: int, total_k: int, batch_max: int, top_l: int) -> str:
+    k1 = k + 1
+    sel = [f"""
+    s{k}b1 AS (SELECT l, r, c, rk FROM pr{k} WHERE rk = 1),
+    a{k}b1 AS MATERIALIZED (SELECT * FROM s{k}b1)"""]
+    for j in range(2, batch_max + 1):
+        sel.append(f"""
+    s{k}b{j} AS (
+      SELECT q.l, q.r, q.c, q.rk FROM pr{k} q
+      WHERE q.rk > (SELECT max(rk) FROM a{k}b{j - 1})
+        AND NOT EXISTS (SELECT 1 FROM a{k}b{j - 1} a WHERE {_COMPAT})
+      ORDER BY q.rk LIMIT 1
+    ),
+    a{k}b{j} AS MATERIALIZED (
+      SELECT * FROM a{k}b{j - 1} UNION ALL SELECT * FROM s{k}b{j})""")
+    selection = ",".join(sel)
+    return rf"""
+    p{k} AS (
+      SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, s AS l,
+                   lead(s) OVER (PARTITION BY w ORDER BY i) AS r
+            FROM pos{k})
+      WHERE r IS NOT NULL GROUP BY l, r HAVING SUM(cnt) >= 2
+    ),
+    pr{k} AS MATERIALIZED (
+      SELECT l, r, c, rk FROM (
+        SELECT l, r, c,
+               row_number() OVER (ORDER BY c DESC, l, r) AS rk
+        FROM p{k})
+      WHERE rk <= {top_l}
+    ),{selection},
+    m{k} AS MATERIALIZED (
+      SELECT l, r, c, bseq FROM (
+        SELECT l, r, c, row_number() OVER (ORDER BY rk) AS bseq
+        FROM a{k}b{batch_max})
+      WHERE bseq <= {total_k} - (SELECT COUNT(*) FROM acc{k})
+    ),
+    acc{k1} AS MATERIALIZED (
+      SELECT * FROM acc{k}
+      UNION ALL
+      SELECT CAST((SELECT COUNT(*) FROM acc{k}) + bseq - 1 AS INT) AS merge_rank,
+             l AS lhs, r AS rhs, c AS pair_count
+      FROM m{k}
+    ),
+    hit{k} AS (
+      SELECT q.w, q.i FROM (
+        SELECT w, i, s AS l2,
+               lead(s) OVER (PARTITION BY w ORDER BY i) AS r2
+        FROM pos{k}
+      ) q JOIN m{k} m ON q.l2 = m.l AND q.r2 = m.r
+    ),
+    tk{k} AS (
+      SELECT w, i FROM (
+        SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+        FROM (SELECT w, i,
+                     i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+              FROM hit{k})
+      ) WHERE rn % 2 = 1
+    ),
+    reb{k} AS (
+      SELECT p.w, p.cnt, p.i, p.s, (t.i IS NOT NULL) AS taken,
+             lead(p.s) OVER (PARTITION BY p.w ORDER BY p.i) AS nxt
+      FROM pos{k} p LEFT JOIN tk{k} t ON p.w = t.w AND p.i = t.i
+    ),
+    pos{k1} AS MATERIALIZED (
+      SELECT w, cnt,
+             CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS BIGINT) AS i,
+             CASE WHEN taken THEN s || nxt ELSE s END AS s
+      FROM (SELECT *, lag(taken, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS ptk
+            FROM reb{k})
+      WHERE NOT ptk
+    )"""
+
+
+def _bpe_greedy_oracle(k: int, batch_max: int) -> str:
+    top_l = max(64, 16 * batch_max)
+    # worst case every round accepts a single merge -> k round blocks;
+    # once acc reaches k, m{k} is empty and the block passes through
+    rounds = ",".join(
+        _bpe_greedy_round(i, k, batch_max, top_l) for i in range(k))
+    return rf"""
+    WITH wrd AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ) WHERE length(w) > 0 GROUP BY w
+    ),
+    pos0 AS MATERIALIZED (
+      SELECT w, cnt, CAST(generate_subscripts(chars, 1) AS BIGINT) AS i,
+             unnest(chars) AS s
+      FROM (SELECT w, cnt,
+                   list_transform(range(1, length(w) + 1),
+                                  j -> substr(w, CAST(j AS INT), 1)) AS chars
+            FROM wrd)
+    ),
+    acc0 AS (
+      SELECT CAST(NULL AS INT) AS merge_rank, CAST(NULL AS VARCHAR) AS lhs,
+             CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS pair_count
+      WHERE FALSE
+    ),{rounds}
+    SELECT merge_rank, lhs, rhs, pair_count FROM acc{k}
+    """
+
+
+@register("x37b_bpe_merges_greedy",
+          _bpe_greedy_oracle(_BPE_GREEDY_K, _BPE_GREEDY_BATCH))
+def x37b_bpe_merges_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_train(T(spark, sf_dir, "documents"), k=_BPE_GREEDY_K,
+                          min_count=2, batch_max=_BPE_GREEDY_BATCH,
+                          exact=False)
+
+
+# ---------------------------------------------------------------------------
 # e06 — IVF-PQ kNN (Jégou et al. 2011): the memory-compression ANN leg
 # next to brute force (e01), hyperplane LSH (e03/e03b), and IVF-flat
 # (e04/e04b). Coarse IVF cells prune the corpus; product-quantization
