@@ -788,6 +788,160 @@ def measure_semdedup_megacell(spark, base: str, factor: int) -> list[dict]:
     return rows
 
 
+def measure_semdedup_store(spark, base: str, factor: int) -> list[dict]:
+    """Round 13 (r12 verdict #2 + #6): the PRODUCTIONIZED semantic-dedup
+    vector store measured on its two claims.
+
+    (a) SCREEN COST vs STORE SIZE — a fixed probe batch (shard 0's
+    embeddings) is screened against the bucketed table-backend store as
+    it grows from 1 to factor−1 appended shards. The bucketed (band,
+    sig) index + (id) vector layout makes the store side of both screen
+    joins exchange-free (pinned in test_plan_shape), so screen wall and
+    shuffle should stay ~flat while the store grows ~(factor−1)×; the
+    LEGACY one-frame layout (per-batch posexplode of the whole store,
+    the r12 'What's wrong #1' shape) is measured once at the largest
+    store as the comparison row.
+
+    (b) SCREEN RECALL on planted cross-batch duplicates — copies of
+    stored vectors under fresh ids (half exact, half perturbed but kept
+    ≥ threshold cosine): recall-of-screen = rejected fraction; the miss
+    rate is the 4×16 banding miss rate, the same bound e03c pins
+    within-batch. Exact copies must screen at 1.0 (identical vectors
+    share every band signature)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.operators import similarity as S
+    from spaceparts_data_pipeline_spark.operators import vector_store as VS
+
+    sf_dir = os.path.join(base, f"x{factor}")
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    shard_of = F.floor(F.col("vec_id") / F.lit(ID_STRIDE))
+    probe = embs.filter(shard_of == 0)
+    spark.sql("CREATE DATABASE IF NOT EXISTS semstore_scale")
+    spark.sql("DROP TABLE IF EXISTS semstore_scale.grow_sem_vecs")
+    spark.sql("DROP TABLE IF EXISTS semstore_scale.grow_sem_index")
+    pfx = "semstore_scale.grow"
+    rows = []
+
+    def _screen(sv, si, label, store_rows):
+        spark.catalog.clearCache()
+        before = _stage_totals(spark)
+        times, admitted = [], None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            adm, _surv = S.incremental_semdedup(
+                probe, None, store_vecs=sv, store_index=si)
+            admitted = adm.count()
+            times.append(round(time.perf_counter() - t0, 3))
+        after = _stage_totals(spark)
+        row = {"check": "semdedup_store", "layout": label,
+               "store_rows": store_rows, "probe_rows": probe.count(),
+               "sec": min(times), "sec_all": times, "admitted": admitted,
+               "shuffle_read_mb": round(
+                   (after["shuffle_read"] - before["shuffle_read"]) / 1e6 / 3, 2),
+               "shuffle_write_mb": round(
+                   (after["shuffle_write"] - before["shuffle_write"]) / 1e6 / 3, 2)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        return row
+
+    measure_at = {1, max(2, (factor - 1) // 2), factor - 1}
+    for s in range(1, factor):
+        batch = embs.filter(shard_of == s)
+        sig = S.det_lsh_signatures(batch)
+        VS.append_semdedup_store(spark, sig, pfx, table_backend=True)
+        if s in measure_at:
+            sv, si = VS.read_semdedup_store(spark, pfx, table_backend=True)
+            _screen(sv, si, "bucketed", sv.count())
+
+    # legacy one-frame comparison at the largest store: the whole
+    # store's signatures re-explode per screen and its vectors ride
+    # the collision join (the pre-r13 shape)
+    sv, si = VS.read_semdedup_store(spark, pfx, table_backend=True)
+    legacy_rows = sv.join(
+        S.det_lsh_signatures(sv).select("vec_id", "sigs"), "vec_id")
+    legacy_path = "/tmp/spark_graft_scale_legacy_sem_store"
+    shutil.rmtree(legacy_path, ignore_errors=True)
+    legacy_rows.write.parquet(legacy_path)
+    legacy = spark.read.parquet(legacy_path)
+    spark.catalog.clearCache()
+    before = _stage_totals(spark)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        adm, _surv = S.incremental_semdedup(probe, legacy)
+        n = adm.count()
+        times.append(round(time.perf_counter() - t0, 3))
+    after = _stage_totals(spark)
+    row = {"check": "semdedup_store", "layout": "legacy_oneframe",
+           "store_rows": legacy.count(), "probe_rows": probe.count(),
+           "sec": min(times), "sec_all": times, "admitted": n,
+           "shuffle_read_mb": round(
+               (after["shuffle_read"] - before["shuffle_read"]) / 1e6 / 3, 2),
+           "shuffle_write_mb": round(
+               (after["shuffle_write"] - before["shuffle_write"]) / 1e6 / 3, 2)}
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+    shutil.rmtree(legacy_path, ignore_errors=True)
+
+    # (b) recall of the screen on planted cross-batch duplicates
+    stored = sv.orderBy("vec_id").limit(200).collect()
+    rng = np.random.RandomState(13)
+    planted, exact_ids = [], set()
+    for i, r in enumerate(stored):
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        if i % 2 == 0:
+            dup = v.copy()
+            exact_ids.add(900_000_000 + i)
+        else:
+            dup = v + rng.normal(0, 0.02 * np.linalg.norm(v) / 8.0, v.shape)
+            cos = float(np.dot(dup, v) / (np.linalg.norm(dup) * np.linalg.norm(v)))
+            if cos < 0.35:
+                continue
+        planted.append((900_000_000 + i, [float(x) for x in dup]))
+    pb = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    adm, _ = S.incremental_semdedup(pb, None, store_vecs=sv, store_index=si)
+    admitted_ids = {r["vec_id"] for r in adm.collect()}
+    caught = sum(1 for pid, _ in planted if pid not in admitted_ids)
+    rrow = {"check": "semdedup_store_recall", "planted": len(planted),
+            "caught": caught, "recall": round(caught / len(planted), 4),
+            "exact_missed": len(exact_ids & admitted_ids)}
+    rows.append(rrow)
+    print(json.dumps(rrow), flush=True)
+    spark.sql("DROP DATABASE IF EXISTS semstore_scale CASCADE")
+    return rows
+
+
+def measure_gold(spark, src_dir: str, base: str, factor: int) -> list[dict]:
+    """Round 13 (r12 verdict #4): gold-layer throughput at Nx volume.
+    bench.py's sf0.1 gold reading is fixed-overhead-dominated (a full
+    pass lands only ~536k rows, so per-pass job latency sets the
+    rate); this reruns the SAME protocol (bench.gold_throughput:
+    synthesize silver domain untimed, 1 warm-up + 3 measured
+    gold.run_full passes through the versioned-overwrite write path)
+    on the Nx fact tables — if the rate climbs with volume the sf0.1
+    number is overhead, not a throughput ceiling. Dimension tables
+    are copied from the source sf dir (gold broadcasts them; fact
+    volume is the knob)."""
+    import bench
+
+    rows = []
+    for scale in ("x1", f"x{factor}"):
+        sf_dir = os.path.join(base, scale)
+        for dim in ("customer", "part", "nation", "region"):
+            dst = os.path.join(sf_dir, f"{dim}.parquet")
+            if not os.path.exists(dst):
+                shutil.copytree(os.path.join(src_dir, f"{dim}.parquet"), dst)
+        rate, disp = bench.gold_throughput(spark, sf_dir)
+        row = {"check": "gold_throughput", "scale": scale,
+               "rows_per_hour": rate, "dispersion": disp}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 def measure_bpe_train(spark, base: str, factor: int) -> list[dict]:
     """Round-12 (r11 verdict next-round #2): BPE trainer scaling.
     Sequential training is O(k) Spark rounds — one argmax collect + one
@@ -1025,6 +1179,17 @@ def main() -> None:
                     help="measure d25 SemDeDup at Nx with k fixed (the wrong way: "
                          "n^2/k pair space) vs k scaled with n (the configuration "
                          "rule the paper implies) — see measure_semdedup")
+    ap.add_argument("--semdedup-store", action="store_true",
+                    help="measure the productionized d26 vector store at Nx: "
+                         "screen cost of a fixed probe batch as the bucketed "
+                         "store grows (should stay ~flat), the legacy one-frame "
+                         "layout as the comparison row, and the screen's recall "
+                         "on planted cross-batch duplicates")
+    ap.add_argument("--gold", action="store_true",
+                    help="measure gold-layer throughput (bench.gold_throughput "
+                         "protocol) at 1x and Nx fact volume — the sf0.1 bench "
+                         "reading is fixed-overhead-dominated; the rate should "
+                         "climb with volume")
     args = ap.parse_args()
 
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1069,6 +1234,14 @@ def main() -> None:
 
     if args.semdedup:
         measure_semdedup(spark, base, args.factor)
+        return
+
+    if args.semdedup_store:
+        measure_semdedup_store(spark, base, args.factor)
+        return
+
+    if args.gold:
+        measure_gold(spark, src_dir, base, args.factor)
         return
 
     if args.funnel:

@@ -90,6 +90,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus mode: run the substring pass on the zipfian-safe "
                         "groupBy-count plan (no per-gram window partition — use when "
                         "boilerplate grams dominate, e.g. licence blocks on web crawl)")
+    p.add_argument("--semdedup-screen", default=None,
+                   help="corpus mode: parquet of embeddings (vec_id, embedding) keyed by "
+                        "this corpus's numeric doc_id — runs the cross-run SEMANTIC dedup "
+                        "screen (d26) after near-dedup, with the vector store under "
+                        "--corpus-out/sem_store; docs without an embedding pass through")
+    p.add_argument("--semdedup-threshold", type=float, default=0.35,
+                   help="corpus mode: cosine threshold for the semantic screen "
+                        "(default 0.35)")
     p.add_argument("--blocklist-term", action="append", default=None,
                    help="corpus mode, c4 rules: blocked word/phrase (repeatable; matched "
                         "literally, word-boundary, case-insensitive). Replaces the demo "
@@ -207,6 +215,17 @@ def _corpus_main(args) -> int:
                                        "needs --charlm-ref-parquet"}))
             return 2
         charlm_ref = spark.read.parquet(args.charlm_ref_parquet)
+    semdedup_embeddings = None
+    if args.semdedup_screen:
+        if namespace_ids:
+            print(json.dumps({
+                "status": "failed",
+                "error": "--semdedup-screen needs a single landing table: the "
+                         "multi-table '<table>:<id>' namespacing breaks the "
+                         "numeric doc_id <-> vec_id join the screen keys on",
+            }))
+            return 2
+        semdedup_embeddings = spark.read.parquet(args.semdedup_screen)
 
     stats = run_corpus_ingest(
         spark, batch, args.corpus_out, args.run_id, benchmark=benchmark,
@@ -215,6 +234,8 @@ def _corpus_main(args) -> int:
         blocklist_terms=(tuple(args.blocklist_term) if args.blocklist_term else None),
         charlm_ref=charlm_ref, charlm_max_nll=args.charlm_max_nll,
         dsir_keep_frac=args.dsir_keep_frac, token_budget=args.token_budget,
+        semdedup_embeddings=semdedup_embeddings,
+        semdedup_threshold=args.semdedup_threshold,
         shuffle_seed=args.shuffle_seed)
     substring_stats = None
     if args.substring_dedup_k:

@@ -619,6 +619,8 @@ def incremental_semdedup(
     threshold: float = 0.35,
     seed: int = 12,
     n_hint: int | None = None,
+    store_vecs: DataFrame | None = None,
+    store_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-run SEMANTIC dedup — the embedding-space member of the
     incremental-screen family (``dedup.incremental_dedup`` screens
@@ -650,12 +652,24 @@ def incremental_semdedup(
     n_bands longs), NOT per band — the band explode happens at screen
     time, transiently.
 
-    Scale shape: one Arrow signature pass per batch; within-batch
-    pairs are the e03c plan (bucket-grouped verify, Σ bucket² work);
-    the store screen shuffles (band, sig, id) triples + joins
-    candidate vectors back — batch-sized left side, store side pruned
-    to colliding rows. Compact the store by plain distinct-rewrite if
-    its file count grows.
+    Scale shape: one Arrow signature pass per batch (shared with the
+    within-batch pair generation, ADVICE r12); within-batch pairs are
+    the e03c plan (bucket-grouped verify, Σ bucket² work); the store
+    screen joins NARROW (band, sig, id) triples — vectors never ride
+    the collision join — then joins only the ~candidate-sized pair set
+    back to the two vector tables for the exact verify.
+
+    ``store_vecs``/``store_index`` (pass INSTEAD of ``store``): the
+    productionized split layout managed by
+    :mod:`operators.vector_store` — ``store_vecs`` is ``(id, vector)``,
+    ``store_index`` the PRE-EXPLODED ``(band, sig, id)`` rows, so the
+    per-batch screen neither re-explodes the store's signatures nor
+    shuffles its vectors; with the bucketed table backend the store
+    side of both joins is exchange-free. The legacy one-frame ``store``
+    stays supported (the d26 driver query's in-query two-round replay)
+    and derives both frames on the fly. Compact the store by plain
+    distinct-rewrite if its file count grows
+    (:func:`operators.vector_store.maybe_compact_semdedup_store`).
     """
     sig = det_lsh_signatures(batch, id_col=id_col, vec_col=vec_col, dim=dim,
                              n_planes=n_planes, n_bands=n_bands, seed=seed,
@@ -666,15 +680,29 @@ def incremental_semdedup(
         sig_df=sig)
     dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     surv = sig.join(dup_ids, id_col, "left_anti")
+    if store is not None and (store_vecs is not None or store_index is not None):
+        raise ValueError(
+            "pass either the legacy one-frame `store` or the split "
+            "`store_vecs`/`store_index` pair, not both")
     if store is not None:
-        sb = store.select(F.col(id_col).alias("__sid"),
-                          F.col(vec_col).alias("__sv"),
-                          F.posexplode("sigs").alias("band", "sig"))
-        bb = surv.select(F.col(id_col), F.col(vec_col),
-                         F.posexplode("sigs").alias("band", "sig"))
-        hits = (
-            bb.join(sb, ["band", "sig"])
+        store_vecs = store.select(F.col(id_col), F.col(vec_col))
+        store_index = store.select(
+            F.col(id_col), F.posexplode("sigs").alias("band", "sig"),
+        ).select("band", "sig", id_col)
+    if store_index is not None:
+        bb = surv.select(
+            F.col(id_col), F.posexplode("sigs").alias("band", "sig"),
+        ).select(id_col, "band", "sig")
+        cand = (
+            bb.join(store_index.select(
+                "band", "sig", F.col(id_col).alias("__sid")), ["band", "sig"])
+            .select(id_col, "__sid")
             .dropDuplicates([id_col, "__sid"])
+        )
+        hits = (
+            cand.join(surv.select(F.col(id_col), F.col(vec_col)), id_col)
+            .join(store_vecs.select(F.col(id_col).alias("__sid"),
+                                    F.col(vec_col).alias("__sv")), "__sid")
             .withColumn("__cos", cosine(F.col(vec_col), F.col("__sv")))
             .filter(F.col("__cos") >= F.lit(threshold))
             .select(id_col).distinct()

@@ -56,6 +56,13 @@ def run_corpus_ingest(
     token_budget: int | None = None,
     token_budgets: dict[str, int] | None = None,
     near_dedup: bool = True,
+    semdedup_embeddings: DataFrame | None = None,
+    semdedup_threshold: float = 0.35,
+    semdedup_dim: int = 64,
+    semdedup_n_planes: int = 4,
+    semdedup_n_bands: int = 16,
+    semdedup_vec_id_col: str = "vec_id",
+    semdedup_vec_col: str = "embedding",
     contamination_threshold: int = 1,
     pack_capacity: int = 512,
     num_perm: int = 16,
@@ -157,16 +164,35 @@ def run_corpus_ingest(
     compaction swap is an atomic catalog view repoint instead of a
     directory rename (``operators.dedup.read_store_table`` family).
     Same semantics, same replay guarantees; pick per deployment.
+
+    ``semdedup_embeddings``: when given (an embeddings frame whose
+    ``semdedup_vec_id_col`` values are this corpus's ``id_col`` values),
+    a cross-run SEMANTIC dedup screen (d26,
+    :func:`operators.similarity.incremental_semdedup`) runs after the
+    near-dup stage: a doc is rejected when its embedding has cosine ≥
+    ``semdedup_threshold`` against a LOWER-id doc of the same batch or
+    anything a prior run admitted — candidates from the deterministic
+    banded LSH, every rejection verified with the exact cosine. The
+    vector store lives beside the other screen stores
+    (``sem_store/sem_{vecs,index}`` dirs path-backed;
+    ``{prefix}_sem_{vecs,index}`` BUCKETED tables — (band, sig) /
+    (id) — with ``store_table_prefix``, making the store side of the
+    screen exchange-free; see :mod:`operators.vector_store`). Docs
+    WITHOUT an embedding row pass the screen (no evidence, no
+    rejection). Same crash ordering as the other stores: appends
+    derive from the durable corpus, after it lands.
     """
     if store_table_prefix:
         fp_store_path = f"{store_table_prefix}_fp_store"
         band_store_path = f"{store_table_prefix}_band_store"
+        sem_store_prefix = store_table_prefix
         read_store = dedup.read_store_table
         append_store = dedup.update_store_table
         maybe_compact = dedup.maybe_compact_store_table
     else:
         fp_store_path = os.path.join(out_dir, "fp_store")
         band_store_path = os.path.join(out_dir, "band_store")
+        sem_store_prefix = os.path.join(out_dir, "sem_store")
         read_store = dedup.read_store
 
         def append_store(spark_, rows, path):
@@ -306,6 +332,45 @@ def run_corpus_ingest(
     else:
         admitted = exact_survivors
 
+    # 4b. cross-run SEMANTIC dedup (d26): within-batch det-LSH min-id
+    # survivors + vector-store screen, every rejection exact-cosine
+    # verified. Runs on the NARROW (id, embedding) frame — document
+    # text never rides the vector machinery — and only the rejected
+    # ids come back. Docs without an embedding row pass through.
+    if semdedup_embeddings is not None:
+        from pyspark.sql.types import NumericType
+
+        from spaceparts_data_pipeline_spark.operators import (
+            similarity, vector_store)
+
+        if not isinstance(admitted.schema[id_col].dataType, NumericType):
+            raise ValueError(
+                "semdedup_embeddings needs a numeric id_col — the screen's "
+                "min-id survivor decision and its Arrow kernels key on long "
+                f"ids (got {admitted.schema[id_col].dataType.simpleString()!r})")
+        sem_vecs, sem_index = vector_store.read_semdedup_store(
+            spark, sem_store_prefix, table_backend=bool(store_table_prefix),
+            id_col=semdedup_vec_id_col, vec_col=semdedup_vec_col)
+        bvecs = semdedup_embeddings.select(
+            F.col(semdedup_vec_id_col), F.col(semdedup_vec_col),
+        ).join(admitted.select(F.col(id_col).alias(semdedup_vec_id_col)),
+               semdedup_vec_id_col, "left_semi")
+        adm_vecs, _ = similarity.incremental_semdedup(
+            bvecs, None, id_col=semdedup_vec_id_col,
+            vec_col=semdedup_vec_col, dim=semdedup_dim,
+            n_planes=semdedup_n_planes, n_bands=semdedup_n_bands,
+            threshold=semdedup_threshold,
+            store_vecs=sem_vecs, store_index=sem_index)
+        sem_dup_ids = bvecs.select(semdedup_vec_id_col).join(
+            adm_vecs.select(semdedup_vec_id_col), semdedup_vec_id_col,
+            "left_anti")
+        admitted = admitted.join(
+            sem_dup_ids.withColumnRenamed(semdedup_vec_id_col, id_col),
+            id_col, "left_anti").persist()
+        persisted.append(admitted)
+        stats["after_semdedup"] = admitted.count()
+        stats["sec_semdedup"] = _tick()
+
     # 5. contamination screen (only if a benchmark is registered).
     # sec_contamination only exists when the screen actually RAN —
     # otherwise the admitted.count() materialization below would be
@@ -399,6 +464,24 @@ def run_corpus_ingest(
                     durable, id_col=id_col, text_col=text_col,
                     num_perm=num_perm, rows_per_band=rows_per_band),
                 band_store_path)
+        if semdedup_embeddings is not None:
+            # derive from the DURABLE corpus like the other stores —
+            # one signature pass over the admitted ids' embeddings
+            from spaceparts_data_pipeline_spark.operators import (
+                similarity, vector_store)
+
+            dvecs = semdedup_embeddings.select(
+                F.col(semdedup_vec_id_col), F.col(semdedup_vec_col),
+            ).join(durable.select(F.col(id_col).alias(semdedup_vec_id_col)),
+                   semdedup_vec_id_col, "left_semi")
+            vector_store.append_semdedup_store(
+                spark,
+                similarity.det_lsh_signatures(
+                    dvecs, id_col=semdedup_vec_id_col,
+                    vec_col=semdedup_vec_col, dim=semdedup_dim,
+                    n_planes=semdedup_n_planes, n_bands=semdedup_n_bands),
+                sem_store_prefix, table_backend=bool(store_table_prefix),
+                id_col=semdedup_vec_id_col, vec_col=semdedup_vec_col)
         stats["sec_store_append"] = _tick()
         # 7. store maintenance: append-only stores grow a file set per
         # run; compact past the file-count threshold (decisions are
@@ -409,6 +492,15 @@ def run_corpus_ingest(
                 c = maybe_compact(spark, sp, compact_files_threshold)
                 if c is not None:
                     stats[f"compacted_{os.path.basename(sp)}"] = c["rows_after"]
+            if semdedup_embeddings is not None:
+                from spaceparts_data_pipeline_spark.operators import vector_store
+
+                sc = vector_store.maybe_compact_semdedup_store(
+                    spark, sem_store_prefix, compact_files_threshold,
+                    table_backend=bool(store_table_prefix),
+                    id_col=semdedup_vec_id_col)
+                for loc, c in (sc or {}).items():
+                    stats[f"compacted_{os.path.basename(loc)}"] = c["rows_after"]
             stats["sec_compact"] = _tick()
     finally:
         for df in persisted:

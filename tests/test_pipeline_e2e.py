@@ -490,6 +490,66 @@ class TestCorpusIngestPipeline:
         corpus = spark.read.parquet(out + "/corpus")
         assert {r["doc_id"] for r in corpus.collect()} == {2}
 
+    def test_semdedup_screen_two_runs_and_replay(self, spark, tmp_path):
+        """r13 funnel wiring (VERDICT r12 next-round #2): the semantic
+        screen rejects a later run's embedding near-copy of an
+        ADMITTED doc even when its TEXT passes every other screen;
+        docs without an embedding pass through; a crash replay admits
+        zero and the stores stay consistent."""
+        from pyspark.sql import functions as F
+
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        t1 = self.LONG
+        t2 = ("completely different prose about distributed query engines "
+              "and the optimizer choosing broadcast joins over sort merge "
+              "when one side of the relation is small enough to replicate")
+        v = [float((i * 37) % 19 - 9) for i in range(64)]
+        novel = [0.0] * 64
+        novel[3] = 11.0
+        embs = spark.createDataFrame(
+            [(1, v), (2, [x * 1.001 for x in v]), (3, novel)],
+            "vec_id long, embedding array<double>")
+        out = str(tmp_path / "corpus_out")
+        s1 = run_corpus_ingest(
+            spark, self._batch(spark, [(1, t1, "s1")]), out, "r1",
+            semdedup_embeddings=embs)
+        assert s1["admitted"] == 1
+        # run 2: doc 2's text is novel but its embedding ~= doc 1's
+        # (cosine ~1) -> semantic screen rejects; doc 3's embedding is
+        # near-orthogonal -> admitted; doc 4 has NO embedding -> passes
+        s2 = run_corpus_ingest(
+            spark, self._batch(
+                spark, [(2, t2, "s1"), (3, t2.replace("prose", "essay"), "s1"),
+                        (4, t2.replace("prose", "notes"), "s1")]),
+            out, "r2", semdedup_embeddings=embs, jaccard_threshold=0.95)
+        assert s2["after_near_dedup"] - s2["after_semdedup"] == 1
+        corpus = spark.read.parquet(out + "/corpus")
+        ids = {r["doc_id"] for r in corpus.collect()}
+        assert 2 not in ids and {3, 4} <= ids
+        # replay run 2: the store screens its own durable rows
+        s2r = run_corpus_ingest(
+            spark, self._batch(
+                spark, [(2, t2, "s1"), (3, t2.replace("prose", "essay"), "s1"),
+                        (4, t2.replace("prose", "notes"), "s1")]),
+            out, "r2", semdedup_embeddings=embs, jaccard_threshold=0.95)
+        assert s2r["admitted"] == 0
+        assert spark.read.parquet(out + "/corpus").count() == len(ids)
+        # the vector store holds exactly the admitted-with-embedding ids
+        vecs = spark.read.parquet(out + "/sem_store/sem_vecs")
+        assert {r["vec_id"] for r in vecs.collect()} == {1, 3}
+
+    def test_semdedup_requires_numeric_id(self, spark, tmp_path):
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        embs = spark.createDataFrame(
+            [(1, [1.0] * 64)], "vec_id long, embedding array<double>")
+        batch = spark.createDataFrame(
+            [("a", self.LONG, "s1")], "doc_id string, text string, source string")
+        with pytest.raises(ValueError, match="numeric id_col"):
+            run_corpus_ingest(spark, batch, str(tmp_path / "o"), "r1",
+                              semdedup_embeddings=embs)
+
 
 def test_substring_dedup_pass_over_assembled_corpus(spark, tmp_path):
     """run_substring_dedup_pass (d22's funnel hook): after two ingest
@@ -590,6 +650,57 @@ def test_cli_corpus_ingest_mode(spark, tmp_path):
     corpus = spark.read.parquet(out + "/corpus")
     assert corpus.count() == 1
     assert corpus.collect()[0]["source"] == "documents"
+
+
+def test_cli_corpus_semdedup_screen(spark, tmp_path):
+    """--semdedup-screen through the CLI: embedding near-copies are
+    rejected with the vector store landing under --corpus-out, and the
+    multi-table namespaced-id landing is a clean CLI error (the screen
+    keys on numeric ids)."""
+    import contextlib
+    import io
+    import json
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = ("a long enough document about the engine and the corpus with the "
+            "usual stopwords of to a in is and plenty of distinct tokens "
+            "covering joins shuffles windows and adaptive execution plans")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("engine and the corpus", "optimizer and the planner")
+                     .replace("joins shuffles windows", "scans prunes buckets"))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(landing / "documents.parquet"))
+    v = [float((i * 13) % 11 - 5) for i in range(64)]
+    spark.createDataFrame(
+        [(1, v), (2, [x * 0.999 for x in v])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(str(tmp_path / "embs.parquet"))
+
+    out = str(tmp_path / "corpus_out")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--source-dir", str(landing), "--corpus-out", out,
+                   "--run-id", "cli1",
+                   "--semdedup-screen", str(tmp_path / "embs.parquet")])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["funnel"]["after_semdedup"] == 1      # near-copy screened
+    assert spark.read.parquet(out + "/sem_store/sem_vecs").count() == 1
+
+    # multi-table landing: namespaced string ids -> clean error
+    spark.createDataFrame([(7, base)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(landing / "extra.parquet"))
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc2 = main(["--source-dir", str(landing), "--corpus-out", out,
+                    "--run-id", "cli2",
+                    "--semdedup-screen", str(tmp_path / "embs.parquet")])
+    assert rc2 == 2
+    assert "single landing table" in json.loads(
+        buf2.getvalue().strip().splitlines()[-1])["error"]
 
 
 def test_cli_corpus_charlm_gate(spark, tmp_path):
