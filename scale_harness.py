@@ -793,14 +793,18 @@ def measure_semdedup_store(spark, base: str, factor: int) -> list[dict]:
     vector store measured on its two claims.
 
     (a) SCREEN COST vs STORE SIZE — a fixed probe batch (shard 0's
-    embeddings) is screened against the bucketed table-backend store as
-    it grows from 1 to factor−1 appended shards. The bucketed (band,
-    sig) index + (id) vector layout makes the store side of both screen
-    joins exchange-free (pinned in test_plan_shape), so screen wall and
-    shuffle should stay ~flat while the store grows ~(factor−1)×; the
-    LEGACY one-frame layout (per-batch posexplode of the whole store,
-    the r12 'What's wrong #1' shape) is measured once at the largest
-    store as the comparison row.
+    embeddings) is screened against the id-bucketed table-backend store
+    as it grows from 1 to factor−1 appended shards. The shipped screen
+    (map-side signature explode + BROADCAST batch bands + id-bucketed
+    verify) keeps the store side of both joins exchange-free, so screen
+    shuffle should stay ~flat while the store grows; the same screen
+    with broadcast_screen=False (both band sides exchanged — the full
+    store×n_bands shuffle the r12 verdict flagged) is measured at the
+    largest store as the comparison row. This mode is also where the
+    (band, sig)-bucketed pre-exploded index was FALSIFIED in r13:
+    29M collision candidates at a 14k store (the 4-plane profile has a
+    16-value signature space) scattered across bucket partitions cost
+    1.7 GB of dedup shuffle vs 45 MB in scan order.
 
     (b) SCREEN RECALL on planted cross-batch duplicates — copies of
     stored vectors under fresh ids (half exact, half perturbed but kept
@@ -820,19 +824,18 @@ def measure_semdedup_store(spark, base: str, factor: int) -> list[dict]:
     shard_of = F.floor(F.col("vec_id") / F.lit(ID_STRIDE))
     probe = embs.filter(shard_of == 0)
     spark.sql("CREATE DATABASE IF NOT EXISTS semstore_scale")
-    spark.sql("DROP TABLE IF EXISTS semstore_scale.grow_sem_vecs")
-    spark.sql("DROP TABLE IF EXISTS semstore_scale.grow_sem_index")
+    spark.sql("DROP TABLE IF EXISTS semstore_scale.grow_sem_store")
     pfx = "semstore_scale.grow"
     rows = []
 
-    def _screen(sv, si, label, store_rows):
+    def _screen(store, label, store_rows, broadcast=True):
         spark.catalog.clearCache()
         before = _stage_totals(spark)
         times, admitted = [], None
         for _ in range(3):
             t0 = time.perf_counter()
             adm, _surv = S.incremental_semdedup(
-                probe, None, store_vecs=sv, store_index=si)
+                probe, store, broadcast_screen=broadcast)
             admitted = adm.count()
             times.append(round(time.perf_counter() - t0, 3))
         after = _stage_totals(spark)
@@ -853,40 +856,16 @@ def measure_semdedup_store(spark, base: str, factor: int) -> list[dict]:
         sig = S.det_lsh_signatures(batch)
         VS.append_semdedup_store(spark, sig, pfx, table_backend=True)
         if s in measure_at:
-            sv, si = VS.read_semdedup_store(spark, pfx, table_backend=True)
-            _screen(sv, si, "bucketed", sv.count())
+            store = VS.read_semdedup_store(spark, pfx, table_backend=True)
+            _screen(store, "broadcast_bucketed", store.count())
 
-    # legacy one-frame comparison at the largest store: the whole
-    # store's signatures re-explode per screen and its vectors ride
-    # the collision join (the pre-r13 shape)
-    sv, si = VS.read_semdedup_store(spark, pfx, table_backend=True)
-    legacy_rows = sv.join(
-        S.det_lsh_signatures(sv).select("vec_id", "sigs"), "vec_id")
-    legacy_path = "/tmp/spark_graft_scale_legacy_sem_store"
-    shutil.rmtree(legacy_path, ignore_errors=True)
-    legacy_rows.write.parquet(legacy_path)
-    legacy = spark.read.parquet(legacy_path)
-    spark.catalog.clearCache()
-    before = _stage_totals(spark)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        adm, _surv = S.incremental_semdedup(probe, legacy)
-        n = adm.count()
-        times.append(round(time.perf_counter() - t0, 3))
-    after = _stage_totals(spark)
-    row = {"check": "semdedup_store", "layout": "legacy_oneframe",
-           "store_rows": legacy.count(), "probe_rows": probe.count(),
-           "sec": min(times), "sec_all": times, "admitted": n,
-           "shuffle_read_mb": round(
-               (after["shuffle_read"] - before["shuffle_read"]) / 1e6 / 3, 2),
-           "shuffle_write_mb": round(
-               (after["shuffle_write"] - before["shuffle_write"]) / 1e6 / 3, 2)}
-    rows.append(row)
-    print(json.dumps(row), flush=True)
-    shutil.rmtree(legacy_path, ignore_errors=True)
+    # comparison at the largest store: both band sides exchanged — the
+    # store×n_bands shuffle per screen the r12 verdict flagged
+    store = VS.read_semdedup_store(spark, pfx, table_backend=True)
+    _screen(store, "smj_full_shuffle", store.count(), broadcast=False)
 
     # (b) recall of the screen on planted cross-batch duplicates
+    sv = store
     stored = sv.orderBy("vec_id").limit(200).collect()
     rng = np.random.RandomState(13)
     planted, exact_ids = [], set()
@@ -902,7 +881,7 @@ def measure_semdedup_store(spark, base: str, factor: int) -> list[dict]:
                 continue
         planted.append((900_000_000 + i, [float(x) for x in dup]))
     pb = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
-    adm, _ = S.incremental_semdedup(pb, None, store_vecs=sv, store_index=si)
+    adm, _ = S.incremental_semdedup(pb, sv)
     admitted_ids = {r["vec_id"] for r in adm.collect()}
     caught = sum(1 for pid, _ in planted if pid not in admitted_ids)
     rrow = {"check": "semdedup_store_recall", "planted": len(planted),
@@ -932,8 +911,10 @@ def measure_gold(spark, src_dir: str, base: str, factor: int) -> list[dict]:
         sf_dir = os.path.join(base, scale)
         for dim in ("customer", "part", "nation", "region"):
             dst = os.path.join(sf_dir, f"{dim}.parquet")
+            src = os.path.join(src_dir, f"{dim}.parquet")
             if not os.path.exists(dst):
-                shutil.copytree(os.path.join(src_dir, f"{dim}.parquet"), dst)
+                # testdata tables may be single parquet files or dirs
+                (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
         rate, disp = bench.gold_throughput(spark, sf_dir)
         row = {"check": "gold_throughput", "scale": scale,
                "rows_per_hour": rate, "dispersion": disp}

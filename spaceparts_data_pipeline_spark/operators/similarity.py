@@ -619,8 +619,7 @@ def incremental_semdedup(
     threshold: float = 0.35,
     seed: int = 12,
     n_hint: int | None = None,
-    store_vecs: DataFrame | None = None,
-    store_index: DataFrame | None = None,
+    broadcast_screen: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-run SEMANTIC dedup — the embedding-space member of the
     incremental-screen family (``dedup.incremental_dedup`` screens
@@ -654,21 +653,26 @@ def incremental_semdedup(
 
     Scale shape: one Arrow signature pass per batch (shared with the
     within-batch pair generation, ADVICE r12); within-batch pairs are
-    the e03c plan (bucket-grouped verify, Σ bucket² work); the store
-    screen joins NARROW (band, sig, id) triples — vectors never ride
-    the collision join — then joins only the ~candidate-sized pair set
-    back to the two vector tables for the exact verify.
-
-    ``store_vecs``/``store_index`` (pass INSTEAD of ``store``): the
-    productionized split layout managed by
-    :mod:`operators.vector_store` — ``store_vecs`` is ``(id, vector)``,
-    ``store_index`` the PRE-EXPLODED ``(band, sig, id)`` rows, so the
-    per-batch screen neither re-explodes the store's signatures nor
-    shuffles its vectors; with the bucketed table backend the store
-    side of both joins is exchange-free. The legacy one-frame ``store``
-    stays supported (the d26 driver query's in-query two-round replay)
-    and derives both frames on the fly. Compact the store by plain
-    distinct-rewrite if its file count grows
+    the e03c plan (bucket-grouped verify, Σ bucket² work). The store
+    screen is built around a MEASURED property of the high-recall 4×16
+    profile: a band signature has only 2^4 = 16 values, so ~每 (band,
+    sig) bucket holds ~1/16 of each side and the collision join yields
+    ~|batch|·|store| rows (29M for a 2k-batch × 14k-store at the 8×
+    harness — a (band, sig)-bucketed store layout was tried in r13 and
+    made this WORSE, 1.7 GB of dedup shuffle, because scattering a
+    store row's bands across bucket partitions defeats the map-side
+    pair collapse). The shipped shape instead keeps the store in scan
+    order: the store's signatures explode MAP-SIDE (one narrow
+    projection, a store row's bands stay adjacent), the batch's band
+    triples BROADCAST onto them (``broadcast_screen=True``, the
+    default — a batch×n_bands×24 B table; disable for multi-million-row
+    batches and AQE picks the join), so duplicate (batch, store) pairs
+    collapse in the partial aggregate BEFORE any exchange — the only
+    shuffled data is the ~distinct-pair set (45 MB where the bucketed
+    layout moved 1.7 GB). The exact verify then joins batch vectors
+    (broadcast) and store vectors (id-bucketed table backend → store
+    side exchange-free; :mod:`operators.vector_store`). Compact the
+    store by plain distinct-rewrite if its file count grows
     (:func:`operators.vector_store.maybe_compact_semdedup_store`).
     """
     sig = det_lsh_signatures(batch, id_col=id_col, vec_col=vec_col, dim=dim,
@@ -680,29 +684,28 @@ def incremental_semdedup(
         sig_df=sig)
     dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     surv = sig.join(dup_ids, id_col, "left_anti")
-    if store is not None and (store_vecs is not None or store_index is not None):
-        raise ValueError(
-            "pass either the legacy one-frame `store` or the split "
-            "`store_vecs`/`store_index` pair, not both")
     if store is not None:
-        store_vecs = store.select(F.col(id_col), F.col(vec_col))
-        store_index = store.select(
-            F.col(id_col), F.posexplode("sigs").alias("band", "sig"),
-        ).select("band", "sig", id_col)
-    if store_index is not None:
+        # store side stays in SCAN order: map-side explode of the
+        # (id, sigs) projection keeps a store row's bands adjacent, so
+        # the dropDuplicates partial aggregate collapses a pair's
+        # multi-band collisions before any exchange (see docstring)
+        sb = store.select(F.col(id_col).alias("__sid"),
+                          F.posexplode("sigs").alias("band", "sig"))
         bb = surv.select(
             F.col(id_col), F.posexplode("sigs").alias("band", "sig"),
         ).select(id_col, "band", "sig")
+        bvecs = surv.select(F.col(id_col), F.col(vec_col))
+        if broadcast_screen:
+            bb, bvecs = F.broadcast(bb), F.broadcast(bvecs)
         cand = (
-            bb.join(store_index.select(
-                "band", "sig", F.col(id_col).alias("__sid")), ["band", "sig"])
+            sb.join(bb, ["band", "sig"])
             .select(id_col, "__sid")
             .dropDuplicates([id_col, "__sid"])
         )
         hits = (
-            cand.join(surv.select(F.col(id_col), F.col(vec_col)), id_col)
-            .join(store_vecs.select(F.col(id_col).alias("__sid"),
-                                    F.col(vec_col).alias("__sv")), "__sid")
+            cand.join(bvecs, id_col)
+            .join(store.select(F.col(id_col).alias("__sid"),
+                               F.col(vec_col).alias("__sv")), "__sid")
             .withColumn("__cos", cosine(F.col(vec_col), F.col("__sv")))
             .filter(F.col("__cos") >= F.lit(threshold))
             .select(id_col).distinct()

@@ -5,28 +5,28 @@ store (``operators.dedup_fuzzy``, d16): path + catalog-table backends,
 crash-recovering compaction, and funnel/CLI wiring
 (``plans.corpus.run_corpus_ingest(semdedup_embeddings=...)``).
 
-Layout (VERDICT r12 "What's wrong #1"): the one-frame ``(id, vector,
-sigs)`` store made every batch's screen ``posexplode`` the ENTIRE
-store's signatures and shuffle store×n_bands vector-carrying rows.
-The productionized store is SPLIT and PRE-EXPLODED:
+Layout: ONE relation of ``(id, vector, sigs)`` rows — one row per
+admitted vector, its ``n_bands`` banded LSH signatures riding as an
+array. Parquet column pruning serves the screen's two reads from the
+same table cheaply: the collision join scans ``(id, sigs)`` (vectors
+never ride the band explode), the exact verify scans ``(id, vector)``
+for just the candidate joins. With the table backend the store is
+HASH-BUCKETED BY ID, which makes the verify join's store side
+exchange-free; the collision join's store side never shuffles at all —
+the batch side broadcasts onto the store's scan partitioning
+(``incremental_semdedup(broadcast_screen=True)``).
 
-- ``*_sem_vecs``  — ``(id, vector)``: one row per admitted vector,
-  joined only for the exact-cosine verify of the ~candidate-sized
-  collision set;
-- ``*_sem_index`` — ``(band, sig, id)``: the banded signature index,
-  exploded ONCE at append time instead of once per screen.
+A (band, sig)-bucketed PRE-EXPLODED index was built and MEASURED in
+round 13 and rejected: the high-recall 4×16 profile has a 16-value
+band-signature space, so collision candidates are ~|batch|·|store| and
+scattering a store row's bands across bucket partitions defeats the
+map-side duplicate-pair collapse — 1.7 GB of dedup shuffle where the
+scan-order explode moves 45 MB (scale-harness ``--semdedup-store``).
+Keeping the store in scan order IS the optimization.
 
-With the table backend both tables are HASH-BUCKETED
-(``partitioning.write_bucketed``): the index by ``(band, sig)`` — the
-collision join's keys — and the vectors by ``id`` — the verify join's
-key — so the store side of the per-batch screen is EXCHANGE-FREE: a
-screen shuffles only batch-derived rows (batch×n_bands narrow triples
-+ the candidate pair set), and its cost stays ~flat as the store
-grows (scale-harness ``--semdedup`` pins this).
-
-Append-only under DISTINCT-equivalent screen semantics, like the
-other screen stores: the screen is an existence test, so duplicate
-rows (a replayed run's re-append) change no decision, and a periodic
+Append-only under DISTINCT-equivalent screen semantics, like the other
+screen stores: the screen is an existence test, so duplicate rows (a
+replayed run's re-append) change no decision, and a periodic
 distinct-rewrite compaction is exactness-preserving at any moment.
 Callers order durable outputs BEFORE store appends (the funnel's
 proven crash ordering), so a replay's screen misses exactly the
@@ -35,8 +35,6 @@ unfinished appends and re-appends them.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,35 +42,22 @@ from spaceparts_data_pipeline_spark.operators import dedup
 from spaceparts_data_pipeline_spark.operators.partitioning import write_bucketed
 
 #: bucket count for the table backend — matches the engine's default
-#: shuffle partitioning so one-side-bucketed joins line up without a
-#: store-side exchange at local[32]; deployments size it to their
+#: shuffle partitioning so the verify join's store side lines up
+#: without an exchange at local[32]; deployments size it to their
 #: shuffle parallelism.
 DEFAULT_NUM_BUCKETS = 32
 
 
-def store_locations(prefix: str, table_backend: bool = False) -> tuple[str, str]:
-    """(vectors, index) locations for ``prefix`` — table names
-    ``{prefix}_sem_vecs`` / ``{prefix}_sem_index`` for the table
-    backend, ``{prefix}/sem_vecs`` / ``{prefix}/sem_index`` parquet
-    directories for the path backend."""
-    if table_backend:
-        return f"{prefix}_sem_vecs", f"{prefix}_sem_index"
-    return os.path.join(prefix, "sem_vecs"), os.path.join(prefix, "sem_index")
-
-
-def band_index_rows(store_rows: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Explode ``(id, vector, sigs)`` admitted-store rows (the second
-    element of :func:`operators.similarity.incremental_semdedup`'s
-    return) into the narrow ``(band, sig, id)`` index rows the store
-    keeps pre-exploded."""
-    return store_rows.select(
-        F.col(id_col), F.posexplode("sigs").alias("band", "sig"),
-    ).select("band", "sig", id_col)
+def store_location(prefix: str, table_backend: bool = False) -> str:
+    """The store's location for ``prefix`` — table ``{prefix}_sem_store``
+    for the table backend, the ``prefix`` directory itself for the path
+    backend (callers pass e.g. ``{out_dir}/sem_store``)."""
+    return f"{prefix}_sem_store" if table_backend else prefix
 
 
 # -- catalog-table backend (bucketed) ----------------------------------------
 #
-# Plain bucketed tables, not versioned views: Spark's bucketed-scan
+# A plain bucketed table, not a versioned view: Spark's bucketed-scan
 # exchange elimination needs the bucket spec on the scanned relation,
 # and a bucketBy saveAsTable cannot target a view. Compaction therefore
 # swaps via catalog RENAME (write {t}__compact bucketed -> rename away
@@ -82,7 +67,7 @@ def band_index_rows(store_rows: DataFrame, id_col: str = "vec_id") -> DataFrame:
 # "__compact exists in the catalog" state is always a COMPLETE copy.
 
 def recover_store_table(spark: SparkSession, table: str) -> str | None:
-    """Finish or roll back an interrupted :func:`compact` table swap.
+    """Finish or roll back an interrupted :func:`_compact_table` swap.
     Mirrors ``dedup.recover_store`` state for state with tableExists
     standing in for fs.exists."""
     old, comp = f"{table}__old", f"{table}__compact"
@@ -102,20 +87,6 @@ def recover_store_table(spark: SparkSession, table: str) -> str | None:
         spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
         return "rolled back to pre-compaction store"
     return None
-
-
-def _read_table(spark: SparkSession, table: str) -> DataFrame | None:
-    recover_store_table(spark, table)
-    if not spark.catalog.tableExists(table):
-        return None
-    return spark.table(table)
-
-
-def _append_table(spark: SparkSession, rows: DataFrame, table: str,
-                  keys: list[str], num_buckets: int) -> None:
-    recover_store_table(spark, table)
-    mode = "append" if spark.catalog.tableExists(table) else "overwrite"
-    write_bucketed(rows, table, keys, num_buckets=num_buckets, mode=mode)
 
 
 def _compact_table(spark: SparkSession, table: str, keys: list[str],
@@ -146,31 +117,19 @@ def read_semdedup_store(
     prefix: str,
     *,
     table_backend: bool = False,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame | None, DataFrame | None]:
-    """Read the split store → ``(store_vecs, store_index)`` for
-    :func:`similarity.incremental_semdedup`'s split params, or
-    ``(None, None)`` iff never created (the only state meaning an
-    empty screen — any other read failure raises, the ``read_store``
-    discipline). A vectors table without its index (or vice versa) is
-    CORRUPTION, not emptiness: admitting everything against a
-    half-present store would silently re-admit duplicates."""
-    vec_loc, idx_loc = store_locations(prefix, table_backend)
+) -> DataFrame | None:
+    """Read the ``(id, vector, sigs)`` store for
+    :func:`similarity.incremental_semdedup`'s ``store`` param, or
+    ``None`` iff never created (the only state meaning an empty screen
+    — any other read failure raises, the ``read_store`` discipline).
+    Recovers an interrupted compaction swap first."""
+    loc = store_location(prefix, table_backend)
     if table_backend:
-        vecs, idx = _read_table(spark, vec_loc), _read_table(spark, idx_loc)
-    else:
-        vecs, idx = dedup.read_store(spark, vec_loc), dedup.read_store(spark, idx_loc)
-    if (vecs is None) != (idx is None):
-        raise IOError(
-            f"semantic-dedup store at {prefix!r} is half-present "
-            f"(vecs={'missing' if vecs is None else 'present'}, "
-            f"index={'missing' if idx is None else 'present'}); refusing "
-            "to screen against a corrupt store")
-    if vecs is None:
-        return None, None
-    return (vecs.select(F.col(id_col), F.col(vec_col)),
-            idx.select("band", "sig", F.col(id_col)))
+        recover_store_table(spark, loc)
+        if not spark.catalog.tableExists(loc):
+            return None
+        return spark.table(loc)
+    return dedup.read_store(spark, loc)
 
 
 def append_semdedup_store(
@@ -181,27 +140,20 @@ def append_semdedup_store(
     table_backend: bool = False,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> None:
-    """Append a run's admitted ``(id, vector, sigs)`` rows: vectors to
-    ``*_sem_vecs``, the exploded ``(band, sig, id)`` rows to
-    ``*_sem_index``. Index first, vectors last: the half-present guard
-    in :func:`read_semdedup_store` keys off the VECTORS table on first
-    creation, so a crash between the two appends of the first-ever run
-    leaves index-only — read refuses (corrupt) rather than screening
-    with vectors missing. Duplicate appends are harmless (existence
-    screen)."""
-    vecs = admitted_store_rows.select(F.col(id_col), F.col(vec_col))
-    idx = band_index_rows(admitted_store_rows, id_col=id_col)
-    vec_loc, idx_loc = store_locations(prefix, table_backend)
+    """Append a run's admitted ``(id, vector, sigs)`` rows (the second
+    element of :func:`similarity.incremental_semdedup`'s return, or a
+    fresh :func:`similarity.det_lsh_signatures` pass over the durable
+    corpus). Duplicate appends are harmless (existence screen)."""
+    loc = store_location(prefix, table_backend)
     if table_backend:
-        _append_table(spark, idx, idx_loc, ["band", "sig"], num_buckets)
-        _append_table(spark, vecs, vec_loc, [id_col], num_buckets)
+        recover_store_table(spark, loc)
+        mode = "append" if spark.catalog.tableExists(loc) else "overwrite"
+        write_bucketed(admitted_store_rows, loc, [id_col],
+                       num_buckets=num_buckets, mode=mode)
     else:
-        dedup.recover_store(spark, idx_loc)
-        idx.write.mode("append").parquet(idx_loc)
-        dedup.recover_store(spark, vec_loc)
-        vecs.write.mode("append").parquet(vec_loc)
+        dedup.recover_store(spark, loc)
+        admitted_store_rows.write.mode("append").parquet(loc)
 
 
 def maybe_compact_semdedup_store(
@@ -213,20 +165,15 @@ def maybe_compact_semdedup_store(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     id_col: str = "vec_id",
 ) -> dict | None:
-    """Distinct-rewrite either half of the store once its data-file
-    count passes ``max_files`` (append-only stores grow one file set
-    per run). Exactness-preserving at any moment — the screen's
-    decisions are invariant under duplicate removal."""
-    vec_loc, idx_loc = store_locations(prefix, table_backend)
-    out: dict = {}
+    """Distinct-rewrite the store once its data-file count passes
+    ``max_files`` (append-only stores grow one file set per run).
+    Exactness-preserving at any moment — the screen's decisions are
+    invariant under duplicate removal."""
+    loc = store_location(prefix, table_backend)
     if table_backend:
-        for loc, keys in ((idx_loc, ["band", "sig"]), (vec_loc, [id_col])):
-            if spark.catalog.tableExists(loc) and \
-                    _table_file_count(spark, loc) > max_files:
-                out[loc] = _compact_table(spark, loc, keys, num_buckets)
-    else:
-        for loc in (idx_loc, vec_loc):
-            c = dedup.maybe_compact_store(spark, loc, max_files)
-            if c is not None:
-                out[loc] = c
-    return out or None
+        if not spark.catalog.tableExists(loc) or \
+                _table_file_count(spark, loc) <= max_files:
+            return None
+        return {loc: _compact_table(spark, loc, [id_col], num_buckets)}
+    c = dedup.maybe_compact_store(spark, loc, max_files)
+    return {loc: c} if c is not None else None

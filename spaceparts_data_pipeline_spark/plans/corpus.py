@@ -173,11 +173,13 @@ def run_corpus_ingest(
     ``semdedup_threshold`` against a LOWER-id doc of the same batch or
     anything a prior run admitted — candidates from the deterministic
     banded LSH, every rejection verified with the exact cosine. The
-    vector store lives beside the other screen stores
-    (``sem_store/sem_{vecs,index}`` dirs path-backed;
-    ``{prefix}_sem_{vecs,index}`` BUCKETED tables — (band, sig) /
-    (id) — with ``store_table_prefix``, making the store side of the
-    screen exchange-free; see :mod:`operators.vector_store`). Docs
+    vector store lives beside the other screen stores (the
+    ``sem_store/`` dir path-backed; the ``{prefix}_sem_store`` table —
+    BUCKETED by id — with ``store_table_prefix``; the store side of
+    both screen joins is exchange-free: map-side signature explode +
+    broadcast batch bands, id-bucketed verify — see
+    :mod:`operators.vector_store` for why a pre-exploded (band, sig)
+    index measured WORSE). Docs
     WITHOUT an embedding row pass the screen (no evidence, no
     rejection). Same crash ordering as the other stores: appends
     derive from the durable corpus, after it lands.
@@ -348,19 +350,17 @@ def run_corpus_ingest(
                 "semdedup_embeddings needs a numeric id_col — the screen's "
                 "min-id survivor decision and its Arrow kernels key on long "
                 f"ids (got {admitted.schema[id_col].dataType.simpleString()!r})")
-        sem_vecs, sem_index = vector_store.read_semdedup_store(
-            spark, sem_store_prefix, table_backend=bool(store_table_prefix),
-            id_col=semdedup_vec_id_col, vec_col=semdedup_vec_col)
+        sem_store = vector_store.read_semdedup_store(
+            spark, sem_store_prefix, table_backend=bool(store_table_prefix))
         bvecs = semdedup_embeddings.select(
             F.col(semdedup_vec_id_col), F.col(semdedup_vec_col),
         ).join(admitted.select(F.col(id_col).alias(semdedup_vec_id_col)),
                semdedup_vec_id_col, "left_semi")
         adm_vecs, _ = similarity.incremental_semdedup(
-            bvecs, None, id_col=semdedup_vec_id_col,
+            bvecs, sem_store, id_col=semdedup_vec_id_col,
             vec_col=semdedup_vec_col, dim=semdedup_dim,
             n_planes=semdedup_n_planes, n_bands=semdedup_n_bands,
-            threshold=semdedup_threshold,
-            store_vecs=sem_vecs, store_index=sem_index)
+            threshold=semdedup_threshold)
         sem_dup_ids = bvecs.select(semdedup_vec_id_col).join(
             adm_vecs.select(semdedup_vec_id_col), semdedup_vec_id_col,
             "left_anti")
@@ -481,7 +481,7 @@ def run_corpus_ingest(
                     vec_col=semdedup_vec_col, dim=semdedup_dim,
                     n_planes=semdedup_n_planes, n_bands=semdedup_n_bands),
                 sem_store_prefix, table_backend=bool(store_table_prefix),
-                id_col=semdedup_vec_id_col, vec_col=semdedup_vec_col)
+                id_col=semdedup_vec_id_col)
         stats["sec_store_append"] = _tick()
         # 7. store maintenance: append-only stores grow a file set per
         # run; compact past the file-count threshold (decisions are

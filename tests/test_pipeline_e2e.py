@@ -536,7 +536,7 @@ class TestCorpusIngestPipeline:
         assert s2r["admitted"] == 0
         assert spark.read.parquet(out + "/corpus").count() == len(ids)
         # the vector store holds exactly the admitted-with-embedding ids
-        vecs = spark.read.parquet(out + "/sem_store/sem_vecs")
+        vecs = spark.read.parquet(out + "/sem_store")
         assert {r["vec_id"] for r in vecs.collect()} == {1, 3}
 
     def test_semdedup_requires_numeric_id(self, spark, tmp_path):
@@ -688,7 +688,7 @@ def test_cli_corpus_semdedup_screen(spark, tmp_path):
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["funnel"]["after_semdedup"] == 1      # near-copy screened
-    assert spark.read.parquet(out + "/sem_store/sem_vecs").count() == 1
+    assert spark.read.parquet(out + "/sem_store").count() == 1
 
     # multi-table landing: namespaced string ids -> clean error
     spark.createDataFrame([(7, base)], "doc_id long, text string") \
