@@ -340,7 +340,9 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #        recall/precision floor is pinned locally),
 #   r08 tranche (d13, d19, d20, x34, x36): DRAINED r13 — all five
 #        rotated back in (see the round-13 rotation note below),
-#   r09: q01, q10, q18, q23, x02, x11, x12, x15, x21, d10, d16,
+#   r09 (4-stale at r13 — the FIRST tranche for r14; 15 slots, so it
+#        drains across r14 and, if needed, r15 with the oldest first):
+#        q01, q10, q18, q23, x02, x11, x12, x15, x21, d10, d16,
 #        d17, d18, d21, x31b,
 #   r10: x03, x04, x08, x09, x10, x13, x16, x17, x20, x22, x24,
 #        e01, e04b, d23, d24, x35,
