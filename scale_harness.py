@@ -864,6 +864,50 @@ def measure_semdedup_store(spark, base: str, factor: int) -> list[dict]:
     store = VS.read_semdedup_store(spark, pfx, table_backend=True)
     _screen(store, "smj_full_shuffle", store.count(), broadcast=False)
 
+    # (a2) the profile IS the selectivity knob: the 4×16 default is a
+    # HIGH-RECALL profile for threshold-0.35 pair generation (16-value
+    # band space → ~64% of random pairs collide somewhere). Production
+    # semantic-dup screens run at high thresholds, where longer bands
+    # buy exponential selectivity at the same recall: measure the same
+    # store re-signed at 8 planes × 32 bands / threshold 0.7
+    # (recall ≈ 0.96 at 0.7 by the banding law) and report candidate
+    # mass + screen wall next to the default profile's.
+    def _cand_mass(store_df, probe_df, n_planes, n_bands):
+        sigp = S.det_lsh_signatures(probe_df, n_planes=n_planes,
+                                    n_bands=n_bands)
+        pbands = sigp.select(F.posexplode("sigs").alias("band", "sig")) \
+            .groupBy("band", "sig").count().withColumnRenamed("count", "pc")
+        sbands = store_df.select(F.posexplode("sigs").alias("band", "sig")) \
+            .groupBy("band", "sig").count().withColumnRenamed("count", "sc")
+        row = pbands.join(sbands, ["band", "sig"]) \
+            .select(F.sum(F.col("pc") * F.col("sc"))).collect()[0][0]
+        return int(row or 0)
+
+    store = VS.read_semdedup_store(spark, pfx, table_backend=True)
+    spark.sql("DROP TABLE IF EXISTS semstore_scale.p8_sem_store")
+    for s in range(1, factor):
+        batch = embs.filter(shard_of == s)
+        VS.append_semdedup_store(
+            spark, S.det_lsh_signatures(batch, n_planes=8, n_bands=32),
+            "semstore_scale.p8", table_backend=True)
+    store8 = VS.read_semdedup_store(spark, "semstore_scale.p8",
+                                    table_backend=True)
+    for label, st, np_, nb, thr in (
+            ("default_4x16_t0.35", store, 4, 16, 0.35),
+            ("screen_8x32_t0.70", store8, 8, 32, 0.70)):
+        cand = _cand_mass(st, probe, np_, nb)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        adm, _surv = S.incremental_semdedup(
+            probe, st, n_planes=np_, n_bands=nb, threshold=thr)
+        n_adm = adm.count()
+        sec = round(time.perf_counter() - t0, 3)
+        row = {"check": "semdedup_store_profile", "profile": label,
+               "store_rows": st.count(), "collision_rows": cand,
+               "sec": sec, "admitted": n_adm}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     # (b) recall of the screen on planted cross-batch duplicates
     sv = store
     stored = sv.orderBy("vec_id").limit(200).collect()

@@ -539,6 +539,45 @@ class TestCorpusIngestPipeline:
         vecs = spark.read.parquet(out + "/sem_store")
         assert {r["vec_id"] for r in vecs.collect()} == {1, 3}
 
+    def test_semdedup_screen_table_backend_matches_path(self, spark, tmp_path):
+        """The funnel's semantic screen with store_table_prefix (the
+        id-bucketed catalog store) must admit exactly what the
+        path-backed run admits, and must land the {prefix}_sem_store
+        table beside the fp/band store tables."""
+        from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
+
+        t2 = ("completely different prose about distributed query engines "
+              "and the optimizer choosing broadcast joins over sort merge "
+              "when one side of the relation is small enough to replicate")
+        v = [float((i * 37) % 19 - 9) for i in range(64)]
+        novel = [0.0] * 64
+        novel[3] = 11.0
+        embs = spark.createDataFrame(
+            [(1, v), (2, [x * 1.001 for x in v]), (3, novel)],
+            "vec_id long, embedding array<double>")
+        b1 = self._batch(spark, [(1, self.LONG, "s1")])
+        b2 = self._batch(
+            spark, [(2, t2, "s1"), (3, t2.replace("prose", "essay"), "s1")])
+        results = {}
+        spark.sql("CREATE DATABASE IF NOT EXISTS funnel_semdb")
+        for name, prefix in (("path", None), ("table", "funnel_semdb.fx")):
+            out = str(tmp_path / f"corpus_{name}")
+            run_corpus_ingest(spark, b1, out, "r1",
+                              semdedup_embeddings=embs,
+                              store_table_prefix=prefix)
+            run_corpus_ingest(spark, b2, out, "r2",
+                              semdedup_embeddings=embs,
+                              store_table_prefix=prefix,
+                              jaccard_threshold=0.95)
+            results[name] = sorted(
+                r["doc_id"] for r in
+                spark.read.parquet(out + "/corpus").select("doc_id").collect())
+        assert results["path"] == results["table"] == [1, 3]
+        assert spark.catalog.tableExists("funnel_semdb.fx_sem_store")
+        assert {r["vec_id"] for r in
+                spark.table("funnel_semdb.fx_sem_store").collect()} == {1, 3}
+        spark.sql("DROP DATABASE funnel_semdb CASCADE")
+
     def test_semdedup_requires_numeric_id(self, spark, tmp_path):
         from spaceparts_data_pipeline_spark.plans.corpus import run_corpus_ingest
 
