@@ -361,7 +361,7 @@ def _gated_docs(spark, base: str, scale: str, factor: int) -> str:
 
 def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
                backend: str = "path", quality: str = "off",
-               factor: int = 8) -> list[dict]:
+               factor: int = 8, semdedup: bool = False) -> list[dict]:
     """Round-6 verdict next-round #3: measure the COMPOSED
     plans.corpus.run_corpus_ingest funnel — persist boundaries, store
     read-modify-write cycle, five chained stages — over a multi-batch
@@ -408,6 +408,20 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
     rejected every shard>0 doc and the "Nx" run was 1x past stage 1),
     and run_corpus_ingest gets quality_gate=True with that rule set.
 
+    semdedup=True (round 13) adds the cross-run SEMANTIC screen as a
+    sixth live stage: each batch's embeddings (vec_id-aligned with the
+    fixture's doc_id at every scale — both carry the same ID_STRIDE
+    shard shifts) screen against the accumulated sem_store. The
+    threshold is pinned at 0.70 ON THIS FIXTURE: the sign-flip shard
+    twins sit around cosine 0.35-0.5, so the default 0.35 would reject
+    ~everything after batch 1 and starve every later stage of Nx
+    volume (the same honest-volume trap the quality gate hit on
+    rotated shards) — at 0.70 the screen still pays its FULL
+    banding-candidate verify cost (candidates come from the profile,
+    not the threshold) while the admitted volume stays honest.
+    Requires quality='off' (the _gated_docs synthesis re-keys doc ids,
+    which would break the doc_id↔vec_id join).
+
     quality='charlm' (round 10) runs the model-based gate with the
     benchmark slice as charlm_ref and a PER-SCALE self-calibrated
     threshold: the ref slice is scored under its own model and the
@@ -445,6 +459,17 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     benchmark = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     rest = docs.filter(F.col("doc_id") % 20 != 0)
+    sem_kwargs = {}
+    if semdedup:
+        if quality != "off":
+            raise ValueError("--funnel-semdedup needs quality='off' — the "
+                             "gated-doc synthesis re-keys doc ids away from "
+                             "the embeddings' vec_id")
+        sem_kwargs = {
+            "semdedup_embeddings": spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")),
+            "semdedup_threshold": 0.70,   # fixture calibration, see docstring
+        }
 
     charlm_kwargs = {}
     if quality in ("charlm", "charlm+dsir"):
@@ -482,7 +507,7 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
                                   quality_gate=(quality != "off"),
                                   quality_rules=quality if quality != "off" else "basic",
                                   store_table_prefix=table_prefix,
-                                  **charlm_kwargs)
+                                  **charlm_kwargs, **sem_kwargs)
         wall = time.perf_counter() - t0
         after = _stage_totals(spark)
         row = {
@@ -502,6 +527,13 @@ def run_funnel(spark, base: str, scale: str, n_batches: int = 5,
                 sdf = dedup.read_store(spark, p)  # None until first admit
                 row[f"{store}_files"] = dedup.data_file_count(spark, p) if sdf is not None else 0
             row[f"{store}_rows"] = sdf.count() if sdf is not None else 0
+        if semdedup:
+            from spaceparts_data_pipeline_spark.operators import vector_store
+
+            sem_prefix = table_prefix if table_prefix else os.path.join(out, "sem_store")
+            sdf = vector_store.read_semdedup_store(
+                spark, sem_prefix, table_backend=bool(table_prefix))
+            row["sem_store_rows"] = sdf.count() if sdf is not None else 0
         results.append(row)
         print(json.dumps(row), flush=True)
     return results
@@ -1204,6 +1236,11 @@ def main() -> None:
                     help="measure d25 SemDeDup at Nx with k fixed (the wrong way: "
                          "n^2/k pair space) vs k scaled with n (the configuration "
                          "rule the paper implies) — see measure_semdedup")
+    ap.add_argument("--funnel-semdedup", action="store_true",
+                    help="run --funnel WITH the cross-run semantic screen as a "
+                         "sixth live stage (embeddings vec_id-aligned with "
+                         "doc_id; threshold 0.70 on this fixture — see "
+                         "run_funnel's docstring); needs --funnel-quality off")
     ap.add_argument("--semdedup-store", action="store_true",
                     help="measure the productionized d26 vector store at Nx: "
                          "screen cost of a fixed probe batch as the bucketed "
@@ -1275,7 +1312,8 @@ def main() -> None:
             per_scale[scale] = run_funnel(spark, base, scale, args.batches,
                                           backend=args.funnel_backend,
                                           quality=args.funnel_quality,
-                                          factor=args.factor)
+                                          factor=args.factor,
+                                          semdedup=args.funnel_semdedup)
         print_funnel_tables(per_scale, args.factor)
         return
 
