@@ -141,3 +141,53 @@ def merge_into_table(
         # staged swap: materializes the merge before the old table drops,
         # so no executor-memory checkpoint and a crash can't lose the table
         overwrite_via_staging(spark, table, merged)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tracked: list[str],
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history build from a change
+    feed — the warehouse-dimension companion to the reference's
+    keep-latest upserts (SURVEY §2.2 K3 territory): instead of keeping
+    only the newest row per key, keep every VERSION, where a version
+    is a maximal run of consecutive rows (per key, in ``order_col``
+    order) whose ``tracked`` attributes are unchanged.
+
+    Output: one row per version with the version's first-row attribute
+    values plus ``valid_from`` (its first ``order_col``), ``valid_to``
+    (the NEXT version's ``valid_from``, NULL for the open version),
+    ``is_current`` and a 1-based ``version`` number per key.
+
+    Ordering must be total for determinism — pass ``tie_breakers``
+    (e.g. a unique event id) when ``order_col`` can tie.
+
+    Plan shape: two windows over the same ``(keys, order)``
+    partitioning — Spark reuses one exchange/sort for both (no second
+    shuffle) — then a filter to change rows and one more window over
+    the (much smaller) change-row set for ``valid_to``/``version``.
+    Linear, key-partitioned, no Python.
+    """
+    tb = list(tie_breakers or [])
+    order = [F.col(order_col).asc(), *[F.col(c).asc() for c in tb]]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c)) for c in tracked],
+    ) | F.row_number().over(w).eqNullSafe(F.lit(1))
+    # row_number()==1 (not lag IS NULL) marks the first row: a NULL
+    # tracked value in row 1 must still open a version.
+    first_rows = df.withColumn("__chg", changed).filter("__chg").drop("__chg")
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return first_rows.select(
+        *keys, *tracked,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w2).alias("valid_to"),
+        F.lead(order_col).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )

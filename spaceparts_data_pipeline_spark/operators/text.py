@@ -1757,3 +1757,135 @@ def bpe_encode_ids(
             F.flatten(F.transform("__ws", lambda s: s["ids"])).alias("token_ids"))
     )
     return per_doc.withColumn("n_tokens", F.size("token_ids"))
+
+
+def bpe_decode(
+    ids_df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Tokenizer DECODE — ids back to text, the inverse of
+    :func:`bpe_encode_ids`: each id looks up its token string in
+    ``vocab`` and the tokens concatenate in sequence order. Because
+    merges fuse only within whitespace words, the decode of a full
+    document is the concatenation of its (pre-tokenized) words — the
+    roundtrip law ``decode(encode(x)) == concat(words(x))`` that the
+    x38b oracle checks end-to-end.
+
+    Plan shape: ``posexplode`` keeps sequence order; the vocab join is
+    an explicit broadcast (the vocab is alphabet+merges sized); the one
+    shuffle is the per-doc reassembly agg keyed by the unskewable doc
+    id, order restored with ``array_sort`` on (pos, token) structs.
+    Unknown ids (possible only when encode ran with ``unk_id`` against
+    an out-of-vocab corpus) decode to the empty string rather than
+    poisoning the whole document NULL.
+    """
+    toks = ids_df.select(
+        F.col(id_col), F.posexplode(ids_col).alias("pos", "token_id"))
+    joined = toks.join(F.broadcast(vocab), "token_id", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(
+            F.struct("pos", F.coalesce("token", F.lit("")).alias("token")))).alias("__ts"))
+        .select(
+            F.col(id_col),
+            F.concat_ws("", F.transform("__ts", lambda s: s["token"])).alias("text_decoded"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    for pretraining / retrieval corpora: fixed ``chunk_size``-char
+    windows starting every ``stride`` chars (overlapping when
+    ``stride < chunk_size``), the final window clipped at the document
+    end. Chunk starts are ``i*stride`` for ``i in 0..ceil((len -
+    chunk_size) / stride)`` (one chunk when ``len <= chunk_size``), so
+    every character lands in at least one chunk and the chunk count is
+    pure integer arithmetic — deterministic and oracle-expressible.
+
+    Plan shape: one projection + explode over the scan, no shuffle, no
+    Python — ``sequence``/``transform`` build the window starts
+    JVM-side, so at 100 TB this is scan-rate chunking.
+    """
+    t = F.trim(F.col(text_col))
+    n = F.length(t)
+    # integer ceil((n - size) / stride) without float rounding
+    last = F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride))
+        .cast("long"),
+    )
+    out = (
+        df.filter(F.col(text_col).isNotNull() & (n > 0))
+        .select(
+            F.col(id_col),
+            t.alias("__t"),
+            F.posexplode(F.sequence(F.lit(0), last)).alias("chunk_id", "__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("__i") * stride + 1).cast("long").alias("chunk_start"),
+            F.substring(F.col("__t"), F.col("__i").cast("int") * stride + 1,
+                        chunk_size).alias("chunk_text"),
+        )
+    )
+    return out.withColumn("n_chunk_chars",
+                          F.length("chunk_text").cast("long"))
+
+
+def global_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide line-level dedup with document reconstruction — the
+    C4 "discard duplicate lines across the whole corpus" pass (Raffel
+    et al. 2020 §2.2 keep-one-occurrence): a non-empty line survives
+    iff it is the canonical (lowest ``(doc_id, pos)``) occurrence of
+    its exact text anywhere in the corpus; each document is rebuilt
+    from its surviving lines in original order. Documents whose lines
+    all lose are dropped.
+
+    Output: ``(id, n_lines, n_kept, text_dedup)``.
+
+    Plan shape: the canonical-occurrence window shuffles on
+    ``md5(line)`` — 16-byte exchange keys instead of full line text,
+    the d01 economics; grouping is equivalent (the oracle's PARTITION
+    BY line agrees on this data, collisions negligible). The rebuild
+    is one agg keyed by the unskewable doc id with ``array_sort`` on
+    (pos, line) structs. Two shuffles total, both linear.
+    """
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col),
+                F.posexplode(F.split(text_col, "\n")).alias("pos", "line"))
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("line")).orderBy(id_col, "pos")
+    flagged = lines.withColumn("rn", F.row_number().over(w))
+    keep = (F.col("rn") == 1).cast("long")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(keep).alias("n_kept"),
+            F.array_sort(F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("pos", "line")))).alias("__ks"),
+        )
+        .filter(F.col("n_kept") >= 1)
+        .select(
+            F.col(id_col), "n_lines", "n_kept",
+            F.concat_ws("\n", F.transform("__ks", lambda s: s["line"]))
+            .alias("text_dedup"),
+        )
+    )

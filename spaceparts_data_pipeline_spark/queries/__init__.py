@@ -352,6 +352,17 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #   d26_incremental_semdedup: first-appearance deferral CLOSED r13 —
 #        rotated in as promised (cross-run embedding dedup, FULL
 #        two-round oracle sharing e03c's signature CTEs).
+#   NEW late-r13 (added after the r13 window was set — the standing
+#        first-appearance-deferral precedent: each MUST rotate into
+#        the r14 window ahead of the r09 tranche): x38b_bpe_decode
+#        (decode roundtrip — one-line oracle, value-checks the whole
+#        train→vocab→encode-ids→decode chain), x40_doc_chunking
+#        (sliding-window context chunking, shuffle-free), d27_line_
+#        dedup_global (C4 corpus-wide keep-one-occurrence line rule
+#        with doc reconstruction), q25_scd2_history (SCD Type-2
+#        dimension history — the keep-every-version companion of the
+#        keep-latest upserts). All four FULL-oracle, green at sf0.01
+#        and sf0.1 on first run.
 # Round-12 rotation (round-11 verdict next-round #1, executed exactly):
 # IN — the five late-r11 FULL-oracle deferrals get their promised
 # first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE

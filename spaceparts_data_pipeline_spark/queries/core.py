@@ -1344,3 +1344,40 @@ def x18b_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q25 — SCD Type-2 dimension history from the events change feed: per
+# user, consecutive same-event_type rows collapse into one version with
+# valid_from/valid_to/is_current/version. The warehouse-history
+# companion of the keep-latest upserts (K3/W1 territory, beyond the
+# reference's keep-latest-only story).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q25_scd2_history",
+    """
+    WITH l AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM l
+      WHERE rn = 1 OR prev_et IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+    FROM chg
+    """,
+)
+def q25_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.operators.merge import scd2_history
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_history(e, keys=["user_id"], order_col="ts",
+                        tracked=["event_type"], tie_breakers=["event_id"])

@@ -3026,3 +3026,110 @@ def e06b_knn_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20)
     return similarity.knn_ivf_pq_residual(e, q, k=3, n_centroids=16,
                                           n_probe=4, m=8, k_pq=16, pq_iters=1)
+
+
+# ---------------------------------------------------------------------------
+# x38b — BPE DECODE roundtrip: train x37's merges, build the vocab,
+# encode the corpus to id sequences (x38's ids variant), then decode
+# the ids back to text. Merges fuse only within whitespace words and
+# the vocab's base alphabet covers every corpus character, so the
+# decode of a document is EXACTLY the concatenation of its pretokenized
+# words — a one-line FULL oracle that value-checks the entire
+# train → vocab → encode-ids → decode chain end-to-end (any wrong
+# merge, id, or ordering anywhere in the chain breaks the hash).
+# ---------------------------------------------------------------------------
+
+@register(
+    "x38b_bpe_decode",
+    r"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> length(w) > 0), '') AS text_decoded
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+    """,
+)
+def x38b_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    merges = text.bpe_train(d, k=_BPE_K, min_count=2)
+    vocab = text.bpe_vocab(d, merges)
+    ids = text.bpe_encode_ids(d, merges, vocab)
+    return text.bpe_decode(ids, vocab)
+
+
+# ---------------------------------------------------------------------------
+# x40 — sliding-window document chunking (context-window prep): 120-char
+# windows every 90 chars, final window clipped. Pure integer window
+# arithmetic on both sides; one explode over the scan, no shuffle.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 120, 90
+
+@register(
+    "x40_doc_chunking",
+    f"""
+    WITH d AS (
+      SELECT doc_id, trim(text) AS t FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, GREATEST(0,
+               (length(t) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}) + 1)) AS i
+      FROM d
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+           substr(t, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE}) AS chunk_text,
+           CAST(length(substr(t, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE})) AS BIGINT)
+             AS n_chunk_chars
+    FROM idx
+    """,
+)
+def x40_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# d27 — corpus-wide line dedup with document reconstruction (C4's
+# keep-one-occurrence line rule, Raffel et al. 2020 §2.2): a non-empty
+# line survives iff it is the canonical (min doc_id, min pos)
+# occurrence of its text anywhere in the corpus; docs are rebuilt from
+# surviving lines in order. Runs over the _multiline(2) derivation
+# (the d18/d21 convention) so 2-token lines collide across docs and
+# the rule does real discriminating work in the driver gate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d27_line_dedup_global",
+    rf"""
+    WITH {_ML_CTE(2)},
+    l0 AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml
+      WHERE text IS NOT NULL
+    ),
+    lx AS (
+      SELECT doc_id, CAST(pl.pos AS INT) AS pos, pl.line AS line FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+                       i -> {{'pos': i, 'line': ls[i]}})) AS pl
+        FROM l0
+      ) WHERE length(trim(pl.line)) > 0
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lx
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text_dedup
+    FROM flagged GROUP BY doc_id
+    HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) >= 1
+    """,
+)
+def d27_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return text.global_line_dedup(_multiline(d, every=2))

@@ -2890,3 +2890,94 @@ class TestIvfPq:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="divisible"):
             similarity.knn_ivf_pq_residual(embs, q, m=7)
+
+
+class TestChunking:
+    def _chunks(self, spark, text, size, stride):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        from spaceparts_data_pipeline_spark.operators.text import chunk_documents
+        return sorted(
+            chunk_documents(df, chunk_size=size, stride=stride).collect(),
+            key=lambda r: r["chunk_id"])
+
+    def test_overlap_covers_every_char(self, spark):
+        t = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+        rows = self._chunks(spark, t, size=10, stride=7)
+        # starts 0,7,14,21 -> ceil((26-10)/7)=3 -> 4 chunks
+        assert [r["chunk_start"] for r in rows] == [1, 8, 15, 22]
+        assert rows[0]["chunk_text"] == t[0:10]
+        assert rows[-1]["chunk_text"] == t[21:26]  # clipped tail
+        covered = set()
+        for r in rows:
+            covered.update(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_chars"]))
+        assert covered == set(range(1, len(t) + 1))
+
+    def test_short_doc_single_chunk(self, spark):
+        for t in ("abc", "abcdefghij"):  # len < size and len == size
+            rows = self._chunks(spark, t, size=10, stride=7)
+            assert len(rows) == 1 and rows[0]["chunk_text"] == t
+
+    def test_null_and_empty_dropped(self, spark):
+        from spaceparts_data_pipeline_spark.operators.text import chunk_documents
+        df = spark.createDataFrame(
+            [(1, None), (2, "   "), (3, "xy")], "doc_id long, text string")
+        rows = chunk_documents(df, chunk_size=4, stride=2).collect()
+        assert [r["doc_id"] for r in rows] == [3]
+
+
+class TestGlobalLineDedup:
+    def test_canonical_occurrence_wins(self, spark):
+        from spaceparts_data_pipeline_spark.operators.text import global_line_dedup
+        docs = [
+            (1, "shared one\nunique a\nshared two"),
+            (2, "shared one\nunique b"),     # loses 'shared one' to doc 1
+            (3, "shared one\nshared two"),   # loses everything -> dropped
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in global_line_dedup(df).collect()}
+        assert out[1]["text_dedup"] == "shared one\nunique a\nshared two"
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+        assert out[2]["text_dedup"] == "unique b"
+        assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+        assert 3 not in out
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        from spaceparts_data_pipeline_spark.operators.text import global_line_dedup
+        df = spark.createDataFrame(
+            [(5, "rep\nmid\nrep")], "doc_id long, text string")
+        r = global_line_dedup(df).collect()[0]
+        assert r["text_dedup"] == "rep\nmid"
+        assert (r["n_lines"], r["n_kept"]) == (3, 2)
+
+    def test_empty_lines_ignored(self, spark):
+        from spaceparts_data_pipeline_spark.operators.text import global_line_dedup
+        df = spark.createDataFrame(
+            [(7, "a\n\n  \nb"), (8, None)], "doc_id long, text string")
+        r = {x["doc_id"]: x for x in global_line_dedup(df).collect()}
+        assert r[7]["text_dedup"] == "a\nb" and r[7]["n_lines"] == 2
+        assert 8 not in r
+
+
+class TestBpeDecode:
+    def test_roundtrip_equals_word_concat(self, spark):
+        docs = [
+            (1, "low lower lowest"),
+            (2, "new newer newest"),
+            (3, "low new low"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        merges = text.bpe_train(df, k=6, min_count=1)
+        vocab = text.bpe_vocab(df, merges)
+        ids = text.bpe_encode_ids(df, merges, vocab)
+        out = {r["doc_id"]: r["text_decoded"]
+               for r in text.bpe_decode(ids, vocab).collect()}
+        for doc_id, t in docs:
+            assert out[doc_id] == t.replace(" ", "")
+
+    def test_unknown_id_decodes_empty(self, spark):
+        ids = spark.createDataFrame(
+            [(1, [0, 999, 1])], "doc_id long, token_ids array<int>")
+        vocab = spark.createDataFrame(
+            [("a", 0), ("b", 1)], "token string, token_id int")
+        r = text.bpe_decode(ids, vocab).collect()[0]
+        assert r["text_decoded"] == "ab"

@@ -259,3 +259,54 @@ class TestTemporalProperties:
                 pos[r["source"]] = start + r["n_tokens"]
 
         check()
+
+
+class TestScd2History:
+    def _feed(self, spark, rows):
+        import datetime as dt
+        data = [(uid, et, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), eid)
+                for uid, et, m, eid in rows]
+        return spark.createDataFrame(
+            data, "user_id long, event_type string, ts timestamp, event_id long")
+
+    def test_collapses_runs_and_chains_validity(self, spark):
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_history
+        df = self._feed(spark, [
+            (1, "a", 0, 10), (1, "a", 5, 11), (1, "b", 10, 12),
+            (1, "b", 15, 13), (1, "a", 20, 14),
+            (2, "x", 0, 20),
+        ])
+        out = sorted(
+            scd2_history(df, ["user_id"], "ts", ["event_type"],
+                         tie_breakers=["event_id"]).collect(),
+            key=lambda r: (r["user_id"], r["version"]))
+        u1 = [r for r in out if r["user_id"] == 1]
+        assert [r["event_type"] for r in u1] == ["a", "b", "a"]
+        assert [r["version"] for r in u1] == [1, 2, 3]
+        # valid_to chains exactly to the next version's valid_from
+        for prev, nxt in zip(u1, u1[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["is_current"] is False
+        assert u1[-1]["valid_to"] is None and u1[-1]["is_current"] is True
+        u2 = [r for r in out if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["is_current"] is True
+
+    def test_null_tracked_value_opens_and_changes_versions(self, spark):
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_history
+        df = self._feed(spark, [
+            (3, None, 0, 30), (3, None, 5, 31), (3, "z", 10, 32), (3, None, 15, 33),
+        ])
+        out = sorted(
+            scd2_history(df, ["user_id"], "ts", ["event_type"],
+                         tie_breakers=["event_id"]).collect(),
+            key=lambda r: r["version"])
+        assert [r["event_type"] for r in out] == [None, "z", None]
+
+    def test_ts_tie_broken_by_event_id(self, spark):
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_history
+        df = self._feed(spark, [(4, "b", 0, 41), (4, "a", 0, 40)])
+        out = sorted(
+            scd2_history(df, ["user_id"], "ts", ["event_type"],
+                         tie_breakers=["event_id"]).collect(),
+            key=lambda r: r["version"])
+        assert [r["event_type"] for r in out] == ["a", "b"]
