@@ -76,6 +76,12 @@ CORPUS = [
     "x37_bpe_merges",
     "e06_knn_ivf_pq",
     "e06b_knn_ivf_pq_residual",
+    # round 13 late: corpus-wide line dedup (heaviest new linear text
+    # shuffle — same md5-keyed window class as d19) and sliding-window
+    # chunking (0-exchange scan-rate Generate; tracked as the floor the
+    # text family's shuffle plans are measured against)
+    "d27_line_dedup_global",
+    "x40_doc_chunking",
 ]
 
 

@@ -108,6 +108,13 @@ OPS = [
     # the linear encode pass dominating
     "e06_knn_ivf_pq",
     "e06b_knn_ivf_pq_residual",
+    # round-13 late additions: corpus-wide line dedup (one gram-scale
+    # md5(line) window + doc-keyed rebuild — the d19/d01 economics, so
+    # the expected Nx shape is d19's: a single linear line-scale
+    # exchange) and sliding-window chunking (0-exchange Generate over
+    # the scan — expected to scale at raw scan rate)
+    "d27_line_dedup_global",
+    "x40_doc_chunking",
 ]
 
 TABLES = ("lineitem", "orders", "events", "documents", "embeddings")

@@ -1889,3 +1889,42 @@ def global_line_dedup(
             .alias("text_dedup"),
         )
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Fractional-epoch source upsampling — the data-mixing recipe that
+    says "source A is seen 2.5 epochs, source B 0.4" (the
+    LLaMA/GPT-style sampling-weight table, materialized): each doc
+    emits ``floor(e)`` copies plus one more iff its deterministic
+    ``hash_bucket`` falls under the fractional remainder, so EXACTLY
+    the requested fraction of each source repeats (per md5 bucket, not
+    per RNG draw) — reproducible across engines, runs, and
+    partitionings, and ``e < 1`` downsamples the same way. Sources
+    absent from ``epochs`` default to 1.0 (pass-through).
+
+    Output: input columns + ``epoch`` (0-based copy index) and
+    ``n_copies``; docs with 0 copies disappear.
+
+    Plan shape: the epoch table is config-sized, so it compiles into
+    when-chain literals — one Generate over the scan, no shuffle, no
+    join. Scan-rate at 100 TB.
+    """
+    src = F.col(source_col)
+    base, thr = F.lit(1), F.lit(0)
+    for s, e in sorted(epochs.items()):
+        whole = int(e)
+        frac_thr = round((e - whole) * buckets)
+        base = F.when(src == s, F.lit(whole)).otherwise(base)
+        thr = F.when(src == s, F.lit(frac_thr)).otherwise(thr)
+    n = (base + (hash_bucket(F.col(id_col)) < thr).cast("int")).cast("int")
+    out = df.withColumn("n_copies", n).filter(F.col("n_copies") > 0)
+    return out.withColumn(
+        "epoch",
+        F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)),
+    )

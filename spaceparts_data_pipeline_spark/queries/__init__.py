@@ -361,8 +361,10 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #        dedup_global (C4 corpus-wide keep-one-occurrence line rule
 #        with doc reconstruction), q25_scd2_history (SCD Type-2
 #        dimension history — the keep-every-version companion of the
-#        keep-latest upserts). All four FULL-oracle, green at sf0.01
-#        and sf0.1 on first run.
+#        keep-latest upserts), x41_epoch_upsample (fractional-epoch
+#        source mixing via the x05 md5 bucket — exactly the requested
+#        fraction repeats; 0-exchange Generate). All five FULL-oracle,
+#        green at sf0.01 and sf0.1 on first run.
 # Round-12 rotation (round-11 verdict next-round #1, executed exactly):
 # IN — the five late-r11 FULL-oracle deferrals get their promised
 # first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE

@@ -3133,3 +3133,42 @@ def x40_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d27_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return text.global_line_dedup(_multiline(d, every=2))
+
+
+# ---------------------------------------------------------------------------
+# x41 — fractional-epoch source upsampling (the LLaMA-style sampling-
+# weight table materialized): src0 seen 2.5 epochs, src1 downsampled to
+# 0.4, src2 dropped, src3 1.25, everything else 1.0 — the fractional
+# part decided per doc by the same engine-portable md5 bucket as x05's
+# split, so exactly the requested fraction repeats, deterministically.
+# Config-sized when-chain + one Generate; no shuffle, no join.
+# ---------------------------------------------------------------------------
+
+_EPOCH_RECIPE = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 1.25}
+
+@register(
+    "x41_epoch_upsample",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN bkt < 50 THEN 1 ELSE 0 END
+               WHEN 'src1' THEN CASE WHEN bkt < 40 THEN 1 ELSE 0 END
+               WHEN 'src2' THEN 0
+               WHEN 'src3' THEN 1 + CASE WHEN bkt < 25 THEN 1 ELSE 0 END
+               ELSE 1 END AS n_copies
+      FROM b
+    )
+    SELECT doc_id, source, CAST(n_copies AS INT) AS n_copies,
+           CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+    FROM n
+    """,
+)
+def x41_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return text.epoch_upsample(d, _EPOCH_RECIPE)

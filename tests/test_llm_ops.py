@@ -2981,3 +2981,48 @@ class TestBpeDecode:
             [("a", 0), ("b", 1)], "token string, token_id int")
         r = text.bpe_decode(ids, vocab).collect()[0]
         assert r["text_decoded"] == "ab"
+
+
+class TestEpochUpsample:
+    def test_copies_and_epoch_indices(self, spark):
+        from spaceparts_data_pipeline_spark.operators.text import epoch_upsample, hash_bucket
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(50)] + [(i + 100, "b") for i in range(50)]
+            + [(200, "drop"), (201, "other")],
+            "doc_id long, source string")
+        out = epoch_upsample(df, {"a": 2.5, "b": 0.4, "drop": 0.0}).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # per-doc copy counts follow the md5 bucket exactly
+        buckets = {r["doc_id"]: r["bkt"] for r in df.select(
+            "doc_id", hash_bucket("doc_id").alias("bkt")).collect()}
+        for i in range(50):
+            expect = 2 + (1 if buckets[i] < 50 else 0)
+            rows = by_doc[i]
+            assert len(rows) == expect and rows[0]["n_copies"] == expect
+            assert sorted(r["epoch"] for r in rows) == list(range(expect))
+        for i in range(50):
+            expect = 1 if buckets[i + 100] < 40 else 0
+            assert len(by_doc.get(i + 100, [])) == expect
+        assert 200 not in by_doc              # e=0.0 drops the source
+        assert len(by_doc[201]) == 1          # unlisted source passes through
+        assert by_doc[201][0]["epoch"] == 0
+
+    def test_fraction_is_exact_over_full_buckets(self, spark):
+        from spaceparts_data_pipeline_spark.operators.text import epoch_upsample, hash_bucket
+        # one doc per md5 bucket -> the realized fraction is EXACTLY 40/100
+        ids, seen = [], set()
+        i = 0
+        while len(seen) < 100:
+            b = None
+            # compute bucket driver-side via the same md5 formula
+            import hashlib
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            if b not in seen:
+                seen.add(b)
+                ids.append(i)
+            i += 1
+        df = spark.createDataFrame([(j, "s") for j in ids], "doc_id long, source string")
+        out = epoch_upsample(df, {"s": 1.4}).collect()
+        assert len(out) == 100 + 40
