@@ -530,3 +530,118 @@ def incremental_near_dedup(
         admitted = admitted.join(hit_ids, id_col, "left_anti")
         bands = bands.join(hit_ids, id_col, "left_anti")
     return admitted, bands
+
+
+def _md5_hash60(col, seed: int | None = None):
+    """Deterministic 60-bit positive hash: first 15 hex chars of md5 →
+    bigint. Engine-portable (DuckDB: ``('0x' || substr(md5(x),1,15))
+    ::BIGINT``) — the determinism currency the e03c fixed-point LSH
+    established, here for the token/shingle families. ``seed`` prefixes
+    the input (``"<seed>:<value>"``) to derive independent hash
+    functions from one md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat_ws(":", F.lit(str(seed)), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs_det(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with md5-derived hash functions instead
+    of xxhash64 — same banding geometry, same plan shape (one shuffle
+    for the per-doc signature agg, one band-keyed bucket join), but the
+    signatures are SQL-replayable, so the ENTIRE MinHash-LSH candidate
+    pipeline gets a FULL value-hash oracle (the e03c playbook applied
+    to the MinHash family; the xxhash64 production twin stays for
+    throughput). Min over shingles is computed per-permutation INSIDE
+    the per-doc array (``array_min`` over the projected shingle array,
+    map-side) — the only corpus-scale exchange is the band table's
+    bucket join, and buckets are md5 strings of the signature slice
+    (16-byte-class keys, never shingle text).
+
+    Output: (id_a, id_b, n_bands) — pairs colliding in ≥1 of
+    ``num_perm/rows_per_band`` bands, id_a < id_b.
+    """
+    toks = tokens_col(text_col)
+    with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
+    shingle = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda i: F.concat_ws(" ", *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    sh = with_t.select(F.col(id_col), F.array_distinct(shingle).alias("__sh"))
+    # ONE nested transform over the seed range, NOT num_perm sibling
+    # array_min(transform(...)) expressions: sibling higher-order
+    # functions in a single projection get their same-named lambda
+    # variables conflated by Catalyst's subexpression elimination —
+    # all 8 mins came back wrong (deterministically!) in the sibling
+    # form, verified against DuckDB + hashlib. The nested form keeps
+    # one lambda scope per level and evaluates correctly; it is also
+    # still pure map-side codegen.
+    sig = sh.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda p: F.array_min(F.transform(
+                "__sh",
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat_ws(":", p.cast("string"), s)), 1, 15),
+                    16, 10).cast("long"))),
+        ).alias("sig"),
+    )
+    n_bands = num_perm // rows_per_band
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ])).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash_det(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", bits: int = 60) -> DataFrame:
+    """:func:`simhash` with the md5-derived 60-bit token hash — the
+    bit-vote signature itself becomes SQL-replayable (FULL oracle on
+    the signature values, where the xxhash64 twin is rows-only). 60
+    bits (15 hex chars) keeps the signature strictly positive in a
+    signed bigint, so no b=63 sign-wrap special case on either engine.
+    Same plan as :func:`simhash`: explode(tokens) → ``bits``
+    conditional sums → bit reassembly; one shuffle on the doc id.
+    Token multiplicity counts (a token appearing 3× votes 3×), exactly
+    like the production twin.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = _md5_hash60("tok")
+    votes = [
+        F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return agg.select(F.col(id_col), total.alias("simhash"))

@@ -363,8 +363,13 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #        dimension history — the keep-every-version companion of the
 #        keep-latest upserts), x41_epoch_upsample (fractional-epoch
 #        source mixing via the x05 md5 bucket — exactly the requested
-#        fraction repeats; 0-exchange Generate). All five FULL-oracle,
-#        green at sf0.01 and sf0.1 on first run.
+#        fraction repeats; 0-exchange Generate), d07b_minhash_lsh_det +
+#        d08b_simhash_det (the e03c determinism playbook applied to the
+#        MinHash and SimHash families: md5-derived 60-bit hashes make
+#        the signatures AND the d07b pair list value-hashable — the
+#        rows-only xxhash twins d07/d08 keep their standing contract,
+#        but the banding/bit-vote geometry is now driver-checkable).
+#        All seven FULL-oracle, green at sf0.01 and sf0.1 on first run.
 # Round-12 rotation (round-11 verdict next-round #1, executed exactly):
 # IN — the five late-r11 FULL-oracle deferrals get their promised
 # first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE

@@ -3172,3 +3172,82 @@ _EPOCH_RECIPE = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 1.25}
 def x41_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select("doc_id", "source")
     return text.epoch_upsample(d, _EPOCH_RECIPE)
+
+
+# ---------------------------------------------------------------------------
+# d07b — MinHash-LSH candidate pairs under a FULL oracle (the e03c
+# determinism playbook applied to the MinHash family): md5-derived
+# 60-bit hash functions replace xxhash64, so the signature mins, the
+# band buckets, and the collision pair list are all SQL-replayable and
+# value-hashed end-to-end. d07 (xxhash64) stays as the production-
+# throughput twin; the banding geometry both share is now driver-
+# value-checked here, not just pinned by admit-set-equality tests.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d07b_minhash_lsh_det",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sl
+      FROM t WHERE len(tk) >= 3
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, list_transform(range(0, 8), p ->
+        list_min(list_transform(sl, s ->
+          ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || s), 1, 15))::BIGINT))) AS sig
+      FROM sh
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             md5(CAST(sig[CAST(b*2+1 AS INT)] AS VARCHAR) || ',' ||
+                 CAST(sig[CAST(b*2+2 AS INT)] AS VARCHAR)) AS bucket
+      FROM sig CROSS JOIN range(0, 4) r(b)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def d07b_minhash_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return dedup_fuzzy.minhash_lsh_pairs_det(d, num_perm=8, rows_per_band=2)
+
+
+# ---------------------------------------------------------------------------
+# d08b — SimHash signatures under a FULL oracle: the md5-derived 60-bit
+# token hash makes the bit-vote signature itself SQL-replayable (d08's
+# xxhash64 twin stays rows-only). 60 bits = strictly positive bigint,
+# no sign-wrap special case on either engine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "d08b_simhash_det",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    h AS MATERIALIZED (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ),
+    v AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN range(0, 60) r(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+    """,
+)
+def d08b_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return dedup_fuzzy.simhash_det(d)

@@ -3026,3 +3026,69 @@ class TestEpochUpsample:
         df = spark.createDataFrame([(j, "s") for j in ids], "doc_id long, source string")
         out = epoch_upsample(df, {"s": 1.4}).collect()
         assert len(out) == 100 + 40
+
+
+class TestDeterministicSignatures:
+    def test_minhash_det_matches_hashlib_truth(self, spark):
+        """Regression pin for the sibling-lambda Catalyst pitfall: num_perm
+        sibling array_min(transform(...)) expressions in ONE projection get
+        their same-named lambda variables conflated by subexpression
+        elimination and return wrong (but deterministic!) mins — the det
+        operator must keep the ONE-nested-transform form. Verified here
+        against an independent hashlib ground truth."""
+        import hashlib
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        toks = text.split()
+        shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        truth = [
+            min(int(hashlib.md5(f"{p}:{s}".encode()).hexdigest()[:15], 16)
+                for s in shingles)
+            for p in range(8)
+        ]
+        df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+        # identical docs must collide in all 4 bands — and that only
+        # happens if every signature slot matches the true min
+        pairs = dedup_fuzzy.minhash_lsh_pairs_det(df, num_perm=8, rows_per_band=2).collect()
+        assert len(pairs) == 1 and pairs[0]["n_bands"] == 4
+        # and the signature itself equals the hashlib truth
+        from pyspark.sql import functions as F
+        from spaceparts_data_pipeline_spark.operators.dedup_fuzzy import tokens_col
+        with_t = df.filter("doc_id = 1").select(tokens_col("text").alias("__t"))
+        shingle = F.transform(
+            F.sequence(F.lit(0), F.size("__t") - 3),
+            lambda i: F.concat_ws(" ", *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(3)]),
+        )
+        sh = with_t.select(F.array_distinct(shingle).alias("__sh"))
+        sig = sh.select(F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda p: F.array_min(F.transform("__sh", lambda s: F.conv(
+                F.substring(F.md5(F.concat_ws(":", p.cast("string"), s)), 1, 15),
+                16, 10).cast("long")))).alias("sig")).collect()[0]["sig"]
+        assert list(sig) == truth
+
+    def test_simhash_det_matches_python_truth(self, spark):
+        import hashlib
+
+        text = "alpha beta gamma alpha beta alpha"
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        got = dedup_fuzzy.simhash_det(df).collect()[0]["simhash"]
+        votes = [0] * 60
+        for tok in text.split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        truth = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert got == truth
+
+    def test_simhash_det_near_dup_small_hamming(self, spark):
+        base = ("data pipelines shuffle partitions broadcast joins columnar "
+                "scans predicate pushdown vectorized execution adaptive plans") * 3
+        near = base.replace("columnar", "kolumnar", 1)
+        far = "completely different words about gardening tulips roses daisies"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string")
+        sh = {r["doc_id"]: r["simhash"] for r in dedup_fuzzy.simhash_det(df).collect()}
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+        assert ham(sh[1], sh[2]) <= 12  # one swapped token nudges few bits
