@@ -471,3 +471,67 @@ def test_semdedup_store_screen_is_store_side_exchange_free(spark, sf_small):
                     break
                 depth = d
             j -= 1
+
+
+def _llm_plan(spark, name, sf_dir):
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    df = llm.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_x40_chunking_is_zero_exchange_scan_rate(spark, sf_oracle):
+    """Sliding-window chunking must stay a pure Generate over the scan:
+    0 exchanges, the text filter pushed into the parquet scan."""
+    plan = _llm_plan(spark, "x40_doc_chunking", sf_oracle)
+    assert "Exchange" not in plan
+    assert "Generate" in plan and "FileScan parquet" in plan
+    assert "DataFilters: [isnotnull(text" in plan
+
+
+def test_d27_line_dedup_two_linear_exchanges_on_hash_keys(spark, sf_oracle):
+    """Corpus-wide line dedup: exactly its two linear exchanges — the
+    canonical-occurrence window keyed by md5(line) (16-byte keys, never
+    full line text) and the doc-keyed rebuild agg with a map-side
+    partial pass."""
+    plan = _llm_plan(spark, "d27_line_dedup_global", sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "md5(" in plan                      # window keyed by the hash
+    assert "partial_count" in plan             # rebuild agg combines map-side
+    # the window's exchange key must be the md5, not the raw line
+    win_exchange = [l for l in plan.splitlines()
+                    if "Exchange hashpartitioning(_w" in l or
+                       ("Exchange hashpartitioning" in l and "md5" in l)]
+    assert win_exchange, "canonical-occurrence exchange not keyed by a projected hash"
+
+
+def test_x41_epoch_upsample_is_zero_exchange(spark, sf_oracle):
+    """The epoch table compiles to when-chain literals: no join, no
+    exchange — one Generate over the scan."""
+    plan = _llm_plan(spark, "x41_epoch_upsample", sf_oracle)
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    assert "Join" not in plan
+
+
+def test_q25_scd2_single_exchange_reused_by_all_windows(spark, sf_oracle):
+    """SCD2: the change-flag window, the validity lead, and the version
+    row_number all ride ONE (key, order) exchange."""
+    from spaceparts_data_pipeline_spark.queries import core as core_q
+
+    df = core_q.QUERIES["q25_scd2_history"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_d07b_det_minhash_buckets_not_shingles_in_exchange(spark, sf_oracle):
+    """The det MinHash pair join must exchange band buckets (md5
+    strings), never shingle text: the only hashpartitioning keys are
+    (band, bucket) and the id-pair agg."""
+    plan = _llm_plan(spark, "d07b_minhash_lsh_det", sf_oracle)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "shingle" not in line and "__sh" not in line and "text" not in line
+    # signature construction is map-side: no exchange before the band explode
+    assert "Generate explode" in plan or "Generate posexplode" in plan
