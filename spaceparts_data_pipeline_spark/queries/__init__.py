@@ -369,7 +369,10 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #        the signatures AND the d07b pair list value-hashable — the
 #        rows-only xxhash twins d07/d08 keep their standing contract,
 #        but the banding/bit-vote geometry is now driver-checkable).
-#        All seven FULL-oracle, green at sf0.01 and sf0.1 on first run.
+#        q25b_scd2_apply (INCREMENTAL SCD2 — apply a newer batch to
+#        the stored history, touched-keys-only; two-round oracle: must
+#        equal q25's single-pass rebuild, the d26 pattern).
+#        All eight FULL-oracle, green at sf0.01 and sf0.1 on first run.
 # Round-12 rotation (round-11 verdict next-round #1, executed exactly):
 # IN — the five late-r11 FULL-oracle deferrals get their promised
 # first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE

@@ -1381,3 +1381,47 @@ def q25_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     return scd2_history(e, keys=["user_id"], order_col="ts",
                         tracked=["event_type"], tie_breakers=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q25b — INCREMENTAL SCD2 (the production path): build history from the
+# first half of the event feed, then APPLY the second half as a change
+# batch — touched keys only; closed versions pass through; the open
+# version collapses or closes; numbering continues; fresh keys start at
+# 1. The oracle is q25's single-pass SQL over the FULL feed: under the
+# watermark contract the incremental result must be row-identical to
+# the rebuild (the d26 two-round-oracle pattern for warehouse history).
+# ---------------------------------------------------------------------------
+
+_SCD2_SPLIT = "2024-01-16 00:00:00"
+
+@register(
+    "q25b_scd2_apply",
+    """
+    WITH l AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM l
+      WHERE rn = 1 OR prev_et IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+    FROM chg
+    """,
+)
+def q25b_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spaceparts_data_pipeline_spark.operators.merge import scd2_apply, scd2_history
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    cut = F.lit(_SCD2_SPLIT).cast(e.schema["ts"].dataType)
+    h1 = scd2_history(e.filter(F.col("ts") < cut), keys=["user_id"],
+                      order_col="ts", tracked=["event_type"], tie_breakers=["event_id"])
+    return scd2_apply(h1, e.filter(F.col("ts") >= cut), keys=["user_id"],
+                      order_col="ts", tracked=["event_type"], tie_breakers=["event_id"])

@@ -310,3 +310,73 @@ class TestScd2History:
                          tie_breakers=["event_id"]).collect(),
             key=lambda r: r["version"])
         assert [r["event_type"] for r in out] == ["a", "b"]
+
+
+class TestScd2Apply:
+    def _hist(self, spark, rows):
+        import datetime as dt
+        data = [(uid, et, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), eid)
+                for uid, et, m, eid in rows]
+        df = spark.createDataFrame(
+            data, "user_id long, event_type string, ts timestamp, event_id long")
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_history
+        return df, scd2_history(df, ["user_id"], "ts", ["event_type"],
+                                tie_breakers=["event_id"])
+
+    def _batch(self, spark, rows):
+        import datetime as dt
+        data = [(uid, et, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), eid)
+                for uid, et, m, eid in rows]
+        return spark.createDataFrame(
+            data, "user_id long, event_type string, ts timestamp, event_id long")
+
+    def test_apply_equals_rebuild(self, spark):
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_apply, scd2_history
+        feed1 = [(1, "a", 0, 1), (1, "b", 10, 2), (2, "x", 0, 3), (3, "k", 5, 4)]
+        feed2 = [(1, "b", 20, 5), (1, "c", 30, 6),   # collapse then change
+                 (3, "m", 40, 7), (3, "k", 50, 8),   # two changes
+                 (9, "new", 15, 9), (9, "new2", 25, 10)]  # fresh key
+        df1, h1 = self._hist(spark, feed1)
+        b2 = self._batch(spark, feed2)
+        applied = scd2_apply(h1, b2, ["user_id"], "ts", ["event_type"],
+                             tie_breakers=["event_id"])
+        rebuilt = scd2_history(df1.unionByName(b2), ["user_id"], "ts",
+                               ["event_type"], tie_breakers=["event_id"])
+        key = lambda r: (r["user_id"], r["version"])
+        a = sorted([r.asDict() for r in applied.collect()], key=key)
+        b = sorted([r.asDict() for r in rebuilt.collect()], key=key)
+        assert a == b
+
+    def test_collapse_keeps_open_version_open_until_real_change(self, spark):
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_apply
+        _, h1 = self._hist(spark, [(1, "a", 0, 1)])
+        b2 = self._batch(spark, [(1, "a", 10, 2)])  # no attribute change
+        out = scd2_apply(h1, b2, ["user_id"], "ts", ["event_type"],
+                         tie_breakers=["event_id"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["is_current"] is True and r["valid_to"] is None and r["version"] == 1
+
+    def test_version_numbering_continues(self, spark):
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_apply
+        _, h1 = self._hist(spark, [(1, "a", 0, 1), (1, "b", 5, 2), (1, "c", 10, 3)])
+        b2 = self._batch(spark, [(1, "d", 20, 4), (1, "e", 30, 5)])
+        out = sorted(scd2_apply(h1, b2, ["user_id"], "ts", ["event_type"],
+                                tie_breakers=["event_id"]).collect(),
+                     key=lambda r: r["version"])
+        assert [r["version"] for r in out] == [1, 2, 3, 4, 5]
+        assert [r["event_type"] for r in out] == ["a", "b", "c", "d", "e"]
+        assert out[2]["valid_to"] == out[3]["valid_from"]  # old open closed by batch
+        assert out[-1]["is_current"] is True
+
+    def test_untouched_keys_pass_through(self, spark):
+        from spaceparts_data_pipeline_spark.operators.merge import scd2_apply
+        _, h1 = self._hist(spark, [(1, "a", 0, 1), (2, "x", 0, 2), (2, "y", 5, 3)])
+        b2 = self._batch(spark, [(1, "b", 10, 4)])
+        before = {(r["user_id"], r["version"]): r.asDict()
+                  for r in h1.filter("user_id = 2").collect()}
+        after = {(r["user_id"], r["version"]): r.asDict()
+                 for r in scd2_apply(h1, b2, ["user_id"], "ts", ["event_type"],
+                                     tie_breakers=["event_id"])
+                 .filter("user_id = 2").collect()}
+        assert before == after
