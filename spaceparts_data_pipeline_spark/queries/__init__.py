@@ -371,8 +371,11 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 #        but the banding/bit-vote geometry is now driver-checkable).
 #        q25b_scd2_apply (INCREMENTAL SCD2 — apply a newer batch to
 #        the stored history, touched-keys-only; two-round oracle: must
-#        equal q25's single-pass rebuild, the d26 pattern).
-#        All eight FULL-oracle, green at sf0.01 and sf0.1 on first run.
+#        equal q25's single-pass rebuild, the d26 pattern),
+#        s06_stream_ingest_semdedup (d26's STREAMING twin — the screen
+#        family's symmetry completed; oracle = d26's verbatim, the
+#        s04 one-file-one-micro-batch construction).
+#        All nine FULL-oracle, green at sf0.01 and sf0.1 on first run.
 # Round-12 rotation (round-11 verdict next-round #1, executed exactly):
 # IN — the five late-r11 FULL-oracle deferrals get their promised
 # first driver rows (e06 IVF-PQ kNN, e06b IVFADC residual, x38 BPE

@@ -417,3 +417,72 @@ def s05_stream_ingest_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(corpus_path)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# s06 — streaming SEMANTIC ingestion (d26's streaming twin, completing
+# the screen-family symmetry: d15/s04 exact, d16/s05 MinHash, d26/s06
+# embeddings): the vector store is seeded exactly as d26's round 1
+# leaves it (batch 1 = vec_id < 250 admitted against an empty store),
+# then batch 2 streams through stream_ingest_semdedup as ONE
+# micro-batch (one landing file — the s04 construction). The output is
+# the corpus's admitted vec_ids, and the oracle is d26's FULL oracle
+# VERBATIM: the streaming path composes the identical deterministic
+# operators, so the value hash must match — no admit-set-equality
+# assumption needed (every rejection exact-cosine verified).
+# ---------------------------------------------------------------------------
+
+def _s06_oracle() -> str:
+    from spaceparts_data_pipeline_spark.queries.llm import _d26_oracle
+
+    return _d26_oracle()
+
+
+@register("s06_stream_ingest_semdedup", _s06_oracle())
+def s06_stream_ingest_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from spaceparts_data_pipeline_spark.operators import similarity, vector_store
+    from spaceparts_data_pipeline_spark.queries.llm import _D26_SPLIT, _E03C
+    from spaceparts_data_pipeline_spark.sources.parquet import load_table
+    from spaceparts_data_pipeline_spark.streaming.structured import (
+        stream_ingest_semdedup,
+    )
+
+    embs_path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(embs_path).schema
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"stream_embs_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(embs_path, link)
+
+    work = os.path.join(tempfile.gettempdir(), f"s06_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    sem_prefix = os.path.join(work, "sem_store")
+    corpus_path = os.path.join(work, "corpus")
+
+    # seed the store exactly as d26's round 1 leaves it
+    e = load_table(spark, sf_dir, "embeddings")
+    b1 = e.filter(F.col("vec_id") < _D26_SPLIT)
+    _, store_rows = similarity.incremental_semdedup(
+        b1, None, threshold=_E03C["threshold"])
+    vector_store.append_semdedup_store(spark, store_rows, sem_prefix)
+
+    stream = (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .filter(F.col("vec_id") >= _D26_SPLIT)
+    )
+    q = stream_ingest_semdedup(
+        spark, stream, sem_prefix, corpus_path,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        threshold=_E03C["threshold"],
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(corpus_path)
+        .select(F.col("vec_id").cast("long").alias("vec_id"))
+    )

@@ -287,3 +287,91 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_semdedup(
+    spark: SparkSession,
+    stream: DataFrame,
+    sem_store_prefix: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    run_tag: str | None = None,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_bands: int = 16,
+    threshold: float = 0.35,
+    seed: int = 12,
+):
+    """Continuous EMBEDDING ingestion with cross-run semantic dedup —
+    the streaming member of the semantic-screen family, completing the
+    symmetry the text screens already have (exact: d15 batch / s04
+    stream; MinHash: d16 / s05; semantic: d26 / THIS): each
+    micro-batch is within-batch semantically deduplicated
+    (deterministic-LSH candidates, exact-cosine-verified min-id
+    decision) and screened against the vector store of everything any
+    prior run or micro-batch admitted; survivors land in the corpus
+    and their ``(id, vector, sigs)`` rows extend the store.
+
+    Exactly-once by the s04 construction, unchanged: the corpus is
+    partitioned by (ingest_run, ingest_batch_id) and written with
+    dynamic partition overwrite, so a replayed micro-batch rewrites
+    its own partition; the store rows are derived FROM THE DURABLE
+    corpus after the corpus write, so every crash window replays to
+    the same decisions; store appends are idempotent under the
+    existence screen (duplicate store rows change no decision —
+    :func:`operators.similarity.incremental_semdedup`'s contract).
+    """
+    import hashlib
+
+    from spaceparts_data_pipeline_spark.operators import (
+        dedup, similarity, vector_store)
+
+    if run_tag is None:
+        run_tag = hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        store = vector_store.read_semdedup_store(spark, sem_store_prefix)
+        batch_df = batch_df.persist()
+        try:
+            admitted, _ = similarity.incremental_semdedup(
+                batch_df, store, id_col=id_col, vec_col=vec_col, dim=dim,
+                n_planes=n_planes, n_bands=n_bands, threshold=threshold,
+                seed=seed)
+            payload = (
+                admitted
+                .withColumn("ingest_run", F.lit(run_tag))
+                .withColumn("ingest_batch_id", F.lit(batch_id))
+            )
+            sess = batch_df.sparkSession
+            prior = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                payload.write.mode("overwrite").partitionBy(
+                    "ingest_run", "ingest_batch_id"
+                ).parquet(corpus_path)
+            finally:
+                sess.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+            if not dedup.has_data_files(spark, corpus_path):
+                return
+            durable = spark.read.parquet(corpus_path).filter(
+                (F.col("ingest_run") == run_tag)
+                & (F.col("ingest_batch_id") == batch_id)
+            )
+            vector_store.append_semdedup_store(
+                spark,
+                similarity.det_lsh_signatures(
+                    durable, id_col=id_col, vec_col=vec_col, dim=dim,
+                    n_planes=n_planes, n_bands=n_bands, seed=seed),
+                sem_store_prefix, id_col=id_col)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -363,3 +363,54 @@ def test_stream_ingest_near_dedup_multibatch_and_replay(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == 3
     fps = spark.read.parquet(store)
     assert fps.distinct().count() == 3
+
+
+def test_stream_ingest_semdedup_multibatch_and_replay(spark, tmp_path):
+    """s06's guarantees: the vector store screens cross-micro-batch
+    SEMANTIC near-dups (cosine >= threshold against anything ever
+    admitted), within-batch duplicates collapse to the min id, and a
+    redeploy-replay over the same source with the store retained
+    admits nothing new. Vectors are crafted on two orthogonal axes so
+    cosine is exactly 1.0 (dup) or 0.0 (novel)."""
+    import numpy as np
+
+    dim = 64
+    def vec(axis, scale=1.0):
+        v = [0.0] * dim
+        v[axis] = float(scale)
+        return v
+
+    schema = "vec_id long, embedding array<float>"
+    src = str(tmp_path / "embs_src")
+    sem_prefix = str(tmp_path / "sem_store")
+    corpus = str(tmp_path / "corpus")
+    # batch 1: two copies on axis 0 (collapse to min id 1) + one on axis 1
+    spark.createDataFrame(
+        [(1, vec(0)), (2, vec(0, 2.0)), (3, vec(1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: semantic dup of axis-0 (screened by the STORE), novel axis 2
+    spark.createDataFrame(
+        [(10, vec(0, 3.0)), (11, vec(2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = structured.stream_ingest_semdedup(
+            spark, stream, sem_prefix, corpus,
+            checkpoint_dir=str(tmp_path / ck), threshold=0.35)
+        q.awaitTermination(120)
+
+    run("ck1")
+    admitted = {r["vec_id"] for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {1, 3, 11}   # 2 collapsed within-batch; 10 store-screened
+    # store holds (id, vector, sigs) rows for exactly the admitted ids
+    from spaceparts_data_pipeline_spark.operators import vector_store
+    store = vector_store.read_semdedup_store(spark, sem_prefix)
+    assert {r["vec_id"] for r in store.select("vec_id").distinct().collect()} == {1, 3, 11}
+
+    # redeploy-replay: fresh checkpoint, store retained -> admits nothing
+    run("ck2")
+    assert spark.read.parquet(corpus).count() == 3
