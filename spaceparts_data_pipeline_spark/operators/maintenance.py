@@ -300,8 +300,18 @@ def _is_version_race_error(exc: Exception, table: str) -> bool:
     genuinely missing BASE table mentions ``{t}`` without ``__v`` and
     is correctly rejected). The match is case-insensitive: Hive
     metastores lowercase identifiers and warehouse paths, so a caller's
-    mixed-case ``MyTable`` surfaces races quoting ``mytable__v3``."""
+    mixed-case ``MyTable`` surfaces races quoting ``mytable__v3``.
+
+    An AnalysisException whose message is EMPTY also classifies as the
+    race: under concurrent view swaps the captured exception sometimes
+    arrives message-less (observed once in the round-13 reader-soak —
+    ``repr`` was ``AnalysisException()``), so there is nothing to match
+    against; retrying is safe because a persistent error still
+    propagates on the final attempt, and an empty-message error carries
+    no diagnostic a caller could act on anyway."""
     _, t = _split_db(table)
+    if type(exc).__name__ == "AnalysisException" and not str(exc).strip():
+        return True
     return f"{t.lower()}__v" in str(exc).lower()
 
 

@@ -214,8 +214,14 @@ def stream_ingest_dedup(
     from spaceparts_data_pipeline_spark.operators import dedup, dedup_fuzzy
 
     if run_tag is None:
-        run_tag = hashlib.md5(
-            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+        # "r" prefix: a digits-only md5 prefix would make Spark's
+        # partition-column type inference read ingest_run back as
+        # BIGINT, and a later deployment's non-numeric tag then crashes
+        # the ANSI string->bigint cast in the read-back filter (hit by
+        # md5 luck in the round-13 suite). A leading letter pins the
+        # inferred type to STRING for every corpus this writes.
+        run_tag = "r" + hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:11]
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # read_store recovers interrupted compactions and raises on any
@@ -265,7 +271,7 @@ def stream_ingest_dedup(
             if not dedup.has_data_files(spark, corpus_path):
                 return
             admitted = spark.read.parquet(corpus_path).filter(
-                (F.col("ingest_run") == run_tag)
+                (F.col("ingest_run").cast("string") == run_tag)
                 & (F.col("ingest_batch_id") == batch_id)
             )
             dedup.update_fingerprint_store(spark, admitted, store_path)
@@ -329,8 +335,10 @@ def stream_ingest_semdedup(
         dedup, similarity, vector_store)
 
     if run_tag is None:
-        run_tag = hashlib.md5(
-            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+        # "r" prefix: see stream_ingest_dedup — keeps the ingest_run
+        # partition column STRING under partition type inference.
+        run_tag = "r" + hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:11]
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         store = vector_store.read_semdedup_store(spark, sem_store_prefix)
@@ -357,7 +365,7 @@ def stream_ingest_semdedup(
             if not dedup.has_data_files(spark, corpus_path):
                 return
             durable = spark.read.parquet(corpus_path).filter(
-                (F.col("ingest_run") == run_tag)
+                (F.col("ingest_run").cast("string") == run_tag)
                 & (F.col("ingest_batch_id") == batch_id)
             )
             vector_store.append_semdedup_store(
