@@ -86,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
                         "corpus in corpus_clean/. A separate global pass by design — "
                         "per-batch cutting would make fingerprints batch-dependent "
                         "and bypass the cross-run screens")
+    p.add_argument("--line-dedup", action="store_true",
+                   help="corpus mode: after the ingest, run the corpus-WIDE line "
+                        "dedup pass (C4 keep-one-occurrence; d27) over ALL runs "
+                        "under --corpus-out, landing rebuilt docs in "
+                        "corpus_lines_clean/. Global by design, like the substring "
+                        "pass")
     p.add_argument("--substring-dedup-skew-safe", action="store_true",
                    help="corpus mode: run the substring pass on the zipfian-safe "
                         "groupBy-count plan (no per-gram window partition — use when "
@@ -243,6 +249,10 @@ def _corpus_main(args) -> int:
         substring_stats = run_substring_dedup_pass(
             spark, args.corpus_out, k=args.substring_dedup_k,
             skew_safe=args.substring_dedup_skew_safe)
+    line_dedup_stats = None
+    if args.line_dedup:
+        from spaceparts_data_pipeline_spark.plans.corpus import run_line_dedup_pass
+        line_dedup_stats = run_line_dedup_pass(spark, args.corpus_out)
     for p in parents:
         p.unpersist()
     print(json.dumps({
@@ -252,6 +262,7 @@ def _corpus_main(args) -> int:
         **({"landing_quarantined": landing_quarantined} if landing_quarantined else {}),
         "funnel": stats,
         **({"substring_dedup": substring_stats} if substring_stats else {}),
+        **({"line_dedup": line_dedup_stats} if line_dedup_stats else {}),
     }, default=str))
     return 0
 

@@ -573,3 +573,53 @@ def run_substring_dedup_pass(
         "tokens_removed": stats_row["tokens_removed"],
         "out": clean_root,
     }
+
+
+def run_line_dedup_pass(
+    spark: SparkSession,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Corpus-WIDE line-level dedup with document reconstruction (d27,
+    C4's keep-one-occurrence rule) over the assembled corpus under
+    ``out_dir``: a non-empty line survives iff it is the canonical
+    (lexicographically-first ``(run_id\\x01doc_id, pos)``) occurrence of
+    its exact text anywhere in the corpus; documents are rebuilt from
+    surviving lines in order and docs whose lines all lose are removed.
+    The cleaned corpus lands under ``corpus_lines_clean/`` (same run_id
+    partitioning; rerunning overwrites idempotently).
+
+    A separate pass for exactly :func:`run_substring_dedup_pass`'s
+    reason: a line's survival depends on every OTHER document's lines,
+    so per-batch cutting would make admitted text batch-dependent and
+    bypass the cross-run fingerprint screens. Scale shape is d27's:
+    one md5(line)-keyed window (16-byte exchange keys, line text never
+    shuffles raw) + one doc-keyed rebuild agg, both linear (8.95×
+    shuffle at 8× data — SCALING.md round 13).
+    """
+    corpus_root = os.path.join(out_dir, "corpus")
+    clean_root = os.path.join(out_dir, "corpus_lines_clean")
+    if not dedup.has_data_files(spark, corpus_root):
+        return {"input": 0, "kept": 0, "lines_removed": 0}
+    corpus = spark.read.parquet(corpus_root).withColumn(
+        "__uid", F.concat_ws("\x01", F.col("run_id"), F.col(id_col)))
+    rebuilt = text.global_line_dedup(corpus, id_col="__uid", text_col=text_col)
+    out = (
+        corpus.drop(text_col)
+        .join(rebuilt, "__uid")          # inner: all-lines-lost docs drop out
+        .drop("__uid")
+        .withColumnRenamed("text_dedup", text_col)
+    )
+    out.write.mode("overwrite").partitionBy("run_id").parquet(clean_root)
+    stats_row = spark.read.parquet(clean_root).agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.coalesce(F.sum(F.col("n_lines") - F.col("n_kept")), F.lit(0))
+        .alias("lines_removed"),
+    ).collect()[0]
+    return {
+        "input": corpus.count(),
+        "kept": stats_row["kept"],
+        "lines_removed": stats_row["lines_removed"],
+        "out": clean_root,
+    }

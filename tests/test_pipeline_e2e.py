@@ -1111,3 +1111,39 @@ def test_funnel_all_options_composed(spark, tmp_path):
             if t.name.startswith(prefix):
                 kind = "VIEW" if (t.tableType or "").upper() == "VIEW" else "TABLE"
                 spark.sql(f"DROP {kind} IF EXISTS {t.name}")
+
+
+def test_line_dedup_pass_over_assembled_corpus(spark, tmp_path):
+    """run_line_dedup_pass (d27's funnel hook): after two ingest runs,
+    the corpus-WIDE pass removes lines duplicated ACROSS runs (which
+    per-batch dedup could never see), rebuilds docs in original line
+    order into corpus_lines_clean/, and drops docs whose lines all
+    lose. Idempotent overwrite on rerun."""
+    from spaceparts_data_pipeline_spark.plans.corpus import run_line_dedup_pass
+
+    out = str(tmp_path / "corpus_out")
+    shared = "standard footer all rights reserved by the publishing house"
+    u1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    u2 = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [("r1", 1, f"{u1}\n{shared}", "s1"),
+         ("r2", 2, f"{shared}\n{u2}", "s1"),
+         ("r2", 3, shared, "s1")],
+        "run_id string, doc_id long, text string, source string")
+    df.write.mode("overwrite").partitionBy("run_id").parquet(out + "/corpus")
+
+    stats = run_line_dedup_pass(spark, out)
+    # doc 3 was ONLY the shared line -> all lines lose -> dropped
+    assert stats["input"] == 3 and stats["kept"] == 2
+    # lines_removed counts cuts from KEPT docs (doc 2's footer); doc 3
+    # losing its only line shows up as input - kept, not here
+    assert stats["lines_removed"] == 1
+    clean = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(out + "/corpus_lines_clean").collect()}
+    # canonical occurrence keeps the lexicographically-first (uid, pos):
+    # r1's doc 1 keeps the shared footer; r2's docs lose it
+    assert clean[1] == f"{u1}\n{shared}"
+    assert clean[2] == u2
+    assert 3 not in clean
+    stats2 = run_line_dedup_pass(spark, out)       # idempotent rerun
+    assert stats2["kept"] == 2
