@@ -331,12 +331,20 @@ def read_with_retry(spark: SparkSession, table: str, action=None, retries: int =
     last-line-of-defense the guarantee docstring points at."""
     if action is None:
         action = lambda df: df.collect()  # noqa: E731
+    import time as _time
+
     for attempt in range(retries + 1):
         try:
             return action(spark.table(table))
         except Exception as exc:  # noqa: BLE001 — filtered by signature below
             if attempt >= retries or not _is_version_race_error(exc, table):
                 raise
+            # back off before re-resolving: immediate retries can land
+            # every attempt inside the SAME in-flight swap window (the
+            # round-13 reader soak exhausted 3 instant attempts under
+            # back-to-back swaps); a short growing pause lets the
+            # CREATE OR REPLACE VIEW commit first
+            _time.sleep(0.05 * (attempt + 1))
     raise AssertionError("unreachable")
 
 
