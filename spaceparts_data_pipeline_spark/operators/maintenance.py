@@ -20,6 +20,7 @@ files:
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import re
@@ -28,6 +29,33 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from spaceparts_data_pipeline_spark.operators.merge import physical_partition_cols
+
+_log = logging.getLogger(__name__)
+
+
+def _pyspark_analysis_exception_types() -> tuple[type, ...]:
+    """pyspark's real AnalysisException classes (classic-captured and,
+    where the install ships it, Spark Connect's) — the ONLY types whose
+    empty-message instances may classify as a view-swap race. Collected
+    once at import; try-gated because the connect module is optional."""
+    types: list[type] = []
+    try:
+        from pyspark.errors.exceptions.captured import AnalysisException
+        types.append(AnalysisException)
+    except ImportError:  # pragma: no cover — pyspark<3.4 layout
+        pass
+    try:
+        from pyspark.errors.exceptions.connect import AnalysisException as _C
+        types.append(_C)
+    except ImportError:  # pragma: no cover — connect extras absent
+        pass
+    if not types:  # pragma: no cover — legacy fallback
+        from pyspark.sql.utils import AnalysisException as _L
+        types.append(_L)
+    return tuple(types)
+
+
+_PYSPARK_ANALYSIS_EXCEPTIONS = _pyspark_analysis_exception_types()
 
 DEFAULT_TARGET_FILE_MB = 128
 
@@ -302,15 +330,18 @@ def _is_version_race_error(exc: Exception, table: str) -> bool:
     metastores lowercase identifiers and warehouse paths, so a caller's
     mixed-case ``MyTable`` surfaces races quoting ``mytable__v3``.
 
-    An AnalysisException whose message is EMPTY also classifies as the
-    race: under concurrent view swaps the captured exception sometimes
-    arrives message-less (observed once in the round-13 reader-soak —
-    ``repr`` was ``AnalysisException()``), so there is nothing to match
-    against; retrying is safe because a persistent error still
-    propagates on the final attempt, and an empty-message error carries
-    no diagnostic a caller could act on anyway."""
+    A *pyspark* AnalysisException whose message is EMPTY also
+    classifies as the race: under concurrent view swaps the captured
+    exception sometimes arrives message-less (observed once in the
+    round-13 reader-soak — ``repr`` was ``AnalysisException()``), so
+    there is nothing to match against; retrying is safe because a
+    persistent error still propagates on the final attempt, and an
+    empty-message error carries no diagnostic a caller could act on
+    anyway. The check is an ``isinstance`` against pyspark's actual
+    exception classes (captured + connect), NOT a type-name match —
+    another library's ``AnalysisException`` must not burn retries."""
     _, t = _split_db(table)
-    if type(exc).__name__ == "AnalysisException" and not str(exc).strip():
+    if isinstance(exc, _PYSPARK_ANALYSIS_EXCEPTIONS) and not str(exc).strip():
         return True
     return f"{t.lower()}__v" in str(exc).lower()
 
@@ -339,6 +370,14 @@ def read_with_retry(spark: SparkSession, table: str, action=None, retries: int =
         except Exception as exc:  # noqa: BLE001 — filtered by signature below
             if attempt >= retries or not _is_version_race_error(exc, table):
                 raise
+            if not str(exc).strip():
+                # empty-message races carry no diagnostic; log each so a
+                # persistent non-race failure is at least visible before
+                # it exhausts the retries
+                _log.warning(
+                    "read_with_retry(%s): empty-message %s on attempt %d; "
+                    "retrying as a view-swap race",
+                    table, type(exc).__name__, attempt + 1)
             # back off before re-resolving: immediate retries can land
             # every attempt inside the SAME in-flight swap window (the
             # round-13 reader soak exhausted 3 instant attempts under

@@ -80,11 +80,42 @@ def physical_partition_cols(spark, table: str) -> list[str]:
         return []
 
 
+# Cardinality CONTRACT for every driver-side touched-partition collect:
+# partition values are months or hash buckets — hundreds, maybe
+# thousands, never per-row. 10k is ~40× the largest legitimate layout
+# in this repo (256 buckets / ~120 months) while still only ~10k short
+# strings on the driver.
+MAX_TOUCHED_PARTITIONS = 10_000
+
+
+def collect_touched_partitions(
+    source: DataFrame, partition_col: str,
+    limit: int = MAX_TOUCHED_PARTITIONS,
+) -> list:
+    """Driver-side list of the delta's DISTINCT partition values —
+    bounded by contract (see ``MAX_TOUCHED_PARTITIONS``). Fetches
+    ``limit + 1`` and refuses past ``limit`` so a mis-derived partition
+    column (a raw timestamp, a doc id) fails loudly with the column
+    name instead of silently ferrying millions of values through the
+    driver."""
+    rows = source.select(partition_col).distinct().limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"partition column {partition_col!r} has more than {limit} "
+            "distinct values in this delta — that is row-like, not "
+            "partition-like cardinality; a touched-partition merge "
+            "would collect it on the driver. Re-derive the partition "
+            "column (month / hash bucket) or raise the limit explicitly."
+        )
+    return [r[0] for r in rows]
+
+
 def _touched_partition_filter(source: DataFrame, partition_col: str):
     """Predicate selecting the target partitions the ``source`` delta
     touches. The collect is bounded: one value per touched partition
-    (months/buckets), never rows."""
-    parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    (months/buckets), never rows — enforced by
+    :func:`collect_touched_partitions`."""
+    parts = collect_touched_partitions(source, partition_col)
     vals = [p for p in parts if p is not None]
     cond = F.col(partition_col).isin(vals) if vals else F.lit(False)
     if any(p is None for p in parts):

@@ -12,6 +12,7 @@ Operators:
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -1919,7 +1920,11 @@ def epoch_upsample(
     base, thr = F.lit(1), F.lit(0)
     for s, e in sorted(epochs.items()):
         whole = int(e)
-        frac_thr = round((e - whole) * buckets)
+        # half-UP, not Python round()'s banker's rounding: a recipe like
+        # 1.125 with buckets=100 scales to 12.5 and must mean 13, the
+        # way a hand-written oracle rounds — half-even would silently
+        # disagree on every .5-scaled fraction
+        frac_thr = int(math.floor((e - whole) * buckets + 0.5))
         base = F.when(src == s, F.lit(whole)).otherwise(base)
         thr = F.when(src == s, F.lit(frac_thr)).otherwise(thr)
     n = (base + (hash_bucket(F.col(id_col)) < thr).cast("int")).cast("int")

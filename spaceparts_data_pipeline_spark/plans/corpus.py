@@ -548,11 +548,12 @@ def run_substring_dedup_pass(
     corpus_root = os.path.join(out_dir, "corpus")
     clean_root = os.path.join(out_dir, "corpus_clean")
     if not dedup.has_data_files(spark, corpus_root):
-        return {"input": 0, "kept": 0, "tokens_removed": 0}
+        return {"input": 0, "kept": 0, "tokens_removed": 0, "out": clean_root}
     # \x01 separator: absent from run_id/doc_id content, so the
     # composite key cannot collide across (run, doc) pairs
     corpus = spark.read.parquet(corpus_root).withColumn(
         "__uid", F.concat_ws("\x01", F.col("run_id"), F.col(id_col)))
+    n_input = corpus.count()
     cleaned = text.substring_dedup(
         corpus, id_col="__uid", text_col=text_col, k=k, skew_safe=skew_safe)
     out = (
@@ -563,12 +564,17 @@ def run_substring_dedup_pass(
         .filter((F.col("n_tokens") - F.col("n_removed_tokens")) >= min_tokens)
     )
     out.write.mode("overwrite").partitionBy("run_id").parquet(clean_root)
+    if not dedup.has_data_files(spark, clean_root):
+        # min_tokens (or empty text everywhere) can drop every row; a
+        # data-file-less directory cannot be read back for stats
+        return {"input": n_input, "kept": 0, "tokens_removed": 0,
+                "out": clean_root}
     stats_row = spark.read.parquet(clean_root).agg(
         F.count(F.lit(1)).alias("kept"),
         F.coalesce(F.sum("n_removed_tokens"), F.lit(0)).alias("tokens_removed"),
     ).collect()[0]
     return {
-        "input": corpus.count(),
+        "input": n_input,
         "kept": stats_row["kept"],
         "tokens_removed": stats_row["tokens_removed"],
         "out": clean_root,
@@ -601,9 +607,10 @@ def run_line_dedup_pass(
     corpus_root = os.path.join(out_dir, "corpus")
     clean_root = os.path.join(out_dir, "corpus_lines_clean")
     if not dedup.has_data_files(spark, corpus_root):
-        return {"input": 0, "kept": 0, "lines_removed": 0}
+        return {"input": 0, "kept": 0, "lines_removed": 0, "out": clean_root}
     corpus = spark.read.parquet(corpus_root).withColumn(
         "__uid", F.concat_ws("\x01", F.col("run_id"), F.col(id_col)))
+    n_input = corpus.count()
     rebuilt = text.global_line_dedup(corpus, id_col="__uid", text_col=text_col)
     out = (
         corpus.drop(text_col)
@@ -612,13 +619,19 @@ def run_line_dedup_pass(
         .withColumnRenamed("text_dedup", text_col)
     )
     out.write.mode("overwrite").partitionBy("run_id").parquet(clean_root)
+    if not dedup.has_data_files(spark, clean_root):
+        # every document's text was null/whitespace-only (or every line
+        # lost): the rebuild wrote no data files, and reading a
+        # data-file-less directory raises instead of returning 0 rows
+        return {"input": n_input, "kept": 0, "lines_removed": 0,
+                "out": clean_root}
     stats_row = spark.read.parquet(clean_root).agg(
         F.count(F.lit(1)).alias("kept"),
         F.coalesce(F.sum(F.col("n_lines") - F.col("n_kept")), F.lit(0))
         .alias("lines_removed"),
     ).collect()[0]
     return {
-        "input": corpus.count(),
+        "input": n_input,
         "kept": stats_row["kept"],
         "lines_removed": stats_row["lines_removed"],
         "out": clean_root,

@@ -277,8 +277,14 @@ def _run_incremental_inner(
             and all(c in existing.columns for c in clean.columns)
         )
         if partitioned:
+            from spaceparts_data_pipeline_spark.operators.merge import (
+                collect_touched_partitions,
+            )
+
             clean_p = clean.withColumn(PARTITION_COL, _bucket_expr(keys, n_buckets))
-            parts = [r[0] for r in clean_p.select(PARTITION_COL).distinct().collect()]
+            # bounded by contract: PARTITION_COL is a hash bucket
+            # (DEFAULT_N_BUCKETS values), never row-like cardinality
+            parts = collect_touched_partitions(clean_p, PARTITION_COL)
             sub = existing.filter(F.col(PARTITION_COL).isin(parts))
             merged = upsert_union_dedup(sub, clean_p, keys=keys, order_col=order_col)
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

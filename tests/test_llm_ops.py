@@ -3027,6 +3027,27 @@ class TestEpochUpsample:
         out = epoch_upsample(df, {"s": 1.4}).collect()
         assert len(out) == 100 + 40
 
+    def test_half_scaled_fraction_rounds_half_up(self, spark):
+        """round-13 ADVICE: Python round() is banker's (half-even), so
+        epochs=1.125 with buckets=100 gave threshold 12, not the 13 a
+        hand-written half-up oracle computes. The threshold must round
+        half UP so 'exactly the requested fraction repeats' holds on
+        .5-scaled recipes too: 1.125 -> 13 buckets repeat."""
+        from spaceparts_data_pipeline_spark.operators.text import epoch_upsample
+
+        import hashlib
+        ids, seen = [], set()
+        i = 0
+        while len(seen) < 100:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            if b not in seen:
+                seen.add(b)
+                ids.append(i)
+            i += 1
+        df = spark.createDataFrame([(j, "s") for j in ids], "doc_id long, source string")
+        out = epoch_upsample(df, {"s": 1.125}).collect()
+        assert len(out) == 100 + 13  # half-even would give 112
+
 
 class TestDeterministicSignatures:
     def test_minhash_det_matches_hashlib_truth(self, spark):

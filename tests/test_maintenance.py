@@ -690,23 +690,23 @@ def test_version_race_classifier_is_case_insensitive(spark):
 
 
 def test_read_with_retry_retries_empty_message_analysis_exception(spark):
-    """An AnalysisException with an EMPTY message (the message-less
-    captured-exception shape a concurrent view swap produced once in
-    the round-13 reader soak) classifies as the race and retries; an
-    empty-message error of any OTHER type still propagates."""
+    """A *pyspark* AnalysisException with an EMPTY message (the
+    message-less captured-exception shape a concurrent view swap
+    produced once in the round-13 reader soak) classifies as the race
+    and retries; an empty-message error of any OTHER type — including
+    another library's class merely NAMED AnalysisException (round-13
+    ADVICE: type-name matching burned retries on unrelated failures) —
+    still propagates."""
     import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
 
     from spaceparts_data_pipeline_spark.operators.maintenance import (
-        overwrite_via_staging, read_with_retry,
+        _is_version_race_error, overwrite_via_staging, read_with_retry,
     )
 
-    class AnalysisException(Exception):
-        """Stand-in with the matching type NAME: pyspark's real captured
-        AnalysisException refuses empty construction (asserts message or
-        origin), but the runtime shape observed in the soak WAS empty —
-        the classifier keys on the type name + empty str, which this
-        reproduces."""
-
+    # pin the conf so str(exc) of desc="" really is empty (the observed
+    # runtime shape); with jvmStacktrace enabled the repr grows a tail
+    spark.conf.set("spark.sql.pyspark.jvmStacktrace.enabled", "false")
     spark.sql("DROP VIEW IF EXISTS rwe_t")
     overwrite_via_staging(spark, "rwe_t", spark.range(3))
     calls = []
@@ -714,7 +714,7 @@ def test_read_with_retry_retries_empty_message_analysis_exception(spark):
     def flaky(df):
         calls.append(1)
         if len(calls) == 1:
-            raise AnalysisException("")
+            raise AnalysisException("", "")
         return df.count()
 
     assert read_with_retry(spark, "rwe_t", flaky) == 3
@@ -725,3 +725,10 @@ def test_read_with_retry_retries_empty_message_analysis_exception(spark):
 
     with pytest.raises(ValueError):
         read_with_retry(spark, "rwe_t", broken)
+
+    class FakeAnalysisException(Exception):
+        pass
+
+    FakeAnalysisException.__name__ = "AnalysisException"
+    assert not _is_version_race_error(FakeAnalysisException(""), "rwe_t")
+    assert _is_version_race_error(AnalysisException("", ""), "rwe_t")

@@ -134,6 +134,24 @@ class TestMerge:
                upsert_union_dedup(existing, incoming, keys=["k"], order_col="ts").collect()}
         assert out == {"a": 9.0, "b": 2.0, "c": 3.0}
 
+    def test_touched_partition_collect_is_cardinality_guarded(self, spark):
+        """The driver-side touched-partition collect has a cardinality
+        CONTRACT (months/buckets, never rows): a mis-derived partition
+        column must fail loudly naming the column, not ferry row-like
+        cardinality through the driver (round-13 verdict #5)."""
+        import pytest
+
+        from spaceparts_data_pipeline_spark.operators.merge import (
+            collect_touched_partitions,
+        )
+
+        df = spark.range(50).withColumn("bucket", F.col("id") % 4)
+        got = sorted(collect_touched_partitions(df, "bucket"))
+        assert got == [0, 1, 2, 3]
+        # over the limit: refuse with the column name in the error
+        with pytest.raises(ValueError, match="'id'.*distinct values"):
+            collect_touched_partitions(df, "id", limit=10)
+
 
 class TestProperties:
     def test_dedup_idempotent_and_minimal(self, spark):

@@ -1147,3 +1147,26 @@ def test_line_dedup_pass_over_assembled_corpus(spark, tmp_path):
     assert 3 not in clean
     stats2 = run_line_dedup_pass(spark, out)       # idempotent rerun
     assert stats2["kept"] == 2
+    assert stats2["out"] == out + "/corpus_lines_clean"
+
+
+def test_line_dedup_pass_all_text_empty_returns_zero_stats(spark, tmp_path):
+    """round-13 ADVICE: a corpus whose every document is null/whitespace
+    text rebuilds to an EMPTY output — the stats read must not die on
+    the data-file-less directory, and every return shape (empty input,
+    empty output, normal) must carry the 'out' key."""
+    from spaceparts_data_pipeline_spark.plans.corpus import run_line_dedup_pass
+
+    out = str(tmp_path / "corpus_out")
+    df = spark.createDataFrame(
+        [("r1", 1, None, "s1"), ("r1", 2, "   \n  ", "s1")],
+        "run_id string, doc_id long, text string, source string")
+    df.write.mode("overwrite").partitionBy("run_id").parquet(out + "/corpus")
+    stats = run_line_dedup_pass(spark, out)
+    assert stats == {"input": 2, "kept": 0, "lines_removed": 0,
+                     "out": out + "/corpus_lines_clean"}
+    # no-input shape carries 'out' too
+    empty = str(tmp_path / "never_ingested")
+    stats0 = run_line_dedup_pass(spark, empty)
+    assert stats0 == {"input": 0, "kept": 0, "lines_removed": 0,
+                      "out": empty + "/corpus_lines_clean"}
