@@ -28,15 +28,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ LLM-data ops)."""
-    from spaceparts_data_pipeline_spark.queries import all_queries
+    """One entry per implemented operator from SURVEY.md §2 (+ LLM-data
+    ops) — the DRIVER tier. Pure oracle-twins of a driver-tier query
+    (exact-path twins, shared-oracle routes, rows-only xxhash emitters
+    with a deterministic FULL-oracle sibling) live in the LOCAL-ONLY
+    tier instead: still implemented, still value-checked against their
+    own oracles by every local parity run, just not spending driver
+    window slots (COVERAGE.md §rotation-policy; round-13 verdict #3)."""
+    from spaceparts_data_pipeline_spark.queries import driver_queries
 
-    return all_queries()
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twins for every SQL-expressible query; approximate
-    ops (MinHash/LSH, SimHash) are intentionally absent → rows-only check."""
-    from spaceparts_data_pipeline_spark.queries import all_oracles
+    """DuckDB oracle twins for every SQL-expressible driver-tier query."""
+    from spaceparts_data_pipeline_spark.queries import driver_oracles
 
-    return all_oracles()
+    return driver_oracles()

@@ -94,7 +94,8 @@ def main() -> None:
 
     spark = get_spark(app_name="spaceparts-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    from spaceparts_data_pipeline_spark.queries import all_queries
+    queries = all_queries()
 
     # JVM/codegen warmup on the smallest table so query 1 isn't penalized.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()

@@ -1271,7 +1271,8 @@ def main() -> None:
     if not args.skip_build:
         build_data(spark, src_dir, base, args.factor)
 
-    queries = entry_mod.queries()
+    from spaceparts_data_pipeline_spark.queries import all_queries
+    queries = all_queries()
     # Arrow/python-worker warmup (same rationale as bench.py)
     spark.range(1 << 14).repartition(spark.sparkContext.defaultParallelism) \
         .mapInPandas(lambda it: it, "id long") \

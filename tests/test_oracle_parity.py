@@ -1,20 +1,42 @@
-"""Every registered query must match its DuckDB oracle at the oracle SF —
-the local replica of the driver's t2 correctness gate."""
+"""Every registered query — BOTH tiers, local-only twins included —
+must match its DuckDB oracle at the oracle SF: the local replica of the
+driver's t2 correctness gate, run over the superset of what the driver
+sees (COVERAGE.md §rotation-policy)."""
 
 from __future__ import annotations
 
 import pytest
 
 import __spark_entry__ as entry_mod
+from spaceparts_data_pipeline_spark.queries import (
+    LOCAL_ONLY, all_oracles, all_queries,
+)
 from tests.oracle_harness import compare
 
-QUERIES = entry_mod.queries()
-ORACLES = entry_mod.oracle_sql()
+QUERIES = all_queries()
+ORACLES = all_oracles()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_oracle, name):
     compare(spark, QUERIES[name], ORACLES.get(name), sf_oracle, name=name)
+
+
+def test_driver_tier_composition():
+    """The two-tier registry contract: the driver tier is exactly the
+    full tier minus LOCAL_ONLY; every local-only entry names a
+    surviving driver-tier twin; every demoted name really exists; and
+    the driver window (first 50) holds no rows-only query."""
+    driver = entry_mod.queries()
+    driver_oracles = entry_mod.oracle_sql()
+    assert set(driver) == set(QUERIES) - set(LOCAL_ONLY)
+    missing_impl = set(LOCAL_ONLY) - set(QUERIES)
+    assert not missing_impl, f"LOCAL_ONLY names unknown queries: {missing_impl}"
+    bad_twin = {n: t for n, t in LOCAL_ONLY.items() if t not in driver}
+    assert not bad_twin, f"local-only twins not in driver tier: {bad_twin}"
+    window = list(driver)[:50]
+    rows_only = [n for n in window if n not in driver_oracles]
+    assert not rows_only, f"rows-only queries spending window slots: {rows_only}"
 
 
 def test_entry_smoke(spark):

@@ -39,7 +39,9 @@ SCALE_OPS = [
 #: layouts the shim no-ops (its own unit tests cover that)
 GRAM_OPS = ["d19_duplicate_passages", "d22_substring_dedup"]
 
-QUERIES = entry_mod.queries()
+from spaceparts_data_pipeline_spark.queries import all_queries
+
+QUERIES = all_queries()
 
 
 @pytest.fixture(scope="module")
