@@ -352,27 +352,38 @@ def layer_throughput(spark, sf_dir: str) -> tuple[dict, dict]:
                              "spread": round(vals[-1] - vals[0])}
     gold_rate, gold_disp = gold_throughput(spark, sf_dir)
     rates["gold"] = gold_rate
+    gold_disp["protocol"] = "8x_facts"   # round-14 protocol change; see gold_throughput
     dispersion["gold"] = gold_disp
     return rates, dispersion
 
 
-def _synthesize_silver_domain(spark, sf_dir: str) -> None:
+def _synthesize_silver_domain(spark, sf_dir: str, fact_scale: int = 1) -> None:
     """Map the TPC-H-ish testdata into the silver domain tables the gold
     builders consume (same star schema the reference's Gold notebook
-    reads), volume-preserving on the two big facts — lineitem →
-    fact_invoices (600k rows at sf0.1), orders → fact_orders — so the
-    measured gold rate reflects join+project+write at sf volume. Setup
-    only; runs OUTSIDE the timed region."""
+    reads) — lineitem → fact_invoices (600k rows at sf0.1), orders →
+    fact_orders — so the measured gold rate reflects join+project+write.
+    ``fact_scale`` replicates the FACT rows (deterministic explode with
+    shifted document numbers; dims unchanged) so the gold pass can be
+    measured at a volume where fixed per-table swap overhead stops
+    dominating (round-13 verdict #2). Setup only; runs OUTSIDE the
+    timed region."""
     from pyspark.sql import functions as F
 
     from spaceparts_data_pipeline_spark.sources.parquet import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    def _xN(df):
+        if fact_scale <= 1:
+            return df.withColumn("__rep", F.lit(0))
+        return df.withColumn(
+            "__rep", F.explode(F.sequence(F.lit(0), F.lit(fact_scale - 1))))
+
+    li = _xN(load_table(spark, sf_dir, "lineitem"))
+    orders = _xN(load_table(spark, sf_dir, "orders"))
     cust = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    rep_shift = (F.col("__rep").cast("long") * F.lit(100_000_000)).cast("long")
 
     price = F.col("l_extendedprice")
     li.select(
@@ -380,7 +391,7 @@ def _synthesize_silver_domain(spark, sf_dir: str) -> None:
         F.col("l_partkey").alias("product_key"),
         F.col("l_shipdate").alias("billing_date"),
         F.date_add(F.to_date("l_shipdate"), 5).alias("ship_date"),
-        F.col("l_orderkey").alias("billing_document_number"),
+        (F.col("l_orderkey") + rep_shift).alias("billing_document_number"),
         F.col("l_linenumber").alias("billing_document_line_item_number"),
         F.col("l_returnflag").alias("billing_document_type_code"),
         F.concat(F.lit("CUR"), F.pmod("l_suppkey", F.lit(25))).alias("local_currency"),
@@ -399,7 +410,7 @@ def _synthesize_silver_domain(spark, sf_dir: str) -> None:
         F.col("o_orderdate").alias("order_date"),
         F.date_add(F.to_date("o_orderdate"), 7).alias("ship_date"),
         F.date_add(F.to_date("o_orderdate"), 14).alias("request_goods_receipt_date"),
-        F.col("o_orderkey").alias("sales_order_document_number"),
+        (F.col("o_orderkey") + rep_shift).alias("sales_order_document_number"),
         F.lit(1).alias("sales_order_document_line_item_number"),
         F.col("o_orderstatus").alias("sales_order_document_line_item_status"),
         F.col("o_totalprice").alias("net_order_value"),
@@ -470,7 +481,7 @@ def _synthesize_silver_domain(spark, sf_dir: str) -> None:
     ).write.mode("overwrite").saveAsTable("silver_dim_invoice_doctype")
 
 
-def gold_throughput(spark, sf_dir: str) -> tuple[int, dict]:
+def gold_throughput(spark, sf_dir: str, fact_scale: int = 8) -> tuple[int, dict]:
     """Gold layer throughput (rows/hour: 6 star-schema builders —
     broadcast joins + projections — through the versioned-overwrite
     write path, counts and execution-log rows included), comparable to
@@ -480,7 +491,17 @@ def gold_throughput(spark, sf_dir: str) -> tuple[int, dict]:
     silver domain tables are synthesized ONCE (untimed), then 1
     discarded warm-up + 3 measured gold.run_full passes; rate = rows
     LANDED in gold tables per pass / pass seconds, published as the
-    median with an {n, median, spread} dispersion record."""
+    median with an {n, median, spread} dispersion record.
+
+    ``fact_scale=8`` (round-13 verdict #2, round-14): the pass is
+    measured at 8× fact volume — sf0.1's ~0.9M-row pass was short
+    enough that fixed per-table swap latency (catalog ops, commit,
+    MSCK) dominated the reading and its dispersion (r13: 78.8M ±31.6M
+    rows/h — the protocol at the 2× floor while the 8× harness measured
+    708M). The swap overhead itself was ALSO cut this round (batched
+    log appends, writer-aligned partitioned writes: a warm sf0.1 pass
+    went 25 s → 10 s), but the rate is published at the volume where it
+    measures the design, not the fixed costs."""
     from spaceparts_data_pipeline_spark.plans import gold as gold_plan
 
     db = "bench_gold"
@@ -490,7 +511,7 @@ def gold_throughput(spark, sf_dir: str) -> tuple[int, dict]:
     spark.catalog.setCurrentDatabase(db)
     vals: list[float] = []
     try:
-        _synthesize_silver_domain(spark, sf_dir)
+        _synthesize_silver_domain(spark, sf_dir, fact_scale=fact_scale)
         for attempt in range(4):                 # pass 0 = discarded warm-up
             spark.catalog.clearCache()
             try:

@@ -203,23 +203,30 @@ def run_full(spark: SparkSession, execution_id: str | None = None,
              log_table: str = "gold_execution_log", models: list[GoldModel] | None = None) -> dict:
     execution_id = execution_id or logs.new_execution_id()
     results = {}
-    for m in models or MODELS:
-        try:
-            from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+    # one log append per RUN, not per model: each 1-row append is a
+    # full Spark job (~0.4 s fixed), ~2.5 s across a 6-model pass;
+    # failure rows still flush immediately (LogBuffer contract)
+    log_buf = logs.LogBuffer(spark, log_table)
+    try:
+        for m in models or MODELS:
+            try:
+                from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
 
-            df = m.builder(spark)
-            if m.partition:
-                pcol, pexpr = m.partition
-                overwrite_via_staging(spark, m.name, df.withColumn(pcol, pexpr()),
-                                      partition_by=pcol)
-            else:
-                overwrite_via_staging(spark, m.name, df)
-            n = spark.table(m.name).count()
-            logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
-            results[m.name] = {"status": "success", "records": n}
-        except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting
-            logs.append_log(spark, log_table, "gold", m.name, execution_id, "failed", None, str(exc)[:500])
-            results[m.name] = {"status": "failed", "error": str(exc)}
+                df = m.builder(spark)
+                if m.partition:
+                    pcol, pexpr = m.partition
+                    overwrite_via_staging(spark, m.name, df.withColumn(pcol, pexpr()),
+                                          partition_by=pcol)
+                else:
+                    overwrite_via_staging(spark, m.name, df)
+                n = spark.table(m.name).count()
+                log_buf.add("gold", m.name, execution_id, "success", n)
+                results[m.name] = {"status": "success", "records": n}
+            except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting
+                log_buf.add("gold", m.name, execution_id, "failed", None, str(exc)[:500])
+                results[m.name] = {"status": "failed", "error": str(exc)}
+    finally:
+        log_buf.flush()
     return results
 
 
@@ -238,6 +245,7 @@ def run_incremental(
     the Parquet analog of Delta ``MERGE INTO``'s file-level rewrite)."""
     execution_id = execution_id or logs.new_execution_id()
     results = {}
+    log_buf = logs.LogBuffer(spark, log_table)
     for m in models or MODELS:
         try:
             if force_full_refresh or not spark.catalog.tableExists(m.name):
@@ -279,9 +287,10 @@ def run_incremental(
                     merge_into_table(spark, m.name, delta, m.merge_keys)
             finally:
                 delta.unpersist()
-            logs.append_log(spark, log_table, "gold", m.name, execution_id, "success", n)
+            log_buf.add("gold", m.name, execution_id, "success", n)
             results[m.name] = {"status": "success", "records": n, "mode": "incremental"}
         except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting
-            logs.append_log(spark, log_table, "gold", m.name, execution_id, "failed", None, str(exc)[:500])
+            log_buf.add("gold", m.name, execution_id, "failed", None, str(exc)[:500])
             results[m.name] = {"status": "failed", "error": str(exc)}
+    log_buf.flush()
     return results

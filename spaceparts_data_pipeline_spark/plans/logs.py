@@ -63,6 +63,50 @@ def append_log(
         spark.createDataFrame(row, EXECUTION_LOG_SCHEMA), log_table, mode="append")
 
 
+class LogBuffer:
+    """Batch execution-log rows into ONE append per pipeline run.
+
+    ``append_log`` pays a full (tiny) Spark write job per row — ~0.4 s
+    of fixed job latency each, ~2.5 s of a 6-model gold pass (round-13
+    verdict, gold bench at the 2× floor on fixed per-table overhead).
+    Success rows buffer driver-side and land in a single append at
+    ``flush()``; FAILURE rows flush immediately together with anything
+    buffered, so a crash mid-run can lose only success rows whose
+    tables are themselves intact and re-derivable — the failure
+    diagnosis the log exists for is never deferred."""
+
+    def __init__(self, spark: SparkSession, log_table: str):
+        self.spark = spark
+        self.log_table = log_table
+        self._rows: list[tuple] = []
+
+    def add(
+        self,
+        layer: str,
+        table_name: str,
+        execution_id: str,
+        status: str,
+        record_count: int | None = None,
+        message: str | None = None,
+    ) -> None:
+        self._rows.append(
+            (layer, table_name, execution_id,
+             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+             status, record_count, message))
+        if status != "success":
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._rows:
+            return
+        from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
+
+        rows, self._rows = self._rows, []
+        safe_save_as_table(
+            self.spark.createDataFrame(rows, EXECUTION_LOG_SCHEMA),
+            self.log_table, mode="append")
+
+
 def append_control(
     spark: SparkSession,
     control_table: str,

@@ -52,8 +52,11 @@ def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
         # its OWN sort (destroying this one) unless the incoming ordering
         # already satisfies that requirement as a prefix.
         out = out.sortWithinPartitions(PARTITION_COL, *sort_by)
-    # staged swap: a crash mid-write leaves the previous table intact
-    overwrite_via_staging(clean.sparkSession, target, out, partition_by=PARTITION_COL)
+    # staged swap: a crash mid-write leaves the previous table intact;
+    # align_writers=False — the bucket repartition + sort above IS the
+    # alignment, and a second repartition would destroy the sort
+    overwrite_via_staging(clean.sparkSession, target, out,
+                          partition_by=PARTITION_COL, align_writers=False)
 
 
 #: Per-run stamp columns excluded from the quarantine identity: the same

@@ -732,3 +732,54 @@ def test_read_with_retry_retries_empty_message_analysis_exception(spark):
     FakeAnalysisException.__name__ = "AnalysisException"
     assert not _is_version_race_error(FakeAnalysisException(""), "rwe_t")
     assert _is_version_race_error(AnalysisException("", ""), "rwe_t")
+
+
+def test_partitioned_overwrite_aligns_writers_to_dirs(spark, maint_db):
+    """overwrite_via_staging on a partitioned sink must shuffle by the
+    partition columns before writing: without alignment every task
+    writes a file in every value's directory (T×P tiny files — the
+    classic small-file explosion; measured 2.6k files / 10 s on the
+    sf0.1 gold fact). Expect ~one file per partition value."""
+    import glob as _glob
+
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        overwrite_via_staging, resolve_physical, table_location,
+    )
+
+    df = (spark.range(20_000)
+          .withColumn("p", F.pmod("id", F.lit(24)).cast("int"))
+          .repartition(16))          # many map tasks on purpose
+    overwrite_via_staging(spark, "align_t", df, partition_by="p")
+    loc = table_location(spark, resolve_physical(spark, "align_t"))
+    files = _glob.glob(f"{loc}/p=*/*.parquet")
+    assert len(files) <= 24 * 2, f"writer alignment lost: {len(files)} files"
+    assert spark.table("align_t").count() == 20_000
+    # the salt escape valve spreads one value over <= filesPerPartition
+    spark.conf.set("spark.spaceparts.filesPerPartition", "4")
+    try:
+        overwrite_via_staging(spark, "align_t", df, partition_by="p")
+    finally:
+        spark.conf.unset("spark.spaceparts.filesPerPartition")
+    loc = table_location(spark, resolve_physical(spark, "align_t"))
+    files = _glob.glob(f"{loc}/p=*/*.parquet")
+    assert len(files) <= 24 * 4
+    assert spark.table("align_t").count() == 20_000
+
+
+def test_log_buffer_batches_success_flushes_failures(spark, maint_db):
+    """LogBuffer: success rows land in ONE append at flush(); a failure
+    row flushes immediately together with everything buffered."""
+    from spaceparts_data_pipeline_spark.plans.logs import LogBuffer
+
+    spark.sql("DROP TABLE IF EXISTS lbuf_log")
+    buf = LogBuffer(spark, "lbuf_log")
+    buf.add("gold", "t1", "e1", "success", 10)
+    buf.add("gold", "t2", "e1", "success", 20)
+    assert not spark.catalog.tableExists("lbuf_log")   # still buffered
+    buf.add("gold", "t3", "e1", "failed", None, "boom")  # -> immediate flush
+    rows = {r["table_name"]: r["status"] for r in spark.table("lbuf_log").collect()}
+    assert rows == {"t1": "success", "t2": "success", "t3": "failed"}
+    buf.add("gold", "t4", "e1", "success", 40)
+    buf.flush()
+    buf.flush()                                        # idempotent on empty
+    assert spark.table("lbuf_log").count() == 4
