@@ -137,6 +137,14 @@ def minhash_lsh_pairs(
 
     The scale path for corpus dedup: no all-pairs product; cost is
     Σ bucket² which stays small for well-distributed hashes.
+
+    WHICH TWIN TO USE: this xxhash64 path is the THROUGHPUT default —
+    measured ~5× faster than :func:`minhash_lsh_pairs_det` at sf0.1
+    (1.5 s vs 7.3 s; md5 string-hashing per shingle × perm dominates
+    the det twin). Pick the det twin only when the signatures/pair list
+    must be reproducible OUTSIDE Spark (cross-engine audits, the DuckDB
+    value oracle); both share the banding geometry and plan shape, and
+    their admit sets are pinned equal by tests. (SCALING.md round 14.)
     """
     bands = band_table(df, id_col, text_col, k, num_perm, rows_per_band)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -557,7 +565,11 @@ def minhash_lsh_pairs_det(
     of xxhash64 — same banding geometry, same plan shape (one shuffle
     for the per-doc signature agg, one band-keyed bucket join), but the
     signatures are SQL-replayable, so the ENTIRE MinHash-LSH candidate
-    pipeline gets a FULL value-hash oracle (the e03c playbook applied
+    pipeline gets a FULL value-hash oracle. COST: ~5× the xxhash twin's
+    wall time at sf0.1 (7.3 s vs 1.5 s — md5 per shingle × perm); use
+    :func:`minhash_lsh_pairs` for production throughput and this twin
+    where cross-engine reproducibility is the requirement (the e03c
+    playbook applied
     to the MinHash family; the xxhash64 production twin stays for
     throughput). Min over shingles is computed per-permutation INSIDE
     the per-doc array (``array_min`` over the projected shingle array,
@@ -629,6 +641,13 @@ def simhash_det(df: DataFrame, id_col: str = "doc_id",
     conditional sums → bit reassembly; one shuffle on the doc id.
     Token multiplicity counts (a token appearing 3× votes 3×), exactly
     like the production twin.
+
+    Unlike the MinHash family (where md5 costs ~5×), this det variant
+    measures AT PARITY with the xxhash twin at sf0.1 (2.05 s vs
+    1.88 s — one md5 per token, not per shingle × perm), so it is a
+    reasonable default whenever signature reproducibility has any
+    value; keep :func:`simhash` for the last ~10% of throughput.
+    (SCALING.md round 14.)
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     h = _md5_hash60("tok")
