@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
                         "literally, word-boundary, case-insensitive). Replaces the demo "
                         "DEFAULT_BLOCKLIST — real c4 ingests should always pass their own "
                         "list, the demo marketing phrases are placeholders")
+    p.add_argument("--notify-file", default=None,
+                   help="on a failed layer, append a failure notification (JSON line: "
+                        "layer, execution id, timestamp, details — the reference's "
+                        "Email_Notificacion_Error_* body fields) to this path")
+    p.add_argument("--notify-webhook", default=None,
+                   help="on a failed layer, POST the failure notification JSON to this "
+                        "URL (Slack/Teams/SMTP-bridge shape); delivery errors are "
+                        "reported in the summary, never fail the run")
     args = p.parse_args(argv)
 
     if args.corpus_out:
@@ -152,9 +160,36 @@ def main(argv: list[str] | None = None) -> int:
         status = "success" if all(x == "success" for x in statuses) else (
             "failed" if all(x == "failed" for x in statuses) else "completed_with_errors")
 
+    # the reference's per-layer failure-alert chain (Lookup_Error_* →
+    # Email_Notificacion_Error_*): one notification per FAILED layer,
+    # rendered from that layer's latest execution-log failure row
+    notified: list[str] = []
+    notifier = _build_notifier(args)
+    if notifier is not None:
+        from spaceparts_data_pipeline_spark.plans.notify import notify_on_failure
+
+        def _layer_failed(info) -> bool:
+            if not isinstance(info, dict):
+                return False
+            if "status" in info:       # full mode: layer-level status
+                return info["status"] in ("failed", "completed_with_errors")
+            return any(                # incremental mode: per-table dicts
+                isinstance(t, dict) and t.get("status") not in (None, "success")
+                for t in info.values())
+
+        layer_status = {
+            "bronze": result["bronze"], "silver": result["silver"],
+            **({} if args.skip_gold else {"gold": result["gold"]}),
+        }
+        for layer, info in layer_status.items():
+            if _layer_failed(info) and notify_on_failure(
+                    spark, f"{layer}_execution_log", layer, notifier):
+                notified.append(layer)
+
     summary = {
         "status": status,
         "database": args.database,
+        **({"notified_layers": notified} if notified else {}),
         **({"landing_quarantined": landing_quarantined} if landing_quarantined else {}),
         "tables": {
             layer: {
@@ -166,6 +201,23 @@ def main(argv: list[str] | None = None) -> int:
     }
     print(json.dumps(summary, default=str))
     return 0 if status == "success" else 1
+
+
+def _build_notifier(args):
+    """--notify-file / --notify-webhook → a (possibly composite)
+    transport, or None when neither flag is set."""
+    from spaceparts_data_pipeline_spark.plans.notify import (
+        CompositeNotifier, FileNotifier, WebhookNotifier,
+    )
+
+    parts = []
+    if args.notify_file:
+        parts.append(FileNotifier(args.notify_file))
+    if args.notify_webhook:
+        parts.append(WebhookNotifier(args.notify_webhook))
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else CompositeNotifier(parts)
 
 
 def _corpus_main(args) -> int:

@@ -1,0 +1,181 @@
+"""Failure-notification hook — the reference pipeline's on-failure
+alert chain, re-expressed with a pluggable transport.
+
+Reference parity: ETL_FABRIC.json:1 wires, per layer, a
+``Lookup_Error_{Bronce,Silver,Gold}`` activity (``SELECT TOP 1 … FROM
+{layer}_execution_log WHERE status = 'Failed' ORDER BY timestamp
+DESC``, fired only when the layer activity Failed) into an
+``Email_Notificacion_Error_*`` activity whose body carries the failed
+layer, timestamp, execution id, and error details. The LOOKUP half has
+been in this engine since round 1 (``plans/logs.py:latest_failures``,
+driver-checked as q09's family); this module adds the SEND half.
+
+An engine cannot assume an Office365 connector, so the transport is a
+SEAM with three concrete implementations and a composite:
+
+- :class:`FileNotifier` — appends one JSON line per notification to a
+  local/DBFS path. Durable, dependency-free, greppable; the default
+  for air-gapped runs and for tests.
+- :class:`WebhookNotifier` — ``urllib`` POST of the notification JSON
+  to an HTTP endpoint (the self-hosted analog of the reference's mail
+  connector: Slack/Teams/SMTP-bridge webhooks all take this shape).
+  Network errors are reported, never raised: a dead alert channel must
+  not fail a pipeline whose data work succeeded.
+- :class:`CallableNotifier` — wraps any ``fn(notification_dict)``.
+- :class:`CompositeNotifier` — fan-out to several transports.
+
+Orchestration wiring mirrors the reference's DAG: the CLI
+(``python -m spaceparts_data_pipeline_spark --notify-file/--notify-
+webhook``) calls :func:`notify_on_failure` per FAILED layer after the
+run, each notification rendered from that layer's latest execution-log
+failure row.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import SparkSession
+
+from spaceparts_data_pipeline_spark.plans import logs
+
+
+@dataclass
+class Notification:
+    """One failure alert — the fields the reference's mail body
+    interpolates (layer, when, execution id, details), plus the failed
+    table for multi-table layers (the reference's warehouse variant
+    carries the same via ``activity_name``)."""
+
+    layer: str
+    subject: str
+    body: str
+    execution_id: str | None = None
+    table_name: str | None = None
+    error_message: str | None = None
+    timestamp: str | None = None
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+class FileNotifier:
+    """Append each notification as one JSON line to ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def send(self, notification: Notification) -> bool:
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(notification.as_dict(), ensure_ascii=False) + "\n")
+        return True
+
+
+class CallableNotifier:
+    """Adapter for any ``fn(notification_dict)`` transport."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def send(self, notification: Notification) -> bool:
+        self.fn(notification.as_dict())
+        return True
+
+
+class WebhookNotifier:
+    """POST the notification JSON to ``url``. Delivery failures return
+    False (and keep the error on ``last_error``) instead of raising —
+    an unreachable alert endpoint must not fail the pipeline run it is
+    reporting on."""
+
+    def __init__(self, url: str, timeout_s: float = 10.0):
+        self.url = url
+        self.timeout_s = timeout_s
+        self.last_error: str | None = None
+
+    def send(self, notification: Notification) -> bool:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(notification.as_dict(), ensure_ascii=False).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                self.last_error = None
+                return 200 <= resp.status < 300
+        except Exception as exc:  # noqa: BLE001 — alert channel must not raise
+            self.last_error = str(exc)
+            return False
+
+
+class CompositeNotifier:
+    """Fan out to several transports; True if ANY delivery succeeded."""
+
+    def __init__(self, notifiers):
+        self.notifiers = list(notifiers)
+
+    def send(self, notification: Notification) -> bool:
+        return any(bool(n.send(notification)) for n in self.notifiers)
+
+
+def render_failure(layer: str, row, pipeline: str = "spaceparts-pipeline") -> Notification:
+    """Render one execution-log failure row into the reference's alert
+    shape (layer, timestamp, execution id, error details —
+    ETL_FABRIC.json:1 ``Email_Notificacion_Error_*`` body fields)."""
+    ts = row["execution_timestamp"]
+    ts_s = ts.isoformat(sep=" ") if isinstance(ts, dt.datetime) else str(ts)
+    subject = f"ERROR in {layer} layer — pipeline {pipeline}"
+    body = (
+        f"Pipeline {pipeline} failed in the {layer} layer.\n"
+        f"Failed table: {row['table_name']}\n"
+        f"Timestamp (UTC): {ts_s}\n"
+        f"Execution ID: {row['execution_id']}\n"
+        f"Details: {row['message'] or '(no message recorded)'}"
+    )
+    return Notification(
+        layer=layer,
+        subject=subject,
+        body=body,
+        execution_id=row["execution_id"],
+        table_name=row["table_name"],
+        error_message=row["message"],
+        timestamp=ts_s,
+    )
+
+
+def notify_on_failure(
+    spark: SparkSession,
+    log_table: str,
+    layer: str,
+    notifier,
+    execution_id: str | None = None,
+    pipeline: str = "spaceparts-pipeline",
+) -> bool:
+    """The reference's ``Lookup_Error_* → Email_Notificacion_Error_*``
+    chain for one layer: read the LATEST failure row from ``log_table``
+    (``logs.latest_failures`` — the same TOP-1-by-timestamp lookup,
+    ≤1 driver-side row), render it, send it. Optionally scoped to one
+    ``execution_id`` so an old failure row can never re-alert on a
+    later healthy run. Returns True iff a notification was sent."""
+    if not spark.catalog.tableExists(log_table):
+        return False
+    failures = logs.latest_failures(spark, log_table)
+    if execution_id is not None:
+        from pyspark.sql import functions as F
+
+        failures = (
+            spark.table(log_table)
+            .filter((F.col("status") != "success")
+                    & (F.col("execution_id") == execution_id))
+            .orderBy(F.desc("execution_timestamp"))
+            .limit(1)
+        )
+    rows = failures.collect()
+    if not rows:
+        return False
+    return bool(notifier.send(render_failure(layer, rows[0], pipeline=pipeline)))

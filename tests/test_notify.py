@@ -1,0 +1,139 @@
+"""Failure-notification hook (plans/notify.py): the reference's
+Lookup_Error_* → Email_Notificacion_Error_* chain (ETL_FABRIC.json:1)
+with a pluggable transport."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from spaceparts_data_pipeline_spark.plans import logs
+from spaceparts_data_pipeline_spark.plans.notify import (
+    CallableNotifier, CompositeNotifier, FileNotifier, Notification,
+    WebhookNotifier, notify_on_failure, render_failure,
+)
+
+
+@pytest.fixture()
+def notify_db(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS notify_db")
+    spark.catalog.setCurrentDatabase("notify_db")
+    yield
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql("DROP DATABASE notify_db CASCADE")
+
+
+def _note(**kw):
+    base = dict(layer="gold", subject="s", body="b")
+    base.update(kw)
+    return Notification(**base)
+
+
+class TestTransports:
+    def test_file_notifier_appends_json_lines(self, tmp_path):
+        path = str(tmp_path / "alerts.jsonl")
+        n = FileNotifier(path)
+        assert n.send(_note(execution_id="e1"))
+        assert n.send(_note(execution_id="e2"))
+        lines = [json.loads(ln) for ln in open(path).read().splitlines()]
+        assert [x["execution_id"] for x in lines] == ["e1", "e2"]
+        assert lines[0]["layer"] == "gold" and lines[0]["subject"] == "s"
+
+    def test_webhook_notifier_reports_failure_never_raises(self):
+        # unroutable port: connection refused fast — the alert channel
+        # being down must not raise into the pipeline
+        n = WebhookNotifier("http://127.0.0.1:9/", timeout_s=2.0)
+        assert n.send(_note()) is False
+        assert n.last_error
+
+    def test_callable_and_composite(self, tmp_path):
+        got = []
+        ok = CallableNotifier(got.append)
+        dead = WebhookNotifier("http://127.0.0.1:9/", timeout_s=2.0)
+        combo = CompositeNotifier([dead, ok])
+        assert combo.send(_note(table_name="t"))     # any success wins
+        assert got and got[0]["table_name"] == "t"
+
+
+class TestLookupChain:
+    def test_notifies_from_latest_failure_row(self, spark, notify_db, tmp_path):
+        logs.append_log(spark, "gold_execution_log", "gold", "gold_fact_sales",
+                        "e-old", "failed", None, "older failure")
+        logs.append_log(spark, "gold_execution_log", "gold", "gold_dim_date",
+                        "e-new", "failed", None, "boom: join exploded")
+        logs.append_log(spark, "gold_execution_log", "gold", "gold_dim_customer",
+                        "e-new", "success", 10)
+        path = str(tmp_path / "alerts.jsonl")
+        assert notify_on_failure(spark, "gold_execution_log", "gold",
+                                 FileNotifier(path))
+        (alert,) = [json.loads(ln) for ln in open(path).read().splitlines()]
+        # TOP-1 by timestamp: the NEWEST failure, not the oldest
+        assert alert["table_name"] == "gold_dim_date"
+        assert alert["execution_id"] == "e-new"
+        assert "boom: join exploded" in alert["body"]
+        assert "gold" in alert["subject"]
+
+    def test_execution_id_scope_prevents_stale_realert(self, spark, notify_db, tmp_path):
+        logs.append_log(spark, "silver_execution_log", "silver", "events",
+                        "e-old", "failed", None, "yesterday's failure")
+        path = str(tmp_path / "alerts.jsonl")
+        # a later healthy run scoped to ITS execution id must not re-alert
+        assert not notify_on_failure(spark, "silver_execution_log", "silver",
+                                     FileNotifier(path), execution_id="e-healthy")
+        # unscoped (the reference's shape) still alerts on the latest row
+        assert notify_on_failure(spark, "silver_execution_log", "silver",
+                                 FileNotifier(path))
+
+    def test_no_failures_or_no_table_sends_nothing(self, spark, notify_db, tmp_path):
+        path = str(tmp_path / "alerts.jsonl")
+        assert not notify_on_failure(spark, "absent_log", "bronze", FileNotifier(path))
+        logs.append_log(spark, "bronze_execution_log", "bronze", "orders",
+                        "e1", "success", 5)
+        assert not notify_on_failure(spark, "bronze_execution_log", "bronze",
+                                     FileNotifier(path))
+        import os
+        assert not os.path.exists(path)
+
+    def test_gold_run_failure_feeds_the_chain_end_to_end(self, spark, notify_db, tmp_path):
+        """A failing gold model builder → failed execution-log row
+        (flushed immediately by LogBuffer) → notification with the
+        model name and error details."""
+        from spaceparts_data_pipeline_spark.plans import gold
+
+        def bad_builder(_spark):
+            raise ValueError("synthetic builder failure")
+
+        bad = gold.GoldModel("gold_bad_model", bad_builder, ["k"])
+        res = gold.run_full(spark, models=[bad])
+        assert res["gold_bad_model"]["status"] == "failed"
+        path = str(tmp_path / "alerts.jsonl")
+        assert notify_on_failure(spark, "gold_execution_log", "gold",
+                                 FileNotifier(path))
+        (alert,) = [json.loads(ln) for ln in open(path).read().splitlines()]
+        assert alert["table_name"] == "gold_bad_model"
+        assert "synthetic builder failure" in alert["body"]
+
+
+def test_render_failure_carries_reference_fields(spark, notify_db):
+    logs.append_log(spark, "gold_execution_log", "gold", "t1", "e9",
+                    "failed", None, "why it died")
+    row = spark.table("gold_execution_log").collect()[0]
+    n = render_failure("gold", row, pipeline="p")
+    assert n.subject == "ERROR in gold layer — pipeline p"
+    for needle in ("t1", "e9", "why it died", "Timestamp (UTC):"):
+        assert needle in n.body
+
+
+def test_cli_builds_composite_notifier():
+    import argparse
+
+    from spaceparts_data_pipeline_spark.__main__ import _build_notifier
+
+    ns = argparse.Namespace(notify_file=None, notify_webhook=None)
+    assert _build_notifier(ns) is None
+    ns = argparse.Namespace(notify_file="/tmp/x.jsonl", notify_webhook=None)
+    assert isinstance(_build_notifier(ns), FileNotifier)
+    ns = argparse.Namespace(notify_file="/tmp/x.jsonl", notify_webhook="http://h/")
+    combo = _build_notifier(ns)
+    assert isinstance(combo, CompositeNotifier) and len(combo.notifiers) == 2
