@@ -159,6 +159,13 @@ def merge_into_table(
         cond = _touched_partition_filter(source, partition_col)
         sub = target.filter(cond)
         merged = merge_upsert(sub, source.select(*target.columns), keys, order_col=order_col)
+        # align writers to the touched partition dirs (one writer per
+        # value, AQE coalesces) BEFORE the checkpoint: otherwise every
+        # checkpoint partition writes a file into every touched dir —
+        # tasks × dirs small files accumulating run over run until
+        # compaction (the overwrite_via_staging fix, applied to the
+        # incremental path)
+        merged = merged.repartition(F.col(partition_col))
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

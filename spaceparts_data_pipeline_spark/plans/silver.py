@@ -290,11 +290,18 @@ def _run_incremental_inner(
             parts = collect_touched_partitions(clean_p, PARTITION_COL)
             sub = existing.filter(F.col(PARTITION_COL).isin(parts))
             merged = upsert_union_dedup(sub, clean_p, keys=keys, order_col=order_col)
+            # align writers to the touched buckets (one file per bucket,
+            # not tasks × buckets) and restore the full-write path's
+            # key-sorted files (parquet min/max pruning) on the
+            # rewritten buckets too
+            merged = (merged.select(*existing.columns)
+                      .repartition(F.col(PARTITION_COL))
+                      .sortWithinPartitions(PARTITION_COL, *keys))
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
                 # checkpoint materializes only the touched buckets
-                merged.select(*existing.columns).localCheckpoint(eager=True) \
+                merged.localCheckpoint(eager=True) \
                     .write.mode("overwrite").insertInto(phys)
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -239,6 +239,10 @@ def test_silver_incremental_rewrites_only_touched_buckets(spark, inc_db):
     # and the touched bucket WAS rewritten
     assert {p for p in before if f"{PARTITION_COL}={touched}" in p} != \
            {p for p in after if f"{PARTITION_COL}={touched}" in p}
+    # writer alignment (r14): the rewritten bucket gets ~one file, not
+    # tasks × buckets tiny files accumulating run over run
+    touched_files = [p for p in after if f"{PARTITION_COL}={touched}" in p]
+    assert len(touched_files) <= 2, touched_files
 
 
 def test_gold_incremental_rewrites_only_touched_months(spark, inc_db):
@@ -275,6 +279,9 @@ def test_gold_incremental_rewrites_only_touched_months(spark, inc_db):
     t = spark.table("gold_mini")
     assert t.count() == 200
     assert t.filter(F.col("k") == 5).collect()[0]["v"] == 555.0
+    # writer alignment (r14): the rewritten month lands as ~one file
+    jan_after = [p for p in after if "p_month=2025-01" in p]
+    assert len(jan_after) <= 2, jan_after
 
 
 def test_silver_full_single_transform_execution(spark, inc_db, monkeypatch):
