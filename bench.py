@@ -383,7 +383,20 @@ def _synthesize_silver_domain(spark, sf_dir: str, fact_scale: int = 1) -> None:
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    rep_shift = (F.col("__rep").cast("long") * F.lit(100_000_000)).cast("long")
+    # replica stride DERIVED from the data (next power of 10 above the
+    # max order key), not a fixed constant: at sf≥~17 o_orderkey passes
+    # 100M and a fixed 1e8 stride would collide replica k's shifted keys
+    # with replica k+1's originals, corrupting the synthetic volume.
+    # Setup-time only (untimed), one tiny max() job.
+    if fact_scale > 1:
+        max_key = max(
+            li.agg(F.max("l_orderkey")).collect()[0][0] or 0,
+            orders.agg(F.max("o_orderkey")).collect()[0][0] or 0,
+        )
+        stride = 10 ** len(str(int(max_key)))
+    else:
+        stride = 0
+    rep_shift = (F.col("__rep").cast("long") * F.lit(stride)).cast("long")
 
     price = F.col("l_extendedprice")
     li.select(

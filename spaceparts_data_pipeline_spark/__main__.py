@@ -164,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
     # Email_Notificacion_Error_*): one notification per FAILED layer,
     # rendered from that layer's latest execution-log failure row
     notified: list[str] = []
+    notify_errors: dict[str, str] = {}
     notifier = _build_notifier(args)
     if notifier is not None:
         from spaceparts_data_pipeline_spark.plans.notify import notify_on_failure
@@ -185,11 +186,22 @@ def main(argv: list[str] | None = None) -> int:
             if _layer_failed(info) and notify_on_failure(
                     spark, f"{layer}_execution_log", layer, notifier):
                 notified.append(layer)
+        # surface delivery failures (the transports never raise): a dead
+        # webhook must be visible in the summary, not silent
+        from spaceparts_data_pipeline_spark.plans.notify import CompositeNotifier
+
+        parts = notifier.notifiers if isinstance(notifier, CompositeNotifier) else [notifier]
+        notify_errors = {
+            type(part).__name__: err
+            for part in parts
+            if (err := getattr(part, "last_error", None))
+        }
 
     summary = {
         "status": status,
         "database": args.database,
         **({"notified_layers": notified} if notified else {}),
+        **({"notify_errors": notify_errors} if notify_errors else {}),
         **({"landing_quarantined": landing_quarantined} if landing_quarantined else {}),
         "tables": {
             layer: {

@@ -109,23 +109,36 @@ def _split_db(table: str) -> tuple[str | None, str]:
     return None, table
 
 
-#: (jvm-app-id, db) -> warehouse Location. A database's location is
-#: fixed for its lifetime (derived from the warehouse dir at CREATE;
-#: recreating a db lands at the same derived path), so one DESCRIBE
-#: DATABASE round-trip per session is enough — the probe ran twice per
-#: staged overwrite and was ~0.5 s of a 6-model gold pass.
-_DB_LOCATION_CACHE: dict[tuple[str, str], str | None] = {}
+#: (jvm-app-id, db) -> warehouse Location. Cached ONLY for databases at
+#: their warehouse-DERIVED default path (`<warehouse>/<db>.db`): that
+#: location is stable across drop/recreate, so one DESCRIBE DATABASE
+#: round-trip per session is enough (the probe ran twice per staged
+#: overwrite — ~0.5 s of a 6-model gold pass). A db created with an
+#: explicit LOCATION is never cached: dropping and recreating it
+#: elsewhere in the same session must not leave orphan-clearing aimed
+#: at the stale path.
+_DB_LOCATION_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _strip_scheme(p: str) -> str:
+    return re.sub(r"^[a-z][a-z0-9+.-]*:(//)?", "", p or "").rstrip("/")
 
 
 def _db_location(spark: SparkSession, db: str) -> str | None:
     key = (spark.sparkContext.applicationId, db)
-    if key not in _DB_LOCATION_CACHE:
-        loc = None
-        for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
-            if row[0] == "Location":
-                loc = row[1]
+    if key in _DB_LOCATION_CACHE:
+        return _DB_LOCATION_CACHE[key]
+    loc = None
+    for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
+        if row[0] == "Location":
+            loc = row[1]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    derived = f"{_strip_scheme(warehouse)}/{db.lower()}.db"
+    if loc is not None and _strip_scheme(loc) in (derived, _strip_scheme(warehouse)):
+        # default-path db (or the default database itself, which lives
+        # AT the warehouse root) — location is stable, safe to cache
         _DB_LOCATION_CACHE[key] = loc
-    return _DB_LOCATION_CACHE[key]
+    return loc
 
 
 def _clear_orphan_location(spark: SparkSession, table: str, *,

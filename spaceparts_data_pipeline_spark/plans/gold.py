@@ -246,6 +246,19 @@ def run_incremental(
     execution_id = execution_id or logs.new_execution_id()
     results = {}
     log_buf = logs.LogBuffer(spark, log_table)
+    try:
+        return _run_incremental_models(
+            spark, watermark, execution_id, log_table, models,
+            force_full_refresh, log_buf, results)
+    finally:
+        # try/finally like run_full: a BaseException escaping the loop
+        # (Ctrl-C after 5 of 6 models merged) must not lose the
+        # buffered success rows — the log must match table state
+        log_buf.flush()
+
+
+def _run_incremental_models(spark, watermark, execution_id, log_table,
+                            models, force_full_refresh, log_buf, results):
     for m in models or MODELS:
         try:
             if force_full_refresh or not spark.catalog.tableExists(m.name):
@@ -292,5 +305,4 @@ def run_incremental(
         except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting
             log_buf.add("gold", m.name, execution_id, "failed", None, str(exc)[:500])
             results[m.name] = {"status": "failed", "error": str(exc)}
-    log_buf.flush()
     return results

@@ -140,12 +140,13 @@ def last_watermark(spark: SparkSession, control_table: str, table_name: str) -> 
     return rows[0][0] if rows else None
 
 
-def latest_failures(spark: SparkSession, log_table: str) -> DataFrame:
+def latest_failures(spark: SparkSession, log_table: str,
+                    execution_id: str | None = None) -> DataFrame:
     """Failure-lookup query used by the orchestration alert path
-    (ETL_FABRIC.json 'Lookup_Error_*')."""
-    return (
-        spark.table(log_table)
-        .filter(F.col("status") != "success")
-        .orderBy(F.desc("execution_timestamp"))
-        .limit(1)
-    )
+    (ETL_FABRIC.json 'Lookup_Error_*'): TOP-1 failure row by timestamp,
+    optionally scoped to one ``execution_id`` (so an old failure can
+    never re-alert on a later healthy run)."""
+    df = spark.table(log_table).filter(F.col("status") != "success")
+    if execution_id is not None:
+        df = df.filter(F.col("execution_id") == execution_id)
+    return df.orderBy(F.desc("execution_timestamp")).limit(1)

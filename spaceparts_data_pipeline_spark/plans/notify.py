@@ -62,15 +62,23 @@ class Notification:
 
 
 class FileNotifier:
-    """Append each notification as one JSON line to ``path``."""
+    """Append each notification as one JSON line to ``path``. Like every
+    transport here, delivery failure (unwritable path) returns False
+    and records ``last_error`` — it never raises into the pipeline."""
 
     def __init__(self, path: str):
         self.path = path
+        self.last_error: str | None = None
 
     def send(self, notification: Notification) -> bool:
-        with open(self.path, "a", encoding="utf-8") as fh:
-            fh.write(json.dumps(notification.as_dict(), ensure_ascii=False) + "\n")
-        return True
+        try:
+            with open(self.path, "a", encoding="utf-8") as fh:
+                fh.write(json.dumps(notification.as_dict(), ensure_ascii=False) + "\n")
+            self.last_error = None
+            return True
+        except OSError as exc:
+            self.last_error = str(exc)
+            return False
 
 
 class CallableNotifier:
@@ -114,13 +122,16 @@ class WebhookNotifier:
 
 
 class CompositeNotifier:
-    """Fan out to several transports; True if ANY delivery succeeded."""
+    """Fan out to several transports — EVERY transport is attempted
+    (no short-circuit: the file landing must not suppress the webhook
+    the on-call channel reads); True if any delivery succeeded."""
 
     def __init__(self, notifiers):
         self.notifiers = list(notifiers)
 
     def send(self, notification: Notification) -> bool:
-        return any(bool(n.send(notification)) for n in self.notifiers)
+        results = [bool(n.send(notification)) for n in self.notifiers]
+        return any(results)
 
 
 def render_failure(layer: str, row, pipeline: str = "spaceparts-pipeline") -> Notification:
@@ -164,18 +175,7 @@ def notify_on_failure(
     later healthy run. Returns True iff a notification was sent."""
     if not spark.catalog.tableExists(log_table):
         return False
-    failures = logs.latest_failures(spark, log_table)
-    if execution_id is not None:
-        from pyspark.sql import functions as F
-
-        failures = (
-            spark.table(log_table)
-            .filter((F.col("status") != "success")
-                    & (F.col("execution_id") == execution_id))
-            .orderBy(F.desc("execution_timestamp"))
-            .limit(1)
-        )
-    rows = failures.collect()
+    rows = logs.latest_failures(spark, log_table, execution_id=execution_id).collect()
     if not rows:
         return False
     return bool(notifier.send(render_failure(layer, rows[0], pipeline=pipeline)))

@@ -47,13 +47,23 @@ class TestTransports:
         assert n.send(_note()) is False
         assert n.last_error
 
-    def test_callable_and_composite(self, tmp_path):
-        got = []
-        ok = CallableNotifier(got.append)
+    def test_file_notifier_unwritable_path_never_raises(self, tmp_path):
+        n = FileNotifier(str(tmp_path / "no" / "such" / "dir" / "a.jsonl"))
+        assert n.send(_note()) is False
+        assert n.last_error
+
+    def test_composite_attempts_every_transport(self, tmp_path):
+        """No short-circuit: the file landing first must not suppress
+        the webhook the on-call channel reads (r14 review finding)."""
+        got_a, got_b = [], []
+        ok_first = CallableNotifier(got_a.append)
+        ok_second = CallableNotifier(got_b.append)
         dead = WebhookNotifier("http://127.0.0.1:9/", timeout_s=2.0)
-        combo = CompositeNotifier([dead, ok])
+        combo = CompositeNotifier([ok_first, dead, ok_second])
         assert combo.send(_note(table_name="t"))     # any success wins
-        assert got and got[0]["table_name"] == "t"
+        assert got_a and got_a[0]["table_name"] == "t"
+        assert got_b and got_b[0]["table_name"] == "t"   # still attempted
+        assert dead.last_error                            # and so was the dead one
 
 
 class TestLookupChain:
@@ -137,3 +147,42 @@ def test_cli_builds_composite_notifier():
     ns = argparse.Namespace(notify_file="/tmp/x.jsonl", notify_webhook="http://h/")
     combo = _build_notifier(ns)
     assert isinstance(combo, CompositeNotifier) and len(combo.notifiers) == 2
+
+
+def test_incremental_pipeline_isolates_table_failures(spark, notify_db, monkeypatch, tmp_path):
+    """A failing table in the INCREMENTAL pipeline must not halt the
+    layer: the failure lands as a 'failed' execution-log row (feeding
+    the alert chain) and the other tables still run (r14 review
+    finding: these failures previously crashed main() before the
+    notify block could fire)."""
+    import datetime as dt
+
+    from spaceparts_data_pipeline_spark.plans import silver as silver_plan
+    from spaceparts_data_pipeline_spark.streaming.incremental import run_incremental_pipeline
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    src = {
+        "good": spark.createDataFrame([("a", 1.0, t0)],
+                                      "order_number string, amount double, dwcreateddate timestamp"),
+        "bad": spark.createDataFrame([("b", 2.0, t0)],
+                                     "order_number string, amount double, dwcreateddate timestamp"),
+    }
+    real = silver_plan.run_incremental
+
+    def flaky(spark_, table, incoming, **kw):
+        if table == "bad":
+            raise ValueError("synthetic silver failure")
+        return real(spark_, table, incoming, **kw)
+
+    monkeypatch.setattr(silver_plan, "run_incremental", flaky)
+    res = run_incremental_pipeline(spark, src, skip_gold=True)
+    assert res["silver"]["good"]["status"] == "success"
+    assert res["silver"]["bad"]["status"] == "failed"
+    assert res["bronze"]["bad"]["status"] == "success"   # bronze side unaffected
+    # the failed row is in the log, so the alert chain can fire
+    path = str(tmp_path / "alerts.jsonl")
+    assert notify_on_failure(spark, "silver_execution_log", "silver",
+                             FileNotifier(path))
+    (alert,) = [json.loads(ln) for ln in open(path).read().splitlines()]
+    assert alert["table_name"] == "bad"
+    assert "synthetic silver failure" in alert["body"]
