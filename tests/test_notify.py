@@ -186,3 +186,52 @@ def test_incremental_pipeline_isolates_table_failures(spark, notify_db, monkeypa
     (alert,) = [json.loads(ln) for ln in open(path).read().splitlines()]
     assert alert["table_name"] == "bad"
     assert "synthetic silver failure" in alert["body"]
+
+
+def test_cli_main_wires_notify_file_on_layer_failure(spark, tmp_path, capsys, monkeypatch):
+    """The main() notify wiring end-to-end: a failing silver table in an
+    incremental CLI run lands a notification in --notify-file, the
+    summary records notified_layers, and the process still exits with
+    the pipeline's own status (the alert path adds no failure mode)."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+    from spaceparts_data_pipeline_spark.plans import silver as silver_plan
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # landing table WITH the watermark column, so bronze succeeds and
+    # the monkeypatched silver stage is what fails
+    pq.write_table(pa.table({
+        "order_number": ["a", "b"],
+        "amount": [1.0, 2.0],
+        "dwcreateddate": [dt.datetime(2025, 1, 1, 10, 0)] * 2,
+    }), landing / "ordersx.parquet")
+
+    def always_fail(*a, **kw):
+        raise ValueError("synthetic incremental silver failure")
+
+    monkeypatch.setattr(silver_plan, "run_incremental", always_fail)
+    alerts = str(tmp_path / "alerts.jsonl")
+    db = f"cli_notify_{_uuid.uuid4().hex[:8]}"
+    prev_db = spark.catalog.currentDatabase()
+    try:
+        rc = main([
+            "--source-dir", str(landing), "--database", db, "--skip-gold",
+            "--mode", "incremental", "--ts-col", "dwcreateddate",
+            "--notify-file", alerts,
+        ])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        summary = json.loads(out)
+        assert rc == 1 and summary["status"] == "completed_with_errors"
+        assert summary["notified_layers"] == ["silver"]
+        (alert,) = [json.loads(ln) for ln in open(alerts).read().splitlines()]
+        assert alert["layer"] == "silver"
+        assert "synthetic incremental silver failure" in alert["body"]
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
