@@ -509,6 +509,21 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # family), x27/x28 (temporal joins, r13-fresh).
 # =====================================================================
 
+# ROTATION BACKLOG under the two-tier policy (driver-tier entries by
+# last full-hash driver row; all value-checked locally every run):
+#   r10 (drains in r15 — the 4-round limit): x03, x04, x08, x09, x10,
+#        x13, x16, x17, x20, x22, x24, d23, d24, x35 (14 entries — fits
+#        one round's rotation budget with room for new ops),
+#   r11 (r16): q19, q20, q24, x19,
+#   r12 (r17): d04, d05, d12, x30, x31, x32,
+#   r13 (r17 at the latest): everything rotated out in the r14 note
+#        above (q05/q07/q09/q14/q21, d20/d22, x34/x36/x18b,
+#        e05/e06/e06b, s01/s02/s03, x27/x28, x07... — x07/x01/m01 etc.
+#        that stayed in-window refresh to r14 rows automatically).
+# Further twin-pruning follows the same test as the r14 demotions: a
+# query leaves the driver tier only when a surviving driver-tier twin
+# carries its oracle body (never merely "transitively related").
+
 # name -> surviving driver-tier twin whose oracle/driver row carries
 # the family's value evidence. Membership asserted by the parity suite.
 LOCAL_ONLY = {
