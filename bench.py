@@ -377,8 +377,8 @@ def _synthesize_silver_domain(spark, sf_dir: str, fact_scale: int = 1) -> None:
         return df.withColumn(
             "__rep", F.explode(F.sequence(F.lit(0), F.lit(fact_scale - 1))))
 
-    li = _xN(load_table(spark, sf_dir, "lineitem"))
-    orders = _xN(load_table(spark, sf_dir, "orders"))
+    li_base = load_table(spark, sf_dir, "lineitem")
+    orders_base = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
@@ -387,15 +387,16 @@ def _synthesize_silver_domain(spark, sf_dir: str, fact_scale: int = 1) -> None:
     # max order key), not a fixed constant: at sf≥~17 o_orderkey passes
     # 100M and a fixed 1e8 stride would collide replica k's shifted keys
     # with replica k+1's originals, corrupting the synthetic volume.
-    # Setup-time only (untimed), one tiny max() job.
+    # Max over the UN-exploded inputs (replication can't change a max;
+    # scanning the ×N form would cost fact_scale× the rows), and over
+    # orders alone: every l_orderkey is an o_orderkey in TPC-H data.
     if fact_scale > 1:
-        max_key = max(
-            li.agg(F.max("l_orderkey")).collect()[0][0] or 0,
-            orders.agg(F.max("o_orderkey")).collect()[0][0] or 0,
-        )
+        max_key = orders_base.agg(F.max("o_orderkey")).collect()[0][0] or 0
         stride = 10 ** len(str(int(max_key)))
     else:
         stride = 0
+    li = _xN(li_base)
+    orders = _xN(orders_base)
     rep_shift = (F.col("__rep").cast("long") * F.lit(stride)).cast("long")
 
     price = F.col("l_extendedprice")

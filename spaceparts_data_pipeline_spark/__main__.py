@@ -167,35 +167,52 @@ def main(argv: list[str] | None = None) -> int:
     notify_errors: dict[str, str] = {}
     notifier = _build_notifier(args)
     if notifier is not None:
-        from spaceparts_data_pipeline_spark.plans.notify import notify_on_failure
+        from spaceparts_data_pipeline_spark.plans.notify import (
+            CompositeNotifier, notify_on_failure,
+        )
 
         def _layer_failed(info) -> bool:
+            # 'skipped' never alerts: a silver stage skipped because its
+            # bronze failed has written NO failure row this run — an
+            # unscoped lookup would resurrect a PREVIOUS run's failure.
+            # The root cause (bronze) alerts on its own.
             if not isinstance(info, dict):
                 return False
             if "status" in info:       # full mode: layer-level status
                 return info["status"] in ("failed", "completed_with_errors")
             return any(                # incremental mode: per-table dicts
-                isinstance(t, dict) and t.get("status") not in (None, "success")
+                isinstance(t, dict) and t.get("status") == "failed"
                 for t in info.values())
 
+        def _layer_execution_id(info) -> str | None:
+            # full mode carries it per layer; incremental mode shares
+            # ONE id across all three layers (result['execution_id'])
+            if isinstance(info, dict) and "execution_id" in info:
+                return info["execution_id"]
+            return result.get("execution_id")
+
+        parts = (notifier.notifiers if isinstance(notifier, CompositeNotifier)
+                 else [notifier])
         layer_status = {
             "bronze": result["bronze"], "silver": result["silver"],
             **({} if args.skip_gold else {"gold": result["gold"]}),
         }
         for layer, info in layer_status.items():
-            if _layer_failed(info) and notify_on_failure(
-                    spark, f"{layer}_execution_log", layer, notifier):
+            if not _layer_failed(info):
+                continue
+            # scope the lookup to THIS run's execution id so an old
+            # failure row can never re-alert on a later healthy run
+            if notify_on_failure(spark, f"{layer}_execution_log", layer,
+                                 notifier,
+                                 execution_id=_layer_execution_id(info)):
                 notified.append(layer)
-        # surface delivery failures (the transports never raise): a dead
-        # webhook must be visible in the summary, not silent
-        from spaceparts_data_pipeline_spark.plans.notify import CompositeNotifier
-
-        parts = notifier.notifiers if isinstance(notifier, CompositeNotifier) else [notifier]
-        notify_errors = {
-            type(part).__name__: err
-            for part in parts
-            if (err := getattr(part, "last_error", None))
-        }
+            # harvest delivery failures PER SEND (last_error resets on a
+            # later success): a dead transport must be visible in the
+            # summary, not silent
+            for part in parts:
+                err = getattr(part, "last_error", None)
+                if err:
+                    notify_errors[f"{type(part).__name__}:{layer}"] = err
 
     summary = {
         "status": status,

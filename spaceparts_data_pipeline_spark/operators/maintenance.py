@@ -109,41 +109,30 @@ def _split_db(table: str) -> tuple[str | None, str]:
     return None, table
 
 
-#: (jvm-app-id, db) -> warehouse Location. Cached ONLY for databases at
-#: their warehouse-DERIVED default path (`<warehouse>/<db>.db`): that
-#: location is stable across drop/recreate, so one DESCRIBE DATABASE
-#: round-trip per session is enough (the probe ran twice per staged
-#: overwrite — ~0.5 s of a 6-model gold pass). A db created with an
-#: explicit LOCATION is never cached: dropping and recreating it
-#: elsewhere in the same session must not leave orphan-clearing aimed
-#: at the stale path.
-_DB_LOCATION_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _strip_scheme(p: str) -> str:
     return re.sub(r"^[a-z][a-z0-9+.-]*:(//)?", "", p or "").rstrip("/")
 
 
 def _db_location(spark: SparkSession, db: str) -> str | None:
-    key = (spark.sparkContext.applicationId, db)
-    if key in _DB_LOCATION_CACHE:
-        return _DB_LOCATION_CACHE[key]
+    """The database's current Location — always a fresh DESCRIBE
+    DATABASE round-trip. NOT session-cached on purpose: a db dropped
+    and recreated at a different LOCATION mid-session (either
+    direction: default→custom or custom→default) would leave
+    orphan-clearing aimed at a stale path, and a missed crumb wedges
+    every subsequent overwrite on LOCATION_ALREADY_EXISTS. Callers that
+    probe several artifact names of ONE overwrite amortize the probe by
+    passing the result through ``_clear_orphan_location(loc=...)``."""
     loc = None
     for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
         if row[0] == "Location":
             loc = row[1]
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    derived = f"{_strip_scheme(warehouse)}/{db.lower()}.db"
-    if loc is not None and _strip_scheme(loc) in (derived, _strip_scheme(warehouse)):
-        # default-path db (or the default database itself, which lives
-        # AT the warehouse root) — location is stable, safe to cache
-        _DB_LOCATION_CACHE[key] = loc
     return loc
 
 
 def _clear_orphan_location(spark: SparkSession, table: str, *,
                            force: bool = False,
-                           min_age_s: float = 0.0) -> bool:
+                           min_age_s: float = 0.0,
+                           loc: str | None = None) -> bool:
     """Delete ``table``'s default warehouse DIRECTORY iff the catalog
     has no such table but the directory exists — the object-store crumb
     a crash leaves between a catalog drop and its location cleanup (or
@@ -172,7 +161,9 @@ def _clear_orphan_location(spark: SparkSession, table: str, *,
         return False
     db, t = _split_db(table)
     db = db or spark.catalog.currentDatabase()
-    loc = _db_location(spark, db)
+    # loc may be passed in by a caller probing several artifact names of
+    # one overwrite (amortizes the DESCRIBE); a fresh probe otherwise
+    loc = loc if loc is not None else _db_location(spark, db)
     if not loc:
         return False
     jvm = spark._jvm
@@ -633,7 +624,10 @@ def overwrite_via_staging(
     pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
     recover_staged_swap(spark, table, retain_versions=retain_versions)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    _clear_orphan_location(spark, staging)
+    # one DESCRIBE DATABASE serves both artifact probes of this swap
+    _swap_db, _ = _split_db(table)
+    _db_loc = _db_location(spark, _swap_db or spark.catalog.currentDatabase())
+    _clear_orphan_location(spark, staging, loc=_db_loc)
     if pcols and align_writers:
         # ALIGN WRITERS TO PARTITION DIRS before a partitioned write:
         # without this every map task writes to every partition value's
@@ -673,7 +667,7 @@ def overwrite_via_staging(
             spark.sql(f"MSCK REPAIR TABLE {old}")
     nxt = (cur or 0) + 1
     vt = f"{table}__v{nxt}"
-    _clear_orphan_location(spark, vt)
+    _clear_orphan_location(spark, vt, loc=_db_loc)
     spark.sql(f"ALTER TABLE {staging} RENAME TO {vt}")
     if pcols:
         spark.sql(f"MSCK REPAIR TABLE {vt}")

@@ -82,14 +82,23 @@ class FileNotifier:
 
 
 class CallableNotifier:
-    """Adapter for any ``fn(notification_dict)`` transport."""
+    """Adapter for any ``fn(notification_dict)`` transport. Like every
+    transport here it never raises: a crashing callable returns False
+    with ``last_error`` set, so CompositeNotifier still attempts the
+    remaining transports and the pipeline's summary still prints."""
 
     def __init__(self, fn):
         self.fn = fn
+        self.last_error: str | None = None
 
     def send(self, notification: Notification) -> bool:
-        self.fn(notification.as_dict())
-        return True
+        try:
+            self.fn(notification.as_dict())
+            self.last_error = None
+            return True
+        except Exception as exc:  # noqa: BLE001 — alert channel must not raise
+            self.last_error = str(exc)
+            return False
 
 
 class WebhookNotifier:

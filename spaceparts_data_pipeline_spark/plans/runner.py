@@ -33,7 +33,8 @@ def run_bronze_layer(spark: SparkSession, sources: dict[str, DataFrame]) -> dict
         except Exception as exc:  # noqa: BLE001 - per-table isolation
             logs.append_log(spark, "bronze_execution_log", "bronze", table, execution_id, "failed", None, str(exc)[:500])
             results[table] = {"table": table, "status": "failed", "error": str(exc)}
-    return {"layer": "bronze", "status": _status(results), "tables": results}
+    return {"layer": "bronze", "status": _status(results), "tables": results,
+            "execution_id": execution_id}
 
 
 def run_silver_layer(spark: SparkSession, horizon=None) -> dict:
@@ -48,7 +49,8 @@ def run_silver_layer(spark: SparkSession, horizon=None) -> dict:
         except Exception as exc:  # noqa: BLE001
             logs.append_log(spark, "silver_execution_log", "silver", table, execution_id, "failed", None, str(exc)[:500])
             results[table] = {"table": table, "status": "failed", "error": str(exc)}
-    return {"layer": "silver", "status": _status(results), "tables": results}
+    return {"layer": "silver", "status": _status(results), "tables": results,
+            "execution_id": execution_id}
 
 
 def check_gold_preconditions(spark: SparkSession, models: list[gold.GoldModel] | None = None) -> tuple[bool, float]:
@@ -63,8 +65,10 @@ def run_gold_layer(spark: SparkSession, models: list[gold.GoldModel] | None = No
     if not ok:
         return {"layer": "gold", "status": "skipped",
                 "reason": f"silver availability {share:.0%} < {SILVER_AVAILABILITY_THRESHOLD:.0%}"}
-    results = gold.run_full(spark, models=models)
-    return {"layer": "gold", "status": _status(results), "tables": results}
+    execution_id = logs.new_execution_id()
+    results = gold.run_full(spark, execution_id, models=models)
+    return {"layer": "gold", "status": _status(results), "tables": results,
+            "execution_id": execution_id}
 
 
 def run_pipeline(spark: SparkSession, sources: dict[str, DataFrame], horizon=None,

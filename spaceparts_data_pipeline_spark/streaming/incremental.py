@@ -42,17 +42,24 @@ def run_incremental_pipeline(
     force_full_refresh: bool = False,
     skip_gold: bool = False,
 ) -> dict:
-    results: dict = {"bronze": {}, "silver": {}, "gold": {}}
+    # ONE execution id for the whole run, threaded through every
+    # layer's success/control/failure rows: the run's log rows correlate
+    # across the three logs, and the alert chain can scope its lookup to
+    # THIS run (plans/notify.py execution_id) so stale failures from an
+    # earlier run can never re-alert
     execution_id = logs.new_execution_id()
+    results: dict = {"bronze": {}, "silver": {}, "gold": {},
+                     "execution_id": execution_id}
     # per-table isolation, like runner.py's full-mode layers: one bad
     # table must not halt the layer, and its failure must land as a
     # 'failed' execution-log row — that row is what the orchestration
-    # alert chain (plans/notify.py, the reference's Lookup_Error_* →
+    # alert chain (the reference's Lookup_Error_* →
     # Email_Notificacion_Error_*) looks up
     for table in sorted(sources):
         try:
             results["bronze"][table] = bronze.run_incremental(
-                spark, sources[table], table, ts_col=ts_col)
+                spark, sources[table], table, ts_col=ts_col,
+                execution_id=execution_id)
         except Exception as exc:  # noqa: BLE001 - per-table isolation
             logs.append_log(spark, "bronze_execution_log", "bronze", table,
                             execution_id, "failed", None, str(exc)[:500])
@@ -73,7 +80,8 @@ def run_incremental_pipeline(
             wm = logs.last_watermark(spark, "silver_incremental_control", table)
             incoming = watermark_scan(spark.table(f"bronze_{table}"), ts_col, wm)
             results["silver"][table] = silver.run_incremental(
-                spark, table, incoming, order_col=ts_col)
+                spark, table, incoming, order_col=ts_col,
+                execution_id=execution_id)
         except Exception as exc:  # noqa: BLE001 - per-table isolation
             logs.append_log(spark, "silver_execution_log", "silver", table,
                             execution_id, "failed", None, str(exc)[:500])
@@ -81,5 +89,7 @@ def run_incremental_pipeline(
                                         "error": str(exc)}
     if not skip_gold:
         wm = effective_watermark(lookback_days, now)
-        results["gold"] = gold.run_incremental(spark, wm, force_full_refresh=force_full_refresh)
+        results["gold"] = gold.run_incremental(
+            spark, wm, execution_id=execution_id,
+            force_full_refresh=force_full_refresh)
     return results

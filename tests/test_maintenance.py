@@ -785,13 +785,13 @@ def test_log_buffer_batches_success_flushes_failures(spark, maint_db):
     assert spark.table("lbuf_log").count() == 4
 
 
-def test_db_location_cache_skips_custom_location_dbs(spark, tmp_path):
-    """A db created with an explicit LOCATION is never cached: dropped
-    and recreated elsewhere in the same session, orphan-clearing must
-    probe the NEW location, not a stale cached one (r14 review
-    finding). Warehouse-default dbs ARE cached."""
+def test_db_location_always_reflects_current_catalog_state(spark, tmp_path):
+    """_db_location must never serve a stale path: a db dropped and
+    recreated at a different LOCATION mid-session (either direction)
+    resolves to the NEW location, so orphan-clearing probes the right
+    directory (r14 review findings, both directions)."""
     from spaceparts_data_pipeline_spark.operators.maintenance import (
-        _DB_LOCATION_CACHE, _db_location, _strip_scheme,
+        _db_location, _strip_scheme,
     )
 
     loc_a, loc_b = str(tmp_path / "loc_a"), str(tmp_path / "loc_b")
@@ -802,9 +802,12 @@ def test_db_location_cache_skips_custom_location_dbs(spark, tmp_path):
     spark.sql(f"CREATE DATABASE customloc_db LOCATION '{loc_b}'")
     assert _strip_scheme(_db_location(spark, "customloc_db")) == loc_b  # not stale
     spark.sql("DROP DATABASE customloc_db CASCADE")
-
-    spark.sql("CREATE DATABASE IF NOT EXISTS defloc_db")
-    got = _db_location(spark, "defloc_db")
-    key = (spark.sparkContext.applicationId, "defloc_db")
-    assert _DB_LOCATION_CACHE.get(key) == got            # default path cached
+    # default-path -> custom-path recreation (the inverse direction)
+    spark.sql("DROP DATABASE IF EXISTS defloc_db CASCADE")
+    spark.sql("CREATE DATABASE defloc_db")
+    default_loc = _db_location(spark, "defloc_db")
+    assert default_loc and "defloc_db.db" in default_loc
+    spark.sql("DROP DATABASE defloc_db CASCADE")
+    spark.sql(f"CREATE DATABASE defloc_db LOCATION '{loc_a}'")
+    assert _strip_scheme(_db_location(spark, "defloc_db")) == loc_a
     spark.sql("DROP DATABASE defloc_db CASCADE")

@@ -52,6 +52,19 @@ class TestTransports:
         assert n.send(_note()) is False
         assert n.last_error
 
+    def test_callable_notifier_never_raises(self):
+        def boom(_d):
+            raise RuntimeError("slack down")
+
+        n = CallableNotifier(boom)
+        assert n.send(_note()) is False
+        assert "slack down" in n.last_error
+        # and the composite still attempts transports AFTER the crasher
+        got = []
+        combo = CompositeNotifier([n, CallableNotifier(got.append)])
+        assert combo.send(_note())
+        assert got
+
     def test_composite_attempts_every_transport(self, tmp_path):
         """No short-circuit: the file landing first must not suppress
         the webhook the on-call channel reads (r14 review finding)."""
@@ -179,6 +192,12 @@ def test_incremental_pipeline_isolates_table_failures(spark, notify_db, monkeypa
     assert res["silver"]["good"]["status"] == "success"
     assert res["silver"]["bad"]["status"] == "failed"
     assert res["bronze"]["bad"]["status"] == "success"   # bronze side unaffected
+    # ONE execution id threads the whole run: the failure row carries it
+    # (so the alert chain can scope to this run), and it is returned
+    exec_id = res["execution_id"]
+    (frow,) = spark.table("silver_execution_log") \
+        .filter("status = 'failed'").collect()
+    assert frow["execution_id"] == exec_id
     # the failed row is in the log, so the alert chain can fire
     path = str(tmp_path / "alerts.jsonl")
     assert notify_on_failure(spark, "silver_execution_log", "silver",
@@ -232,6 +251,59 @@ def test_cli_main_wires_notify_file_on_layer_failure(spark, tmp_path, capsys, mo
         (alert,) = [json.loads(ln) for ln in open(alerts).read().splitlines()]
         assert alert["layer"] == "silver"
         assert "synthetic incremental silver failure" in alert["body"]
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cli_skipped_silver_does_not_resurrect_stale_failure(spark, tmp_path, capsys, monkeypatch):
+    """r14 review finding: run 1 fails SILVER (failure row logged);
+    run 2 fails BRONZE, so silver is skipped — the skipped stage wrote
+    no row this run and must NOT re-alert run 1's silver failure. Only
+    bronze (the root cause, scoped to run 2's execution id) alerts."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+    from spaceparts_data_pipeline_spark.plans import bronze as bronze_plan
+    from spaceparts_data_pipeline_spark.plans import silver as silver_plan
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(pa.table({
+        "order_number": ["a"],
+        "amount": [1.0],
+        "dwcreateddate": [dt.datetime(2025, 1, 1, 10, 0)],
+    }), landing / "ordersy.parquet")
+    alerts = str(tmp_path / "alerts.jsonl")
+    db = f"cli_stale_{_uuid.uuid4().hex[:8]}"
+    prev_db = spark.catalog.currentDatabase()
+    base_args = ["--source-dir", str(landing), "--database", db, "--skip-gold",
+                 "--mode", "incremental", "--notify-file", alerts]
+    try:
+        # run 1: silver fails
+        def silver_fail(*a, **kw):
+            raise ValueError("run-1 silver failure")
+
+        monkeypatch.setattr(silver_plan, "run_incremental", silver_fail)
+        main(base_args)
+        monkeypatch.undo()
+        run1 = [json.loads(ln) for ln in open(alerts).read().splitlines()]
+        assert [a["layer"] for a in run1] == ["silver"]
+
+        # run 2: bronze fails -> silver skipped
+        def bronze_fail(*a, **kw):
+            raise ValueError("run-2 bronze failure")
+
+        monkeypatch.setattr(bronze_plan, "run_incremental", bronze_fail)
+        main(base_args)
+        capsys.readouterr()
+        run2 = [json.loads(ln) for ln in open(alerts).read().splitlines()][len(run1):]
+        assert [a["layer"] for a in run2] == ["bronze"]     # no stale silver alert
+        assert "run-2 bronze failure" in run2[0]["body"]
     finally:
         spark.catalog.setCurrentDatabase(prev_db)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
