@@ -84,6 +84,24 @@ CORPUS = [
     "x40_doc_chunking",
 ]
 
+#: round 15 (r14 verdict "What's wrong #1" / next-round #3): the
+#: deterministic-twin cost rows are published against the STANDARD
+#: 32-file-per-table layout (the scale_harness layout a production
+#: lake has), not the single-file testdata parquet — single-file
+#: understates d07b ~5× because one input file serializes the md5
+#: compute that the multi-file layout spreads over all cores. Timed
+#: against a documents-only 32-file copy rebuilt per run (untimed);
+#: keys carry the @multifile32 tag so round-over-round deltas never
+#: mix layouts.
+TWINS = [
+    "d07_minhash_lsh_pairs",
+    "d07b_minhash_lsh_det",
+    "d08_simhash",
+    "d08b_simhash_det",
+]
+TWIN_LAYOUT_FILES = 32
+TWIN_TAG = f"@multifile{TWIN_LAYOUT_FILES}"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,18 +124,20 @@ def main() -> None:
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
 
-    def time_query(name: str, rebuild: bool = False) -> tuple[float, dict]:
+    def time_query(name: str, rebuild: bool = False,
+                   data_dir: str | None = None) -> tuple[float, dict]:
         # rebuild=True: build INSIDE the timed region — the
         # connected-components family (CORPUS list) runs its iterative
         # jobs eagerly at construction via localCheckpoint, so building
         # once outside the timer would exclude that work. The HEADLINE
         # set stays build-once (lazy plans; construction is driver-side
         # schema probing) to keep its total comparable with rounds 1-5.
+        qdir = data_dir or sf_dir
         if rebuild:
             def df():
-                return queries[name](spark, sf_dir)
+                return queries[name](spark, qdir)
         else:
-            built = queries[name](spark, sf_dir)
+            built = queries[name](spark, qdir)
             def df():
                 return built
         # Isolate queries from each other: drop any cache blocks a prior
@@ -159,6 +179,14 @@ def main() -> None:
     for name in CORPUS:
         corpus_timings[name], dispersion[name] = time_query(name, rebuild=True)
 
+    # det-twin cost rows at the standard multi-file layout (see TWINS)
+    twin_dir = _multifile_layout(spark, sf_dir, n_files=TWIN_LAYOUT_FILES)
+    twin_timings: dict[str, float] = {}
+    for name in TWINS:
+        t, disp = time_query(name, data_dir=twin_dir)
+        twin_timings[name + TWIN_TAG] = t
+        dispersion[name + TWIN_TAG] = disp
+
     layer_rates, layer_dispersion = layer_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -168,12 +196,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_corpus": corpus_timings,
+        "queries_twins": twin_timings,
+        "twin_layout": f"{TWIN_LAYOUT_FILES}-file documents.parquet (scale_harness"
+                       " layout), rebuilt per run, untimed setup",
         "query_dispersion": dispersion,
         "sf": float(sf),
         "layer_rows_per_hour": layer_rates,
         "layer_dispersion": layer_dispersion,
-        "vs_prev": vs_previous_round({**timings, **corpus_timings}, layer_rates,
-                                     sf=float(sf)),
+        "vs_prev": vs_previous_round({**timings, **corpus_timings, **twin_timings},
+                                     layer_rates, sf=float(sf)),
         # the round-3 q03/d07 drift question, answered in round 5: five
         # same-code runs spread up to ±0.4s per query and ~2× on layer
         # rates (cold JVM/committer warmup + GC debt from earlier
@@ -186,7 +217,10 @@ def main() -> None:
                  "1s — see query_dispersion; deltas inside a query's spread are "
                  "noise, not drift), Arrow-pool warmup; layer rates are "
                  "median-of-3 after a discarded warm-up pass with spread in "
-                 "layer_dispersion (deltas inside the spread are noise)",
+                 "layer_dispersion (deltas inside the spread are noise); "
+                 "queries_twins rows run against the standard 32-file layout "
+                 "(single-file serializes the md5 compute ~5x on d07b — r14 "
+                 "verdict #3), keys tagged @multifile32",
     }
     print(json.dumps(doc))
     # Persist the FULL output to a repo-local history file: the driver's
@@ -204,6 +238,22 @@ def main() -> None:
             fh.write(json.dumps(record) + "\n")
     except OSError:
         pass
+
+
+def _multifile_layout(spark, sf_dir: str, n_files: int = 32,
+                      tables: tuple[str, ...] = ("documents",)) -> str:
+    """Re-lay the named tables as ``n_files`` parquet files each under a
+    /tmp dir and return it — the standard multi-file layout the TWINS
+    rows are measured against. Rebuilt every run (one small table, a
+    second or two, OUTSIDE any timed region) so a stale copy can never
+    desync from the driver's testdata."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/bench_multifile_{tag}_{n_files}"
+    for t in tables:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) \
+            .repartition(n_files).write.mode("overwrite") \
+            .parquet(os.path.join(out, f"{t}.parquet"))
+    return out
 
 
 HISTORY_FILE = "BENCH_LOCAL.jsonl"
@@ -269,7 +319,8 @@ def vs_previous_round(timings: dict[str, float], layer_rates: dict | None = None
     if found is None:
         return {}
     baseline, parsed = found
-    prev = {**parsed.get("queries", {}), **parsed.get("queries_corpus", {})}
+    prev = {**parsed.get("queries", {}), **parsed.get("queries_corpus", {}),
+            **parsed.get("queries_twins", {})}
     prev_rates = parsed.get("layer_rows_per_hour", {})
     return {
         "baseline": baseline,

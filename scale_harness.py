@@ -1006,6 +1006,112 @@ def measure_gold(spark, src_dir: str, base: str, factor: int) -> list[dict]:
     return rows
 
 
+def measure_silver_steps(spark, src_dir: str, base: str, factor: int) -> list[dict]:
+    """Round 15 (r14 verdict next-round #4): step-attribute a silver
+    pass BEFORE optimizing it — silver is the slowest layer at ~6.5×
+    reference (bronze 13.3×, gold 14.6×) and the question is where the
+    wall goes: the standardize→window-dedup compute (materialized at
+    the quarantine count, ONE execution thanks to the cache), the
+    quarantine side-sink append, the bucket-shuffle+sort+staged write,
+    the staged-swap catalog overhead, or the final count.
+
+    Same protocol as bench.layer_throughput's silver leg (bronze runs
+    untimed as setup; 1 discarded warm-up + 2 measured passes over
+    lineitem/orders/events), but each pass drives silver's REAL
+    internals step by step (transform → quarantined.count() →
+    _append_quarantine_dedup → _write_partitioned → table count — the
+    exact run_full composition, kept in sync with plans/silver.py) with
+    a timer around each step. ``plain_write`` is measured as an EXTRA
+    separately-timed write of the same repartitioned+sorted frame to a
+    throwaway table, so staged-swap overhead ≈ bucket_write −
+    plain_write (the gold r14 method)."""
+    from spaceparts_data_pipeline_spark.operators.dedup import infer_keys
+    from spaceparts_data_pipeline_spark.plans import bronze as bronze_plan
+    from spaceparts_data_pipeline_spark.plans import silver as silver_plan
+
+    rows = []
+    for scale in ("x1", f"x{factor}"):
+        sf_dir = os.path.join(base, scale)
+        db = f"silver_prof_{scale}"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.sql(f"CREATE DATABASE {db}")
+        prev = spark.catalog.currentDatabase()
+        spark.catalog.setCurrentDatabase(db)
+        try:
+            tables = ["lineitem", "orders", "events"]
+            n_rows = 0
+            for t in tables:
+                df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+                n_rows += df.count()
+                bronze_plan.run_full(spark, df, t)     # setup, untimed
+            for attempt in range(3):                   # pass 0 = warm-up
+                spark.catalog.clearCache()
+                steps = {k: 0.0 for k in (
+                    "transform_cache_materialize", "quarantine_append",
+                    "bucket_shuffle_sort_write", "plain_write_only",
+                    "final_count", "log_append")}
+                total0 = time.perf_counter()
+                for t in tables:
+                    src = spark.table(f"bronze_{t}")
+                    clean, quarantined, parent = silver_plan.transform(
+                        src, t, f"prof-{attempt}", persist=True)
+                    try:
+                        t0 = time.perf_counter()
+                        n_q = quarantined.count()
+                        steps["transform_cache_materialize"] += time.perf_counter() - t0
+                        if n_q:
+                            t0 = time.perf_counter()
+                            silver_plan._append_quarantine_dedup(
+                                spark, f"silver_quarantine_{t}", quarantined)
+                            steps["quarantine_append"] += time.perf_counter() - t0
+                        keys = infer_keys(clean.columns, "dwcreateddate")
+                        # extra pass: the same shuffled+sorted frame to a
+                        # throwaway table — attributes the swap overhead
+                        out = clean.withColumn(
+                            silver_plan.PARTITION_COL,
+                            silver_plan._bucket_expr(keys, silver_plan.DEFAULT_N_BUCKETS))
+                        out = (out.repartition(F.col(silver_plan.PARTITION_COL))
+                               .sortWithinPartitions(silver_plan.PARTITION_COL, *keys))
+                        t0 = time.perf_counter()
+                        out.write.mode("overwrite") \
+                            .partitionBy(silver_plan.PARTITION_COL) \
+                            .saveAsTable(f"plainw_{t}")
+                        steps["plain_write_only"] += time.perf_counter() - t0
+                        spark.sql(f"DROP TABLE plainw_{t}")
+                        t0 = time.perf_counter()
+                        silver_plan._write_partitioned(
+                            clean, f"silver_{t}", keys,
+                            silver_plan.DEFAULT_N_BUCKETS, sort_by=keys)
+                        steps["bucket_shuffle_sort_write"] += time.perf_counter() - t0
+                    finally:
+                        parent.unpersist()
+                    t0 = time.perf_counter()
+                    n = spark.table(f"silver_{t}").count()
+                    steps["final_count"] += time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    silver_plan.logs.append_log(
+                        spark, "silver_execution_log", "silver", t,
+                        f"prof-{attempt}", "success", n)
+                    steps["log_append"] += time.perf_counter() - t0
+                # the timed total excludes the extra plain_write pass
+                total = (time.perf_counter() - total0) - steps["plain_write_only"]
+                if attempt == 0:
+                    continue
+                row = {"check": "silver_steps", "scale": scale, "pass": attempt,
+                       "rows": n_rows, "total_sec": round(total, 2),
+                       "rows_per_hour": round(n_rows / total * 3600),
+                       "steps_sec": {k: round(v, 2) for k, v in steps.items()},
+                       "swap_overhead_sec": round(
+                           steps["bucket_shuffle_sort_write"]
+                           - steps["plain_write_only"], 2)}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+        finally:
+            spark.catalog.setCurrentDatabase(prev)
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return rows
+
+
 def measure_bpe_train(spark, base: str, factor: int) -> list[dict]:
     """Round-12 (r11 verdict next-round #2): BPE trainer scaling.
     Sequential training is O(k) Spark rounds — one argmax collect + one
@@ -1254,6 +1360,11 @@ def main() -> None:
                          "store grows (should stay ~flat), the legacy one-frame "
                          "layout as the comparison row, and the screen's recall "
                          "on planted cross-batch duplicates")
+    ap.add_argument("--silver-profile", action="store_true",
+                    help="step-attribute a silver pass (transform/cache, "
+                         "quarantine append, bucket write, swap overhead, "
+                         "final count) at 1x and Nx — r14 verdict #4: "
+                         "profile before touching the slowest layer")
     ap.add_argument("--gold", action="store_true",
                     help="measure gold-layer throughput (bench.gold_throughput "
                          "protocol) at 1x and Nx fact volume — the sf0.1 bench "
@@ -1312,6 +1423,10 @@ def main() -> None:
 
     if args.gold:
         measure_gold(spark, src_dir, base, args.factor)
+        return
+
+    if args.silver_profile:
+        measure_silver_steps(spark, src_dir, base, args.factor)
         return
 
     if args.funnel:

@@ -167,9 +167,7 @@ def main(argv: list[str] | None = None) -> int:
     notify_errors: dict[str, str] = {}
     notifier = _build_notifier(args)
     if notifier is not None:
-        from spaceparts_data_pipeline_spark.plans.notify import (
-            CompositeNotifier, notify_on_failure,
-        )
+        from spaceparts_data_pipeline_spark.plans.notify import notify_failed_layers
 
         def _layer_failed(info) -> bool:
             # 'skipped' never alerts: a silver stage skipped because its
@@ -191,28 +189,18 @@ def main(argv: list[str] | None = None) -> int:
                 return info["execution_id"]
             return result.get("execution_id")
 
-        parts = (notifier.notifiers if isinstance(notifier, CompositeNotifier)
-                 else [notifier])
         layer_status = {
             "bronze": result["bronze"], "silver": result["silver"],
             **({} if args.skip_gold else {"gold": result["gold"]}),
         }
-        for layer, info in layer_status.items():
-            if not _layer_failed(info):
-                continue
-            # scope the lookup to THIS run's execution id so an old
-            # failure row can never re-alert on a later healthy run
-            if notify_on_failure(spark, f"{layer}_execution_log", layer,
-                                 notifier,
-                                 execution_id=_layer_execution_id(info)):
-                notified.append(layer)
-            # harvest delivery failures PER SEND (last_error resets on a
-            # later success): a dead transport must be visible in the
-            # summary, not silent
-            for part in parts:
-                err = getattr(part, "last_error", None)
-                if err:
-                    notify_errors[f"{type(part).__name__}:{layer}"] = err
+        # scope each lookup to THIS run's execution id so an old
+        # failure row can never re-alert on a later healthy run
+        notified, notify_errors = notify_failed_layers(
+            spark,
+            {layer: _layer_execution_id(info)
+             for layer, info in layer_status.items() if _layer_failed(info)},
+            notifier,
+        )
 
     summary = {
         "status": status,

@@ -193,12 +193,17 @@ def _newest_mtime_ms(fs, path) -> int:
     child — one level is enough: saveAsTable writes part files directly
     under the table directory (plus _temporary/, whose own mtime updates
     as tasks commit)."""
+    from py4j.protocol import Py4JError
+
     newest = fs.getFileStatus(path).getModificationTime()
     try:
         for st in fs.listStatus(path):
             newest = max(newest, st.getModificationTime())
-    except Exception:
-        pass
+    except Py4JError as exc:
+        # listing can lose a race with a concurrent delete/commit; the
+        # directory's own mtime (already read) is a sound lower bound
+        _log.debug("listStatus(%s) failed mid-probe; using dir mtime: %s",
+                   path, exc)
     return newest
 
 
@@ -292,7 +297,12 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     cost of a gold pass once the log appends were batched). The
     ``__v{N}`` suffix is reserved for physical version tables by
     construction (:func:`overwrite_via_staging` is the only creator),
-    so no view filter is needed on the narrowed listing."""
+    but ``SHOW TABLES`` also lists views and session temp views — a
+    user view that happens to match the pattern must not be counted as
+    a version (the retention loop's ``DROP TABLE`` would raise on it
+    mid-swap), so temp views are dropped via ``isTemporary`` and
+    permanent views via one ``SHOW VIEWS`` probe over the same pattern
+    (only issued when the table listing matched something)."""
     db, t = _split_db(table)
     scope = f" IN {db}" if db else ""
     try:
@@ -300,12 +310,21 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     except Exception:
         return []
     pat = re.compile(re.escape(t) + r"__v(\d+)$")
-    out = []
+    matched = {}
     for r in rows:
+        if r["isTemporary"]:
+            continue
         m = pat.match(r["tableName"])
         if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+            matched[r["tableName"]] = int(m.group(1))
+    if not matched:
+        return []
+    try:
+        views = {r["viewName"] for r in
+                 spark.sql(f"SHOW VIEWS{scope} LIKE '{t}__v*'").collect()}
+    except Exception:
+        views = set()
+    return sorted(v for name, v in matched.items() if name not in views)
 
 
 def current_version(spark: SparkSession, table: str) -> int | None:
@@ -566,6 +585,51 @@ def recover_staged_swap(
     return None
 
 
+def _xxhash64_salt_cols(df) -> list:
+    """The subset of ``df``'s columns usable in an ``xxhash64`` salt:
+    ``xxhash64`` raises AnalysisException on MapType (and Variant)
+    anywhere in a column's type tree, so those columns are skipped —
+    the salt only needs ENOUGH entropy to spread a partition's rows,
+    not every column."""
+    from pyspark.sql import types as T
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, T.MapType) or type(dt).__name__ == "VariantType":
+            return False
+        if isinstance(dt, T.ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    return [F.col(f.name) for f in df.schema.fields if hashable(f.dataType)]
+
+
+def align_writers_to_partitions(spark, df, pcols: list[str]):
+    """ALIGN WRITERS TO PARTITION DIRS before a partitioned write:
+    without this every map task writes to every partition value's
+    directory — T tasks × P months ≈ T·P tiny files per table
+    (measured: ~2.5k files and 10 s of a 600k-row fact's write at
+    sf0.1; at 100 TB it is the classic small-file explosion). One
+    shuffle keyed on the partition columns gives one writer per
+    value (AQE coalesces small ones — the compact_table pattern).
+    For partition values too large for a single task, raise
+    ``spark.spaceparts.filesPerPartition``: a deterministic row-hash
+    salt then spreads each value over ≤ that many writers
+    (deterministic so a map-task retry re-routes rows identically;
+    computed over the xxhash64-hashable columns only — map/variant
+    columns can't feed a hash and are skipped). Shared by the staged
+    full overwrite and the incremental merge path so both have the
+    same skew relief. Callers that pre-align AND order their writers
+    (silver's bucket sort) skip this to keep their shape."""
+    fpp = int(spark.conf.get("spark.spaceparts.filesPerPartition", "1"))
+    parts = [F.col(c) for c in pcols]
+    if fpp > 1:
+        salt_cols = _xxhash64_salt_cols(df) or [F.lit(0)]
+        parts.append(F.pmod(F.xxhash64(*salt_cols), F.lit(fpp)))
+    return df.repartition(*parts)
+
+
 def overwrite_via_staging(
     spark: SparkSession,
     table: str,
@@ -629,25 +693,7 @@ def overwrite_via_staging(
     _db_loc = _db_location(spark, _swap_db or spark.catalog.currentDatabase())
     _clear_orphan_location(spark, staging, loc=_db_loc)
     if pcols and align_writers:
-        # ALIGN WRITERS TO PARTITION DIRS before a partitioned write:
-        # without this every map task writes to every partition value's
-        # directory — T tasks × P months ≈ T·P tiny files per table
-        # (measured: ~2.5k files and 10 s of a 600k-row fact's write at
-        # sf0.1; at 100 TB it is the classic small-file explosion). One
-        # shuffle keyed on the partition columns gives one writer per
-        # value (AQE coalesces small ones — the compact_table pattern).
-        # For partition values too large for a single task, raise
-        # spark.spaceparts.filesPerPartition: a deterministic row-hash
-        # salt then spreads each value over ≤ that many writers
-        # (deterministic so a map-task retry re-routes rows identically).
-        # Callers that pre-align AND order their writers (silver's
-        # bucket sort) pass align_writers=False to keep their shape.
-        fpp = int(spark.conf.get("spark.spaceparts.filesPerPartition", "1"))
-        parts = [F.col(c) for c in pcols]
-        if fpp > 1:
-            salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(fpp))
-            parts.append(salt)
-        df = df.repartition(*parts)
+        df = align_writers_to_partitions(spark, df, pcols)
     w = df.write.mode("overwrite")
     if pcols:
         w = w.partitionBy(*pcols)

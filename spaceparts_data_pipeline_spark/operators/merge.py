@@ -163,9 +163,14 @@ def merge_into_table(
         # value, AQE coalesces) BEFORE the checkpoint: otherwise every
         # checkpoint partition writes a file into every touched dir —
         # tasks × dirs small files accumulating run over run until
-        # compaction (the overwrite_via_staging fix, applied to the
-        # incremental path)
-        merged = merged.repartition(F.col(partition_col))
+        # compaction. Shared with overwrite_via_staging so the same
+        # spark.spaceparts.filesPerPartition salt relieves a skewed /
+        # oversized touched month here too.
+        from spaceparts_data_pipeline_spark.operators.maintenance import (
+            align_writers_to_partitions,
+        )
+
+        merged = align_writers_to_partitions(spark, merged, [partition_col])
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

@@ -1923,8 +1923,11 @@ def epoch_upsample(
         # half-UP, not Python round()'s banker's rounding: a recipe like
         # 1.125 with buckets=100 scales to 12.5 and must mean 13, the
         # way a hand-written oracle rounds — half-even would silently
-        # disagree on every .5-scaled fraction
-        frac_thr = int(math.floor((e - whole) * buckets + 0.5))
+        # disagree on every .5-scaled fraction. The scaled fraction is
+        # snapped to 6 decimals first: raw float arithmetic gives e.g.
+        # 1.015 → (e-whole)*100 = 1.4999999999999902, which would
+        # half-up to 1 where a decimal oracle computes 2.
+        frac_thr = int(math.floor(round((e - whole) * buckets, 6) + 0.5))
         base = F.when(src == s, F.lit(whole)).otherwise(base)
         thr = F.when(src == s, F.lit(frac_thr)).otherwise(thr)
     n = (base + (hash_bucket(F.col(id_col)) < thr).cast("int")).cast("int")

@@ -188,3 +188,42 @@ def notify_on_failure(
     if not rows:
         return False
     return bool(notifier.send(render_failure(layer, rows[0], pipeline=pipeline)))
+
+
+def notify_failed_layers(
+    spark: SparkSession,
+    failed_layers: dict[str, str | None],
+    notifier,
+    pipeline: str = "spaceparts-pipeline",
+) -> tuple[list[str], dict[str, str]]:
+    """Run :func:`notify_on_failure` for each failed layer and harvest
+    per-transport delivery errors. ``failed_layers`` maps layer name →
+    execution id to scope the failure-row lookup to (or None for
+    unscoped). Returns ``(notified_layers, notify_errors)`` where
+    ``notify_errors`` keys are ``"<TransportClass>:<layer>"``.
+
+    Each transport's ``last_error`` is RESET before each layer's send:
+    when a layer's notify finds no failure row (log table missing, no
+    scoped row) and sends nothing, a previous layer's stale
+    ``last_error`` must not be harvested under the new layer key —
+    that would report a delivery failure for a send that never
+    happened (r14 advice #1)."""
+    parts = (notifier.notifiers if isinstance(notifier, CompositeNotifier)
+             else [notifier])
+    notified: list[str] = []
+    errors: dict[str, str] = {}
+    for layer, execution_id in failed_layers.items():
+        for part in parts:
+            part.last_error = None
+        if notify_on_failure(spark, f"{layer}_execution_log", layer,
+                             notifier, execution_id=execution_id,
+                             pipeline=pipeline):
+            notified.append(layer)
+        # harvest delivery failures PER SEND (last_error resets on a
+        # later success): a dead transport must be visible in the
+        # summary, not silent
+        for part in parts:
+            err = getattr(part, "last_error", None)
+            if err:
+                errors[f"{type(part).__name__}:{layer}"] = err
+    return notified, errors

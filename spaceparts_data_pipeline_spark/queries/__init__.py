@@ -509,17 +509,36 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # family), x27/x28 (temporal joins, r13-fresh).
 # =====================================================================
 
+# =====================================================================
+# Round-15 window rotation (round-14 verdict next-round #1, executed):
+# IN — the WHOLE r10-stale tranche at its 4-round limit: x03, x04, x08,
+# x09, x10, x13, x16, x17, x20, x22, x24 (analytic extensions), x35
+# (token-budget mixing), d23 (char-LM quality), d24 (DSIR importance).
+# OUT, every one with an r14 full-hash driver row (≤4-round staleness
+# holds through r18) and all still value-checked by the local parity
+# suite every run — evidence now AUDITABLE via PARITY_LOCAL_r{N}.json
+# (round-14 verdict #2): q01/q10/q18/q23 (pricing-summary, watermark-
+# max, sales-measures, dedup-latest-agg — core families held in-window
+# by q04/q08/q12/q16/q17/p01), x02/x11/x12/x15/x21 (rolling windows,
+# cube, percentiles, JSON, ranking — the r09 tranche that refreshed to
+# r14 rows; window machinery held in-window by incoming x03/x04/x13 and
+# x01's sessions), d16/d17/d18/d21 (incremental near-dup + quality
+# gates — families held in-window by d14/d15/d26/d27, c01/c01b/c02 and
+# incoming d23/d24), x38b (BPE decode roundtrip — encode x38 and
+# trainer x37b stay in-window; decode is x38's inverse sharing the same
+# vocab tables).
+# =====================================================================
+
 # ROTATION BACKLOG under the two-tier policy (driver-tier entries by
-# last full-hash driver row; all value-checked locally every run):
-#   r10 (drains in r15 — the 4-round limit): x03, x04, x08, x09, x10,
-#        x13, x16, x17, x20, x22, x24, d23, d24, x35 (14 entries — fits
-#        one round's rotation budget with room for new ops),
-#   r11 (r16): q19, q20, q24, x19,
+# last full-hash driver row; all value-checked locally every run and
+# attested in PARITY_LOCAL_r{N}.json):
+#   r11 (drains in r16 at the latest — only 4 entries, well under the
+#        rotation budget): q19, q20, q24, x19,
 #   r12 (r17): d04, d05, d12, x30, x31, x32,
-#   r13 (r17 at the latest): everything rotated out in the r14 note
-#        above (q05/q07/q09/q14/q21, d20/d22, x34/x36/x18b,
-#        e05/e06/e06b, s01/s02/s03, x27/x28, x07... — x07/x01/m01 etc.
-#        that stayed in-window refresh to r14 rows automatically).
+#   r13 (r17 at the latest): q03, q05/q07/q09/q14/q21, d20/d22,
+#        x34/x36/x18b, e05/e06/e06b, s01/s02/s03, x27/x28,
+#   r14 (r18): q01, q10, q18, q23, x02, x11, x12, x15, x21, d16, d17,
+#        d18, d21, x38b (rotated out this round, note above).
 # Further twin-pruning follows the same test as the r14 demotions: a
 # query leaves the driver tier only when a surviving driver-tier twin
 # carries its oracle body (never merely "transitively related").
@@ -555,40 +574,43 @@ LOCAL_ONLY = {
 }
 
 _PRIORITY = [
-    # reference-parity core (SURVEY §2) — incl. the drained r09 tranche
-    # and the SCD2 pair's first driver rows
-    "q02_dim_customer_enrich", "q01_pricing_summary",
+    # reference-parity core (SURVEY §2); q01/q10/q18/q23 rotated out
+    # with r14 rows — their families stay via q04/q08/q12/q16/q17/p01
+    "q02_dim_customer_enrich",
     "q04_flagship_sales_eur", "q06_quarantine_orders",
-    "q08_watermark_scan", "q10_watermark_max",
+    "q08_watermark_scan",
     "q11_changed_keys_semi", "q12_union_upsert", "q13_merge_upsert",
     "q15_profile_customer", "q16_budget_variance_monthly",
-    "q17_otd_quality", "q18_sales_measures", "q22_dim_product_enrich",
-    "q23_dedup_latest_agg",
+    "q17_otd_quality", "q22_dim_product_enrich",
     "q25_scd2_history", "q25b_scd2_apply",
     "p01_silver_events_pipeline",
-    # LLM data ops: dedup + corpus-quality family (first driver rows
-    # for d07b/d08b/d27; r09-stale d16/d17/d18/d21 drained)
+    # LLM data ops: dedup + corpus-quality family (r10-stale d23/d24
+    # drained at their 4-round limit; r14-fresh d16/d17/d18/d21 out)
     "d25b_semdedup_auto", "d14_canonical_corpus_lsh",
     "d07b_minhash_lsh_det", "d08b_simhash_det",
-    "d15_incremental_dedup", "d16_incremental_near_dedup",
+    "d15_incremental_dedup",
     "d26_incremental_semdedup", "d27_line_dedup_global",
-    "d17_gopher_quality", "d18_c4_line_filter", "d21_line_repetition",
+    "d23_charlm_quality", "d24_dsir_importance",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
     "x07_tfidf_topterms",
     # LLM data ops: similarity / ANN family
     "e03c_similar_pairs_lsh_det", "e04b_knn_ivf_refined",
-    # tokenizer + training shaping (first rows for x38b/x40/x41)
-    "x37b_bpe_merges_greedy", "x38_bpe_encode", "x38b_bpe_decode",
+    # tokenizer + training shaping (x35 drained at its limit; decode
+    # roundtrip x38b out with an r14 row — x37b/x38 hold the family)
+    "x37b_bpe_merges_greedy", "x38_bpe_encode",
     "x40_doc_chunking", "x41_epoch_upsample",
-    # analytic extensions (r09-stale tranche drained)
-    "x02_rolling_events", "x11_cube_counts", "x12_price_percentiles",
-    "x15_json_extract", "x21_ranking_functions",
+    "x35_token_budget_mix",
+    # analytic extensions — the WHOLE r10-stale tranche drained at the
+    # 4-round limit (r14 verdict next-round #1)
+    "x03_rollup_revenue", "x04_topk_per_group", "x08_pivot_revenue",
+    "x09_price_histogram", "x10_key_set_ops", "x13_stats_moments",
+    "x16_string_kit", "x17_date_parts", "x20_having_filter",
+    "x22_above_average_orders", "x24_unpivot_metrics",
     # LLM data ops: multimodal
     "m01_binary_bytes",
     # windowed sessionization (guards the NTZ-safe epoch-micros path)
     "x01_event_sessions",
-    # structured streaming: the ingest-screen family completed (s06's
-    # first driver row)
+    # structured streaming: the ingest-screen family
     "s04_stream_ingest_dedup", "s05_stream_ingest_near_dedup",
     "s06_stream_ingest_semdedup",
 ]

@@ -39,3 +39,19 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_oracle():
     return SF_ORACLE
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """When this run value-checked the FULL query registry (the oracle
+    parity suite), publish the machine-generated local-tier attestation
+    PARITY_LOCAL_r{N}.json so the LOCAL_ONLY twins' green is auditable
+    driver-side evidence, not builder testimony (r14 verdict #2).
+    Partial runs record nothing — emit_parity_attestation refuses them."""
+    try:
+        from tests.oracle_harness import emit_parity_attestation
+
+        path = emit_parity_attestation()
+        if path:
+            print(f"\nparity attestation written: {path}")
+    except Exception as exc:  # never fail the test session over reporting
+        print(f"\nparity attestation skipped: {exc}")

@@ -1,14 +1,31 @@
 """Local replica of the driver's correctness gate: run a Spark query and
 its DuckDB oracle side-by-side, compare row count, column names, and
-order-insensitive values (exact after normalization)."""
+order-insensitive values (exact after normalization).
+
+Every :func:`compare` call also records its evidence (rows, value
+hashes, per-check verdicts) into :data:`PARITY_RECORDS`; when a pytest
+run has covered the ENTIRE registry (both tiers),
+:func:`emit_parity_attestation` writes ``PARITY_LOCAL_r{N}.json`` next
+to the driver's CORRECTNESS file — the machine-generated, auditable
+counterpart of the local gate's green for the LOCAL_ONLY twins the
+driver never re-checks (r14 verdict "What's missing #1")."""
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import json
 import math
 import os
+import re
 
 import duckdb
 import pandas as pd
+
+#: query name -> evidence dict, filled by :func:`compare` as the parity
+#: suite runs (pass AND fail outcomes — a failed compare still records
+#: its evidence before raising).
+PARITY_RECORDS: dict[str, dict] = {}
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -76,20 +93,94 @@ def assert_dtype_compatible(sdf: pd.DataFrame, odf: pd.DataFrame, name: str = "?
     )
 
 
+def _value_hash(rows: list[tuple]) -> str:
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def compare(spark, query_fn, oracle: str | None, sf_dir: str, name: str = "?") -> None:
     sdf = query_fn(spark, sf_dir).toPandas()
     if oracle is None:
+        PARITY_RECORDS[name] = {
+            "spark_rows": len(sdf), "oracle_rows": None,
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "value_hash": _value_hash(normalize(sdf)),
+            "verdict": "rows_only",
+        }
         assert len(sdf) >= 0  # rows-only smoke
         return
     con = duck_connection(sf_dir)
     odf = con.execute(oracle).df()
-    assert sorted(sdf.columns) == sorted(odf.columns), (
+    s_rows, o_rows = normalize(sdf), normalize(odf)
+    s_hash, o_hash = _value_hash(s_rows), _value_hash(o_rows)
+    rec = PARITY_RECORDS[name] = {
+        "spark_rows": len(sdf), "oracle_rows": len(odf),
+        "rows_match": len(sdf) == len(odf),
+        "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+        "hash_match": s_hash == o_hash,
+        "value_hash": s_hash, "oracle_value_hash": o_hash,
+        "verdict": None,
+    }
+    rec["verdict"] = ("pass" if rec["rows_match"] and rec["schema_match"]
+                      and rec["hash_match"] else "fail")
+    assert rec["schema_match"], (
         f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )
-    assert len(sdf) == len(odf), f"{name}: row count spark={len(sdf)} oracle={len(odf)}"
+    assert rec["rows_match"], f"{name}: row count spark={len(sdf)} oracle={len(odf)}"
     assert_dtype_compatible(sdf, odf, name)
-    s_rows, o_rows = normalize(sdf), normalize(odf)
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[0]}"
+
+
+def _current_round(repo_dir: str) -> int:
+    """The round the NEXT attestation belongs to: SPARK_GRAFT_ROUND if
+    set, else 1 + the newest driver CORRECTNESS file (the driver writes
+    CORRECTNESS_r{N} at the END of round N, so mid-round the max is
+    N−1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [int(m.group(1)) for p in glob.glob(
+        os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def emit_parity_attestation(repo_dir: str | None = None) -> str | None:
+    """Write ``PARITY_LOCAL_r{N}.json`` from :data:`PARITY_RECORDS` —
+    only when this run covered the FULL registry (both tiers), so a
+    partial ``-k``-filtered run can never publish a misleadingly thin
+    attestation. Returns the path written, or None when skipped."""
+    from spaceparts_data_pipeline_spark.queries import LOCAL_ONLY, all_queries
+
+    repo_dir = repo_dir or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = set(all_queries())
+    if not names <= set(PARITY_RECORDS):
+        return None
+    import datetime as dt
+
+    local = {n: {**PARITY_RECORDS[n], "twin": LOCAL_ONLY[n]}
+             for n in sorted(names) if n in LOCAL_ONLY}
+    driver = {n: PARITY_RECORDS[n] for n in sorted(names) if n not in LOCAL_ONLY}
+    out = {
+        "round": _current_round(repo_dir),
+        "sf_dir": os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"),
+        "generated_by": "tests/test_oracle_parity.py via tests.oracle_harness.compare;"
+                        " emitted by tests/conftest.py pytest_sessionfinish",
+        "generated_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "full_tier_count": len(names),
+        "local_only_count": len(local),
+        "all_pass": all(r["verdict"] in ("pass", "rows_only")
+                        for r in PARITY_RECORDS.values()),
+        "local_only": local,
+        "driver_tier": driver,
+    }
+    path = os.path.join(repo_dir, f"PARITY_LOCAL_r{out['round']}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, default=str)
+    return path

@@ -3048,6 +3048,27 @@ class TestEpochUpsample:
         out = epoch_upsample(df, {"s": 1.125}).collect()
         assert len(out) == 100 + 13  # half-even would give 112
 
+    def test_float_noise_fraction_still_rounds_half_up(self, spark):
+        """r14 advice: the half-up fix computed on raw floats, so
+        epochs=1.015 scaled to 1.4999999999999902 and floored to 1
+        where a decimal half-up oracle computes 2. The scaled fraction
+        must be snapped to decimals before the half-up step."""
+        import hashlib
+
+        from spaceparts_data_pipeline_spark.operators.text import epoch_upsample
+
+        ids, seen = [], set()
+        i = 0
+        while len(seen) < 100:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            if b not in seen:
+                seen.add(b)
+                ids.append(i)
+            i += 1
+        df = spark.createDataFrame([(j, "s") for j in ids], "doc_id long, source string")
+        out = epoch_upsample(df, {"s": 1.015}).collect()
+        assert len(out) == 100 + 2  # raw-float floor would give 101
+
 
 class TestDeterministicSignatures:
     def test_minhash_det_matches_hashlib_truth(self, spark):

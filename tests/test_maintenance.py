@@ -775,6 +775,55 @@ def test_partitioned_overwrite_aligns_writers_to_dirs(spark, maint_db):
     assert spark.table("align_t").count() == 20_000
 
 
+def test_list_versions_ignores_views_matching_the_pattern(spark, maint_db):
+    """r14 advice: SHOW TABLES also lists views and temp views, so a
+    user view named ``{t}__vN`` used to be counted as a physical
+    version — and the retention loop's DROP TABLE would raise on it
+    mid-swap. Views must be excluded from the version listing."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        list_versions, overwrite_via_staging,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    overwrite_via_staging(spark, "lvv_t", df)
+    overwrite_via_staging(spark, "lvv_t", df)
+    assert list_versions(spark, "lvv_t") == [1, 2]
+    spark.sql("CREATE VIEW lvv_t__v99 AS SELECT * FROM lvv_t")
+    df.createOrReplaceTempView("lvv_t__v98")
+    try:
+        assert list_versions(spark, "lvv_t") == [1, 2]   # views not counted
+        # and the retention loop in a later swap must not trip on them
+        overwrite_via_staging(spark, "lvv_t", df, retain_versions=1)
+        assert list_versions(spark, "lvv_t") == [3]
+        assert spark.table("lvv_t__v99").count() == 10   # user view intact
+    finally:
+        spark.catalog.dropTempView("lvv_t__v98")
+        spark.sql("DROP VIEW IF EXISTS lvv_t__v99")
+
+
+def test_fpp_salt_skips_unhashable_map_columns(spark, maint_db):
+    """r14 advice: the filesPerPartition salt hashed EVERY column via
+    xxhash64, which raises AnalysisException on MapType — enabling the
+    escape valve used to break any partitioned overwrite of a table
+    carrying a map column. The salt must use the hashable subset."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        _xxhash64_salt_cols, overwrite_via_staging,
+    )
+
+    df = (spark.range(1_000)
+          .withColumn("p", F.pmod("id", F.lit(4)).cast("int"))
+          .withColumn("m", F.create_map(F.lit("k"), F.col("id"))))
+    assert len(_xxhash64_salt_cols(df)) == 2           # id, p — not m
+    spark.conf.set("spark.spaceparts.filesPerPartition", "4")
+    try:
+        overwrite_via_staging(spark, "mapcol_t", df, partition_by="p")
+    finally:
+        spark.conf.unset("spark.spaceparts.filesPerPartition")
+    out = spark.table("mapcol_t")
+    assert out.count() == 1_000
+    assert out.select(F.col("m")["k"]).first()[0] is not None
+
+
 def test_log_buffer_batches_success_flushes_failures(spark, maint_db):
     """LogBuffer: success rows land in ONE append at flush(); a failure
     row flushes immediately together with everything buffered."""

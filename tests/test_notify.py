@@ -307,3 +307,46 @@ def test_cli_skipped_silver_does_not_resurrect_stale_failure(spark, tmp_path, ca
     finally:
         spark.catalog.setCurrentDatabase(prev_db)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+class TestNotifyFailedLayers:
+    def test_stale_last_error_not_harvested_for_silent_layer(self, spark, notify_db, tmp_path):
+        """r15 advice #1: a transport's last_error from a PREVIOUS
+        layer's send must not be recorded under a later layer whose
+        notify sent nothing (no failure row / missing log table) —
+        that reports a delivery failure for a send that never
+        happened. last_error is reset before each layer's send."""
+        from spaceparts_data_pipeline_spark.plans.notify import notify_failed_layers
+
+        # gold HAS a failure row; its delivery dies -> last_error set
+        logs.append_log(spark, "gold_execution_log", "gold", "gold_fact_sales",
+                        "e1", "failed", None, "gold blew up")
+
+        def boom(_d):
+            raise RuntimeError("transport down")
+
+        dead = CallableNotifier(boom)
+        # silver has NO log table at all: notify sends nothing there
+        notified, errors = notify_failed_layers(
+            spark, {"gold": "e1", "silver": "e1"}, dead)
+        assert notified == []
+        assert "CallableNotifier:gold" in errors          # real failed send
+        assert "CallableNotifier:silver" not in errors    # no send happened
+
+    def test_composite_reset_and_per_layer_harvest(self, spark, notify_db, tmp_path):
+        """Composite transports: each part resets per layer; a healthy
+        file transport records nothing while the dead webhook records
+        one error per layer that actually sent."""
+        from spaceparts_data_pipeline_spark.plans.notify import notify_failed_layers
+
+        logs.append_log(spark, "bronze_execution_log", "bronze", "landing_x",
+                        "e2", "failed", None, "bad parquet footer")
+        ok = FileNotifier(str(tmp_path / "alerts.jsonl"))
+        dead = WebhookNotifier("http://127.0.0.1:9/", timeout_s=2.0)
+        dead.last_error = "stale from an earlier run"     # must be cleared
+        combo = CompositeNotifier([ok, dead])
+        notified, errors = notify_failed_layers(spark, {"bronze": "e2"}, combo)
+        assert notified == ["bronze"]                     # file landed
+        assert "FileNotifier:bronze" not in errors
+        assert "stale from an earlier run" not in errors.get("WebhookNotifier:bronze", "")
+        assert errors.get("WebhookNotifier:bronze")       # the REAL failure
