@@ -378,14 +378,23 @@ def layer_throughput(spark, sf_dir: str) -> tuple[dict, dict]:
             sources = {t: load_table(spark, sf_dir, t) for t in tables}
             n_rows = sum(df.count() for df in sources.values())
 
+            from spaceparts_data_pipeline_spark.plans.logs import LogBuffer
+
+            # one buffered log append per layer pass — the orchestrated
+            # path (plans/runner.py) the production CLI runs; flush is
+            # inside the timed region, it IS part of the pass
             start = time.perf_counter()
+            buf = LogBuffer(spark, "bronze_execution_log")
             for t, df in sources.items():
-                bronze_plan.run_full(spark, df, t)
+                bronze_plan.run_full(spark, df, t, log_buffer=buf)
+            buf.flush()
             bronze_sec = time.perf_counter() - start
 
             start = time.perf_counter()
+            buf = LogBuffer(spark, "silver_execution_log")
             for t in tables:
-                silver_plan.run_full(spark, t)
+                silver_plan.run_full(spark, t, log_buffer=buf)
+            buf.flush()
             silver_sec = time.perf_counter() - start
             if attempt > 0:
                 samples["bronze"].append(n_rows / bronze_sec * 3600)

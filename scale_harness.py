@@ -1025,6 +1025,8 @@ def measure_silver_steps(spark, src_dir: str, base: str, factor: int) -> list[di
     separately-timed write of the same repartitioned+sorted frame to a
     throwaway table, so staged-swap overhead ≈ bucket_write −
     plain_write (the gold r14 method)."""
+    from pyspark.sql import functions as F
+
     from spaceparts_data_pipeline_spark.operators.dedup import infer_keys
     from spaceparts_data_pipeline_spark.plans import bronze as bronze_plan
     from spaceparts_data_pipeline_spark.plans import silver as silver_plan

@@ -66,14 +66,23 @@ def run_full(
     table: str,
     execution_id: str | None = None,
     log_table: str = "bronze_execution_log",
+    log_buffer=None,
 ) -> dict:
+    """``log_buffer``: a ``logs.LogBuffer`` shared across the layer pass —
+    each 1-row ``append_log`` is a full Spark job (~0.4 s fixed, ~20% of
+    an sf0.1 silver pass per the r15 step profile), so a multi-table run
+    batches success rows into ONE append at the caller's flush. Without
+    it (single-table callers) the row lands immediately as before."""
     from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
 
     execution_id = execution_id or logs.new_execution_id()
     out = prepare(source)
     overwrite_via_staging(spark, f"bronze_{table}", out)
     n = spark.table(f"bronze_{table}").count()
-    logs.append_log(spark, log_table, "bronze", table, execution_id, "success", n)
+    if log_buffer is not None:
+        log_buffer.add("bronze", table, execution_id, "success", n)
+    else:
+        logs.append_log(spark, log_table, "bronze", table, execution_id, "success", n)
     return {"table": table, "status": "success", "records": n, "mode": "full"}
 
 

@@ -217,208 +217,213 @@ def run_corpus_ingest(
     stats: dict[str, float] = {"input": batch.count()}
     stats["sec_input"] = _tick()
     persisted: list = []
-
-    # 1-2. quality gate + redaction: pure projections, one pass
-    staged = batch
-    if quality_gate:
-        if quality_rules == "basic":
-            staged = text.with_quality_score(staged, text_col).filter("is_quality")
-            staged = staged.select(*batch.columns)
-        elif quality_rules == "gopher":
-            staged = staged.filter(text.gopher_gate(text_col))
-        elif quality_rules == "c4":
-            # full C4 §2.2 chain: line gate + document gates + the
-            # blocked-term stage (list-parameterized via blocklist_terms;
-            # DEFAULT_BLOCKLIST is the neutral demo fallback)
-            terms = blocklist_terms if blocklist_terms else text.DEFAULT_BLOCKLIST
-            kept = text.c4_kept_lines(text_col)
-            staged = (
-                staged.filter(text.c4_doc_ok(text_col) & (F.size(kept) >= 3)
-                              & ~text.blocked_expr(text_col, terms=tuple(terms)))
-                .withColumn(text_col, F.array_join(kept, "\n"))
-            )
-        elif quality_rules in ("charlm", "charlm+dsir"):
-            # model-based gate (d23's charlm_nll as a funnel stage):
-            # keep docs whose avg char-bigram NLL under a model trained
-            # on charlm_ref is <= charlm_max_nll. Unlike the rule gates
-            # this is NOT shuffle-free — the doc grams partial-combine
-            # through one (doc, gram-type) exchange, the model itself is
-            # vocab²-bounded and broadcasts. Zero-gram docs (NULL/short
-            # text) are UNSCORABLE and rejected; the threshold
-            # self-calibrates to the ref slice's median avg-NLL unless
-            # pinned (see docstring — fixed constants don't transfer).
-            if charlm_ref is None:
-                raise ValueError(f"quality_rules={quality_rules!r} needs charlm_ref")
-            if charlm_max_nll is None:
-                charlm_max_nll = text.charlm_calibrate(charlm_ref,
-                                                       text_col=text_col)
-            stats["charlm_max_nll"] = round(charlm_max_nll, 6)
-            scored = text.charlm_nll(staged.select(id_col, text_col),
-                                     charlm_ref, id_col=id_col,
-                                     text_col=text_col)
-            ok = scored.filter((F.col("n_grams") > 0)
-                               & (F.col("avg_nll") <= charlm_max_nll))
-            if quality_rules == "charlm+dsir":
-                # DSIR distribution-matching gate (d24's body), ANDed
-                # with the charlm gate — c02's selection triad as
-                # funnel stages. Threshold self-calibrates to keep the
-                # most-target-like dsir_keep_frac of this batch's
-                # scorable docs unless pinned.
-                tgt = dsir_target if dsir_target is not None else charlm_ref
-                if dsir_min_logw is None:
-                    dsir_min_logw = text.dsir_calibrate(
-                        staged.select(text_col), tgt,
-                        keep_frac=dsir_keep_frac, text_col=text_col)
-                stats["dsir_min_logw"] = round(dsir_min_logw, 6)
-                dscored = text.dsir_importance(
-                    staged.select(id_col, text_col), tgt,
-                    id_col=id_col, text_col=text_col)
-                dok = dscored.filter((F.col("n_feats") > 0)
-                                     & (F.col("avg_logw") >= dsir_min_logw))
-                ok = ok.select(id_col).join(dok.select(id_col), id_col)
-            staged = staged.join(ok.select(id_col), id_col, "left_semi")
-        else:
-            raise ValueError(f"unknown quality_rules: {quality_rules!r}")
-    staged = staged.withColumn(text_col, text.redact_pii(text_col))
-    if quality_gate and quality_rules in ("charlm", "charlm+dsir"):
-        # the model gates nest corpus-scale aggregate subtrees (the LM
-        # model / DSIR ratio chains) inside staged's logical plan;
-        # every downstream stage frame inherits that tree, and
-        # CacheManager's cascade walk at unpersist time re-canonicalizes
-        # those trees against every cached entry — measured ~30 s of
-        # pure DRIVER time per batch (probe: 4 frames × 1-12 s each).
-        # stage_cut materializes the same data (it persists the RDD)
-        # AND cuts the logical lineage to a leaf, so downstream plans
-        # stay small and their cache ops stay milliseconds; replay
-        # safety is unchanged (the funnel is idempotent per batch, so
-        # losing checkpoint blocks means re-running the batch, not
-        # corruption). The blocks are released by the ContextCleaner
-        # once the frame goes out of scope.
-        from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
-
-        staged = stage_cut(staged)
-    else:
-        staged = staged.persist()
-        persisted.append(staged)
-    stats["after_quality"] = staged.count()
-    stats["sec_quality_redact"] = _tick()
-
-    # 3. cross-run exact dedup on redacted text (redaction first, so two
-    # docs differing only in a phone number dedup as the same doc).
-    # read_store recovers interrupted compactions and raises on any
-    # failure other than "never created" — a transient fault must NOT
-    # read as an empty screen (it would re-admit every duplicate).
-    fp_store = read_store(spark, fp_store_path)
-    exact_ids = dedup.incremental_dedup(staged, fp_store,
-                                        id_col=id_col, text_col=text_col)
-    exact_survivors = staged.join(exact_ids.select(id_col), id_col, "left_semi")
-    exact_survivors = exact_survivors.persist()
-    persisted.append(exact_survivors)
-    stats["after_exact_dedup"] = exact_survivors.count()
-    stats["sec_exact_dedup"] = _tick()
-
-    # 4. cross-run near-dup dedup (within-batch LSH + band-store screen)
-    if near_dedup:
-        band_store = read_store(spark, band_store_path)
-        # bands are recomputed from the durable corpus in step 6, so
-        # the band half of the return is unused here
-        admitted, _ = dedup_fuzzy.incremental_near_dedup(
-            exact_survivors, band_store, id_col=id_col, text_col=text_col,
-            num_perm=num_perm, rows_per_band=rows_per_band,
-            threshold=jaccard_threshold,
-        )
-        admitted = admitted.persist()
-        persisted.append(admitted)
-        stats["after_near_dedup"] = admitted.count()
-        stats["sec_near_dedup"] = _tick()
-    else:
-        admitted = exact_survivors
-
-    # 4b. cross-run SEMANTIC dedup (d26): within-batch det-LSH min-id
-    # survivors + vector-store screen, every rejection exact-cosine
-    # verified. Runs on the NARROW (id, embedding) frame — document
-    # text never rides the vector machinery — and only the rejected
-    # ids come back. Docs without an embedding row pass through.
-    if semdedup_embeddings is not None:
-        from pyspark.sql.types import NumericType
-
-        from spaceparts_data_pipeline_spark.operators import (
-            similarity, vector_store)
-
-        if not isinstance(admitted.schema[id_col].dataType, NumericType):
-            raise ValueError(
-                "semdedup_embeddings needs a numeric id_col — the screen's "
-                "min-id survivor decision and its Arrow kernels key on long "
-                f"ids (got {admitted.schema[id_col].dataType.simpleString()!r})")
-        sem_store = vector_store.read_semdedup_store(
-            spark, sem_store_prefix, table_backend=bool(store_table_prefix))
-        bvecs = semdedup_embeddings.select(
-            F.col(semdedup_vec_id_col), F.col(semdedup_vec_col),
-        ).join(admitted.select(F.col(id_col).alias(semdedup_vec_id_col)),
-               semdedup_vec_id_col, "left_semi")
-        adm_vecs, _ = similarity.incremental_semdedup(
-            bvecs, sem_store, id_col=semdedup_vec_id_col,
-            vec_col=semdedup_vec_col, dim=semdedup_dim,
-            n_planes=semdedup_n_planes, n_bands=semdedup_n_bands,
-            threshold=semdedup_threshold)
-        sem_dup_ids = bvecs.select(semdedup_vec_id_col).join(
-            adm_vecs.select(semdedup_vec_id_col), semdedup_vec_id_col,
-            "left_anti")
-        admitted = admitted.join(
-            sem_dup_ids.withColumnRenamed(semdedup_vec_id_col, id_col),
-            id_col, "left_anti").persist()
-        persisted.append(admitted)
-        stats["after_semdedup"] = admitted.count()
-        stats["sec_semdedup"] = _tick()
-
-    # 5. contamination screen (only if a benchmark is registered).
-    # sec_contamination only exists when the screen actually RAN —
-    # otherwise the admitted.count() materialization below would be
-    # attributed to a stage that never executed (it lands in the
-    # always-present sec_admitted_count instead).
-    if benchmark is not None:
-        flags = dedup_fuzzy.contamination_check(
-            admitted, benchmark, id_col=id_col, text_col=text_col)
-        clean_ids = flags.filter(
-            F.col("n_shared_shingles") < contamination_threshold
-        ).select(id_col)
-        admitted = admitted.join(clean_ids, id_col, "left_semi").persist()
-        persisted.append(admitted)
-        stats["admitted"] = admitted.count()
-        stats["sec_contamination"] = _tick()
-    else:
-        stats["admitted"] = admitted.count()
-        stats["sec_admitted_count"] = _tick()
-
-    # 5b. per-source token-budget cap (x35's two-phase token_budget_mix)
-    # over the ADMITTED set — after the screens, so duplicates and
-    # contaminated docs never consume budget. The selection frame is
-    # narrow (id, source, token counts); only doc ids come back.
-    if token_budget is not None:
-        from pyspark.sql.types import NumericType
-        if not isinstance(admitted.schema[id_col].dataType, NumericType):
-            raise ValueError(
-                "token_budget needs a numeric, totally-ordered id_col "
-                f"(got {admitted.schema[id_col].dataType.simpleString()!r})")
-        sel = text.token_budget_mix(
-            admitted, default_budget=token_budget, budgets=token_budgets,
-            shard_col=shard_col, id_col=id_col, text_col=text_col)
-        admitted = admitted.join(sel.select(id_col), id_col, "left_semi").persist()
-        persisted.append(admitted)
-        stats["after_budget"] = admitted.count()
-        stats["sec_budget"] = _tick()
-
-    # 6. durable outputs FIRST, store updates after — the exact crash
-    # ordering proven in stream_ingest_dedup: the corpus is partitioned
-    # by run_id and written with DYNAMIC overwrite (an empty replay
-    # touches no partition, so a half-finished run's corpus survives),
-    # and BOTH store appends derive from the durable corpus, so a
-    # replay whose screens already find the fingerprints still
-    # completes any store append that crashed last time (duplicate
-    # appends are harmless under the stores' DISTINCT screen semantics).
-    corpus_root = os.path.join(out_dir, "corpus")
-    manifest_root = os.path.join(out_dir, "manifest")
+    # the finally-unpersist must cover the WHOLE funnel, not just the
+    # output stage: a mid-funnel raise (numeric-id validation, a
+    # read_store transient fault) after the early persists would
+    # otherwise leak cache blocks into the long-lived session — found
+    # by the r15 cache-emptiness pin leaking across test sessions
     try:
+
+        # 1-2. quality gate + redaction: pure projections, one pass
+        staged = batch
+        if quality_gate:
+            if quality_rules == "basic":
+                staged = text.with_quality_score(staged, text_col).filter("is_quality")
+                staged = staged.select(*batch.columns)
+            elif quality_rules == "gopher":
+                staged = staged.filter(text.gopher_gate(text_col))
+            elif quality_rules == "c4":
+                # full C4 §2.2 chain: line gate + document gates + the
+                # blocked-term stage (list-parameterized via blocklist_terms;
+                # DEFAULT_BLOCKLIST is the neutral demo fallback)
+                terms = blocklist_terms if blocklist_terms else text.DEFAULT_BLOCKLIST
+                kept = text.c4_kept_lines(text_col)
+                staged = (
+                    staged.filter(text.c4_doc_ok(text_col) & (F.size(kept) >= 3)
+                                  & ~text.blocked_expr(text_col, terms=tuple(terms)))
+                    .withColumn(text_col, F.array_join(kept, "\n"))
+                )
+            elif quality_rules in ("charlm", "charlm+dsir"):
+                # model-based gate (d23's charlm_nll as a funnel stage):
+                # keep docs whose avg char-bigram NLL under a model trained
+                # on charlm_ref is <= charlm_max_nll. Unlike the rule gates
+                # this is NOT shuffle-free — the doc grams partial-combine
+                # through one (doc, gram-type) exchange, the model itself is
+                # vocab²-bounded and broadcasts. Zero-gram docs (NULL/short
+                # text) are UNSCORABLE and rejected; the threshold
+                # self-calibrates to the ref slice's median avg-NLL unless
+                # pinned (see docstring — fixed constants don't transfer).
+                if charlm_ref is None:
+                    raise ValueError(f"quality_rules={quality_rules!r} needs charlm_ref")
+                if charlm_max_nll is None:
+                    charlm_max_nll = text.charlm_calibrate(charlm_ref,
+                                                           text_col=text_col)
+                stats["charlm_max_nll"] = round(charlm_max_nll, 6)
+                scored = text.charlm_nll(staged.select(id_col, text_col),
+                                         charlm_ref, id_col=id_col,
+                                         text_col=text_col)
+                ok = scored.filter((F.col("n_grams") > 0)
+                                   & (F.col("avg_nll") <= charlm_max_nll))
+                if quality_rules == "charlm+dsir":
+                    # DSIR distribution-matching gate (d24's body), ANDed
+                    # with the charlm gate — c02's selection triad as
+                    # funnel stages. Threshold self-calibrates to keep the
+                    # most-target-like dsir_keep_frac of this batch's
+                    # scorable docs unless pinned.
+                    tgt = dsir_target if dsir_target is not None else charlm_ref
+                    if dsir_min_logw is None:
+                        dsir_min_logw = text.dsir_calibrate(
+                            staged.select(text_col), tgt,
+                            keep_frac=dsir_keep_frac, text_col=text_col)
+                    stats["dsir_min_logw"] = round(dsir_min_logw, 6)
+                    dscored = text.dsir_importance(
+                        staged.select(id_col, text_col), tgt,
+                        id_col=id_col, text_col=text_col)
+                    dok = dscored.filter((F.col("n_feats") > 0)
+                                         & (F.col("avg_logw") >= dsir_min_logw))
+                    ok = ok.select(id_col).join(dok.select(id_col), id_col)
+                staged = staged.join(ok.select(id_col), id_col, "left_semi")
+            else:
+                raise ValueError(f"unknown quality_rules: {quality_rules!r}")
+        staged = staged.withColumn(text_col, text.redact_pii(text_col))
+        if quality_gate and quality_rules in ("charlm", "charlm+dsir"):
+            # the model gates nest corpus-scale aggregate subtrees (the LM
+            # model / DSIR ratio chains) inside staged's logical plan;
+            # every downstream stage frame inherits that tree, and
+            # CacheManager's cascade walk at unpersist time re-canonicalizes
+            # those trees against every cached entry — measured ~30 s of
+            # pure DRIVER time per batch (probe: 4 frames × 1-12 s each).
+            # stage_cut materializes the same data (it persists the RDD)
+            # AND cuts the logical lineage to a leaf, so downstream plans
+            # stay small and their cache ops stay milliseconds; replay
+            # safety is unchanged (the funnel is idempotent per batch, so
+            # losing checkpoint blocks means re-running the batch, not
+            # corruption). The blocks are released by the ContextCleaner
+            # once the frame goes out of scope.
+            from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+
+            staged = stage_cut(staged)
+        else:
+            staged = staged.persist()
+            persisted.append(staged)
+        stats["after_quality"] = staged.count()
+        stats["sec_quality_redact"] = _tick()
+
+        # 3. cross-run exact dedup on redacted text (redaction first, so two
+        # docs differing only in a phone number dedup as the same doc).
+        # read_store recovers interrupted compactions and raises on any
+        # failure other than "never created" — a transient fault must NOT
+        # read as an empty screen (it would re-admit every duplicate).
+        fp_store = read_store(spark, fp_store_path)
+        exact_ids = dedup.incremental_dedup(staged, fp_store,
+                                            id_col=id_col, text_col=text_col)
+        exact_survivors = staged.join(exact_ids.select(id_col), id_col, "left_semi")
+        exact_survivors = exact_survivors.persist()
+        persisted.append(exact_survivors)
+        stats["after_exact_dedup"] = exact_survivors.count()
+        stats["sec_exact_dedup"] = _tick()
+
+        # 4. cross-run near-dup dedup (within-batch LSH + band-store screen)
+        if near_dedup:
+            band_store = read_store(spark, band_store_path)
+            # bands are recomputed from the durable corpus in step 6, so
+            # the band half of the return is unused here
+            admitted, _ = dedup_fuzzy.incremental_near_dedup(
+                exact_survivors, band_store, id_col=id_col, text_col=text_col,
+                num_perm=num_perm, rows_per_band=rows_per_band,
+                threshold=jaccard_threshold,
+            )
+            admitted = admitted.persist()
+            persisted.append(admitted)
+            stats["after_near_dedup"] = admitted.count()
+            stats["sec_near_dedup"] = _tick()
+        else:
+            admitted = exact_survivors
+
+        # 4b. cross-run SEMANTIC dedup (d26): within-batch det-LSH min-id
+        # survivors + vector-store screen, every rejection exact-cosine
+        # verified. Runs on the NARROW (id, embedding) frame — document
+        # text never rides the vector machinery — and only the rejected
+        # ids come back. Docs without an embedding row pass through.
+        if semdedup_embeddings is not None:
+            from pyspark.sql.types import NumericType
+
+            from spaceparts_data_pipeline_spark.operators import (
+                similarity, vector_store)
+
+            if not isinstance(admitted.schema[id_col].dataType, NumericType):
+                raise ValueError(
+                    "semdedup_embeddings needs a numeric id_col — the screen's "
+                    "min-id survivor decision and its Arrow kernels key on long "
+                    f"ids (got {admitted.schema[id_col].dataType.simpleString()!r})")
+            sem_store = vector_store.read_semdedup_store(
+                spark, sem_store_prefix, table_backend=bool(store_table_prefix))
+            bvecs = semdedup_embeddings.select(
+                F.col(semdedup_vec_id_col), F.col(semdedup_vec_col),
+            ).join(admitted.select(F.col(id_col).alias(semdedup_vec_id_col)),
+                   semdedup_vec_id_col, "left_semi")
+            adm_vecs, _ = similarity.incremental_semdedup(
+                bvecs, sem_store, id_col=semdedup_vec_id_col,
+                vec_col=semdedup_vec_col, dim=semdedup_dim,
+                n_planes=semdedup_n_planes, n_bands=semdedup_n_bands,
+                threshold=semdedup_threshold)
+            sem_dup_ids = bvecs.select(semdedup_vec_id_col).join(
+                adm_vecs.select(semdedup_vec_id_col), semdedup_vec_id_col,
+                "left_anti")
+            admitted = admitted.join(
+                sem_dup_ids.withColumnRenamed(semdedup_vec_id_col, id_col),
+                id_col, "left_anti").persist()
+            persisted.append(admitted)
+            stats["after_semdedup"] = admitted.count()
+            stats["sec_semdedup"] = _tick()
+
+        # 5. contamination screen (only if a benchmark is registered).
+        # sec_contamination only exists when the screen actually RAN —
+        # otherwise the admitted.count() materialization below would be
+        # attributed to a stage that never executed (it lands in the
+        # always-present sec_admitted_count instead).
+        if benchmark is not None:
+            flags = dedup_fuzzy.contamination_check(
+                admitted, benchmark, id_col=id_col, text_col=text_col)
+            clean_ids = flags.filter(
+                F.col("n_shared_shingles") < contamination_threshold
+            ).select(id_col)
+            admitted = admitted.join(clean_ids, id_col, "left_semi").persist()
+            persisted.append(admitted)
+            stats["admitted"] = admitted.count()
+            stats["sec_contamination"] = _tick()
+        else:
+            stats["admitted"] = admitted.count()
+            stats["sec_admitted_count"] = _tick()
+
+        # 5b. per-source token-budget cap (x35's two-phase token_budget_mix)
+        # over the ADMITTED set — after the screens, so duplicates and
+        # contaminated docs never consume budget. The selection frame is
+        # narrow (id, source, token counts); only doc ids come back.
+        if token_budget is not None:
+            from pyspark.sql.types import NumericType
+            if not isinstance(admitted.schema[id_col].dataType, NumericType):
+                raise ValueError(
+                    "token_budget needs a numeric, totally-ordered id_col "
+                    f"(got {admitted.schema[id_col].dataType.simpleString()!r})")
+            sel = text.token_budget_mix(
+                admitted, default_budget=token_budget, budgets=token_budgets,
+                shard_col=shard_col, id_col=id_col, text_col=text_col)
+            admitted = admitted.join(sel.select(id_col), id_col, "left_semi").persist()
+            persisted.append(admitted)
+            stats["after_budget"] = admitted.count()
+            stats["sec_budget"] = _tick()
+
+        # 6. durable outputs FIRST, store updates after — the exact crash
+        # ordering proven in stream_ingest_dedup: the corpus is partitioned
+        # by run_id and written with DYNAMIC overwrite (an empty replay
+        # touches no partition, so a half-finished run's corpus survives),
+        # and BOTH store appends derive from the durable corpus, so a
+        # replay whose screens already find the fingerprints still
+        # completes any store append that crashed last time (duplicate
+        # appends are harmless under the stores' DISTINCT screen semantics).
+        corpus_root = os.path.join(out_dir, "corpus")
+        manifest_root = os.path.join(out_dir, "manifest")
         prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

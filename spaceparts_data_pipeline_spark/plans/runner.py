@@ -25,14 +25,23 @@ def _status(results: dict) -> str:
 
 
 def run_bronze_layer(spark: SparkSession, sources: dict[str, DataFrame]) -> dict:
+    # one log append per LAYER pass, not per table (the gold r14
+    # LogBuffer discipline, extended after the r15 silver step profile
+    # attributed ~20% of an sf0.1 pass to per-table 1-row appends);
+    # failure rows still flush immediately (LogBuffer contract)
     execution_id = logs.new_execution_id()
     results = {}
-    for table in sorted(sources):
-        try:
-            results[table] = bronze.run_full(spark, sources[table], table, execution_id)
-        except Exception as exc:  # noqa: BLE001 - per-table isolation
-            logs.append_log(spark, "bronze_execution_log", "bronze", table, execution_id, "failed", None, str(exc)[:500])
-            results[table] = {"table": table, "status": "failed", "error": str(exc)}
+    log_buf = logs.LogBuffer(spark, "bronze_execution_log")
+    try:
+        for table in sorted(sources):
+            try:
+                results[table] = bronze.run_full(spark, sources[table], table,
+                                                 execution_id, log_buffer=log_buf)
+            except Exception as exc:  # noqa: BLE001 - per-table isolation
+                log_buf.add("bronze", table, execution_id, "failed", None, str(exc)[:500])
+                results[table] = {"table": table, "status": "failed", "error": str(exc)}
+    finally:
+        log_buf.flush()
     return {"layer": "bronze", "status": _status(results), "tables": results,
             "execution_id": execution_id}
 
@@ -40,15 +49,20 @@ def run_bronze_layer(spark: SparkSession, sources: dict[str, DataFrame]) -> dict
 def run_silver_layer(spark: SparkSession, horizon=None) -> dict:
     execution_id = logs.new_execution_id()
     results = {}
-    for bronze_table in discover_tables(spark, "bronze_*"):
-        table = bronze_table.removeprefix("bronze_")
-        try:
-            results[table] = silver.run_full(
-                spark, table, execution_id, source_table=bronze_table, horizon=horizon
-            )
-        except Exception as exc:  # noqa: BLE001
-            logs.append_log(spark, "silver_execution_log", "silver", table, execution_id, "failed", None, str(exc)[:500])
-            results[table] = {"table": table, "status": "failed", "error": str(exc)}
+    log_buf = logs.LogBuffer(spark, "silver_execution_log")
+    try:
+        for bronze_table in discover_tables(spark, "bronze_*"):
+            table = bronze_table.removeprefix("bronze_")
+            try:
+                results[table] = silver.run_full(
+                    spark, table, execution_id, source_table=bronze_table,
+                    horizon=horizon, log_buffer=log_buf
+                )
+            except Exception as exc:  # noqa: BLE001
+                log_buf.add("silver", table, execution_id, "failed", None, str(exc)[:500])
+                results[table] = {"table": table, "status": "failed", "error": str(exc)}
+    finally:
+        log_buf.flush()
     return {"layer": "silver", "status": _status(results), "tables": results,
             "execution_id": execution_id}
 

@@ -189,12 +189,20 @@ def run_full(
     sort_by: list[str] | None = None,
     order_col: str = "dwcreateddate",
     n_buckets: int = DEFAULT_N_BUCKETS,
+    log_buffer=None,
 ) -> dict:
     """``sort_by``: sort rows within each written file so parquet
     row-group min/max statistics prune downstream key lookups (the
     Parquet analog of the reference's dataSkippingNumIndexedCols +
     OPTIMIZE clustering, SURVEY.md §4). Defaults to the inferred dedup
-    keys — the columns downstream merges and lookups filter on."""
+    keys — the columns downstream merges and lookups filter on.
+
+    ``log_buffer``: a ``logs.LogBuffer`` shared across the layer pass —
+    the r15 step profile attributed ~1.25 s of a 3-table sf0.1 silver
+    pass (~20%) to the three 1-row log appends (fixed ~0.4 s Spark-job
+    latency each, the same finding that gave gold its LogBuffer in
+    r14); a multi-table run batches success rows into ONE append at the
+    caller's flush. Without it the row lands immediately as before."""
     execution_id = execution_id or logs.new_execution_id()
     src = spark.table(source_table or f"bronze_{table}")
     # persist=True: the standardize→dedup plan runs ONCE (cache
@@ -217,7 +225,10 @@ def run_full(
     finally:
         parent.unpersist()
     n = spark.table(f"silver_{table}").count()
-    logs.append_log(spark, log_table, "silver", table, execution_id, "success", n)
+    if log_buffer is not None:
+        log_buffer.add("silver", table, execution_id, "success", n)
+    else:
+        logs.append_log(spark, log_table, "silver", table, execution_id, "success", n)
     return {"table": table, "status": "success", "records": n, "quarantined": n_quarantined}
 
 

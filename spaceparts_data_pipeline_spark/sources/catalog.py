@@ -9,6 +9,7 @@ Spark session catalog.
 from __future__ import annotations
 
 import fnmatch
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -16,13 +17,25 @@ from pyspark.sql import DataFrame, SparkSession
 #: (Silver_full_load.ipynb:1 cell 8; silver_processor.py:398)
 DENYLIST_SUFFIXES = ("_execution_log", "_notebook_execution_summary", "_incremental_control")
 
+#: versioned-swap machinery artifacts (operators/maintenance.py reserves
+#: these suffixes: `{t}__v{N}` physical versions behind the `{t}` view,
+#: `{t}__staging` / `{t}__old` mid-swap). They match layer globs like
+#: ``bronze_*`` — without this exclusion run_silver_layer processed every
+#: bronze table TWICE (once via its view, once via its physical version
+#: table), doubling the layer's work and littering the catalog with
+#: ``silver_{t}__v1`` outputs (found by the r15 log-batching test).
+_MAINT_ARTIFACT = re.compile(r"__(v\d+|staging|old)$")
+
 
 def discover_tables(spark: SparkSession, pattern: str = "bronze_*", database: str | None = None) -> list[str]:
-    """List catalog tables matching a glob, minus the metadata denylist,
-    sorted for deterministic processing order (O1)."""
+    """List catalog tables matching a glob, minus the metadata denylist
+    and the versioned-swap artifacts, sorted for deterministic
+    processing order (O1)."""
     tables = [t.name for t in spark.catalog.listTables(database)]
     matched = [t for t in tables if fnmatch.fnmatch(t, pattern)]
-    allowed = [t for t in matched if not any(t.endswith(s) for s in DENYLIST_SUFFIXES)]
+    allowed = [t for t in matched
+               if not any(t.endswith(s) for s in DENYLIST_SUFFIXES)
+               and not _MAINT_ARTIFACT.search(t)]
     return sorted(allowed)
 
 
