@@ -565,13 +565,14 @@ def minhash_lsh_pairs_det(
     of xxhash64 — same banding geometry, same plan shape (one shuffle
     for the per-doc signature agg, one band-keyed bucket join), but the
     signatures are SQL-replayable, so the ENTIRE MinHash-LSH candidate
-    pipeline gets a FULL value-hash oracle. COST: ~5× the xxhash twin's
-    wall time at sf0.1 (7.3 s vs 1.5 s — md5 per shingle × perm); use
-    :func:`minhash_lsh_pairs` for production throughput and this twin
-    where cross-engine reproducibility is the requirement (the e03c
-    playbook applied
-    to the MinHash family; the xxhash64 production twin stays for
-    throughput). Min over shingles is computed per-permutation INSIDE
+    pipeline gets a FULL value-hash oracle. COST, measured at the
+    STANDARD 32-file layout (SCALING.md r15; the earlier "5×" was the
+    single-file bench serializing the md5 wall through one core): ~1.4×
+    the xxhash twin at sf0.1 (0.86 s vs 0.61 s — md5 per shingle × perm,
+    spread across all cores). Use :func:`minhash_lsh_pairs` when that
+    last ~30% of throughput matters and this twin whenever cross-engine
+    reproducibility has any value (the e03c playbook applied to the
+    MinHash family). Min over shingles is computed per-permutation INSIDE
     the per-doc array (``array_min`` over the projected shingle array,
     map-side) — the only corpus-scale exchange is the band table's
     bucket join, and buckets are md5 strings of the signature slice
@@ -642,12 +643,11 @@ def simhash_det(df: DataFrame, id_col: str = "doc_id",
     Token multiplicity counts (a token appearing 3× votes 3×), exactly
     like the production twin.
 
-    Unlike the MinHash family (where md5 costs ~5×), this det variant
-    measures AT PARITY with the xxhash twin at sf0.1 (2.05 s vs
-    1.88 s — one md5 per token, not per shingle × perm), so it is a
-    reasonable default whenever signature reproducibility has any
-    value; keep :func:`simhash` for the last ~10% of throughput.
-    (SCALING.md round 14.)
+    This det variant measures near the xxhash twin at sf0.1 (0.84 s vs
+    0.55 s at the standard 32-file layout, SCALING.md r15 — one md5 per
+    token, not per shingle × perm), so it is a reasonable default
+    whenever signature reproducibility has any value; keep
+    :func:`simhash` for the last fraction of throughput.
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     h = _md5_hash60("tok")

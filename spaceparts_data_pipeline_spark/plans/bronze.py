@@ -95,9 +95,16 @@ def run_incremental(
     control_table: str = "bronze_incremental_control",
     log_table: str = "bronze_execution_log",
     overlap: dt.timedelta = DEFAULT_OVERLAP,
+    log_buffer=None,
 ) -> dict:
     """Watermarked append: rows above (last watermark − overlap); first
-    run falls back to full extraction (S10 semantics)."""
+    run falls back to full extraction (S10 semantics).
+
+    ``log_buffer`` batches the success LOG row with the rest of the
+    layer pass (see :func:`run_full`); the CONTROL row always lands
+    immediately — it carries the watermark the next run scans from, and
+    deferring it would widen the crash window in which the overlap
+    re-append duplicates rows."""
     execution_id = execution_id or logs.new_execution_id()
     wm = logs.last_watermark(spark, control_table, table)
     incoming = prepare(watermark_scan(source, ts_col, wm, overlap))
@@ -113,5 +120,8 @@ def run_incremental(
     ).collect()[0]
     new_wm = stats["mx"] or wm
     logs.append_control(spark, control_table, table, execution_id, new_wm, "success", stats["n"])
-    logs.append_log(spark, log_table, "bronze", table, execution_id, "success", stats["n"])
+    if log_buffer is not None:
+        log_buffer.add("bronze", table, execution_id, "success", stats["n"])
+    else:
+        logs.append_log(spark, log_table, "bronze", table, execution_id, "success", stats["n"])
     return {"table": table, "status": "success", "records": stats["n"], "mode": "incremental", "watermark": new_wm}

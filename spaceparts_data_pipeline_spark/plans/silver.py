@@ -241,13 +241,18 @@ def run_incremental(
     control_table: str = "silver_incremental_control",
     log_table: str = "silver_execution_log",
     horizon=None,
+    log_buffer=None,
 ) -> dict:
     """Silver upsert: clean the incoming slice, union with the existing
     rows OF THE TOUCHED KEY-HASH BUCKETS only, keep-latest per inferred
     key, dynamic-partition-overwrite those buckets (U1+W1/W2 — the
     reference's silver merge strategy, at O(touched buckets) I/O).
     Schema drift (incoming adds columns) falls back to a full rewrite
-    with the union schema, like bronze's append-with-evolution."""
+    with the union schema, like bronze's append-with-evolution.
+
+    ``log_buffer`` batches the success LOG row with the layer pass (see
+    :func:`run_full`); the CONTROL row (next run's watermark) always
+    lands immediately — same rationale as bronze.run_incremental."""
     execution_id = execution_id or logs.new_execution_id()
     # Same single-execution pattern as run_full: the incoming slice's
     # clean side feeds a touched-partition collect AND the merge write,
@@ -259,7 +264,7 @@ def run_incremental(
     try:
         return _run_incremental_inner(
             spark, table, incoming, clean, quarantined, order_col,
-            execution_id, control_table, log_table
+            execution_id, control_table, log_table, log_buffer
         )
     finally:
         parent.unpersist()
@@ -275,6 +280,7 @@ def _run_incremental_inner(
     execution_id: str,
     control_table: str,
     log_table: str,
+    log_buffer=None,
 ) -> dict:
     from spaceparts_data_pipeline_spark.operators.maintenance import resolve_physical
 
@@ -332,5 +338,8 @@ def _run_incremental_inner(
     n = spark.table(target).count()
     wm = incoming.agg(F.max(order_col)).collect()[0][0] if order_col in incoming.columns else None
     logs.append_control(spark, control_table, table, execution_id, wm, "success", n)
-    logs.append_log(spark, log_table, "silver", table, execution_id, "success", n)
+    if log_buffer is not None:
+        log_buffer.add("silver", table, execution_id, "success", n)
+    else:
+        logs.append_log(spark, log_table, "silver", table, execution_id, "success", n)
     return {"table": table, "status": "success", "records": n}

@@ -35,6 +35,37 @@ def inc_db(spark):
     spark.sql("DROP DATABASE inc_db CASCADE")
 
 
+def test_incremental_pipeline_batches_log_appends(spark, inc_db, monkeypatch):
+    """r15 silver profile follow-through: the incremental driver batches
+    success LOG rows into one append per layer (same LogBuffer
+    discipline as the full-mode runner), while CONTROL rows — the
+    watermark the next run scans from — still land one per table."""
+    from spaceparts_data_pipeline_spark.operators import maintenance
+
+    appends: list[str] = []
+    real = maintenance.safe_save_as_table
+
+    def spy(df, table, mode="overwrite", **kw):
+        if mode == "append":
+            appends.append(table)
+        return real(df, table, mode=mode, **kw)
+
+    monkeypatch.setattr(maintenance, "safe_save_as_table", spy)
+    srcs = {
+        "fact_a": spark.createDataFrame([("a1", 1.0, T0)], SCHEMA),
+        "fact_b": spark.createDataFrame([("b1", 2.0, T0)], SCHEMA),
+    }
+    res = run_incremental_pipeline(spark, srcs, skip_gold=True)
+    assert all(t["status"] == "success" for t in res["bronze"].values())
+    assert all(t["status"] == "success" for t in res["silver"].values())
+    assert appends.count("bronze_execution_log") == 1      # batched
+    assert appends.count("silver_execution_log") == 1
+    assert appends.count("bronze_incremental_control") == 2  # per-table
+    assert appends.count("silver_incremental_control") == 2
+    assert spark.table("bronze_execution_log").count() == 2
+    assert spark.table("silver_execution_log").count() == 2
+
+
 def test_two_rounds_with_watermark_overlap(spark, inc_db):
     src1 = spark.createDataFrame([("o1", 10.0, T0), ("o2", 20.0, T0)], SCHEMA)
     r1 = run_incremental_pipeline(spark, {"fact_mini": src1})
