@@ -66,6 +66,30 @@ def test_incremental_pipeline_batches_log_appends(spark, inc_db, monkeypatch):
     assert spark.table("silver_execution_log").count() == 2
 
 
+def test_incremental_failed_table_isolates_and_flushes_failure_row(spark, inc_db):
+    """The incremental driver's per-table isolation under the r15
+    LogBuffer: a failing bronze table must not halt the layer, its
+    failure row must land IMMEDIATELY (the alert chain's lookup reads
+    it — LogBuffer flushes on any non-success add, carrying buffered
+    success rows along), and silver must skip the failed table rather
+    than resurrect a stale slice."""
+    srcs = {
+        "fact_ok": spark.createDataFrame([("k1", 1.0, T0)], SCHEMA),
+        "fact_bad": None,            # None source -> bronze raises
+    }
+    res = run_incremental_pipeline(spark, srcs, skip_gold=True)
+    assert res["bronze"]["fact_ok"]["status"] == "success"
+    assert res["bronze"]["fact_bad"]["status"] == "failed"
+    assert res["silver"]["fact_ok"]["status"] == "success"
+    assert res["silver"]["fact_bad"]["status"] == "skipped"
+    rows = {r["table_name"]: r["status"]
+            for r in spark.table("bronze_execution_log").collect()}
+    assert rows == {"fact_ok": "success", "fact_bad": "failed"}
+    failures = logs.latest_failures(
+        spark, "bronze_execution_log", execution_id=res["execution_id"]).collect()
+    assert failures and failures[0]["table_name"] == "fact_bad"
+
+
 def test_two_rounds_with_watermark_overlap(spark, inc_db):
     src1 = spark.createDataFrame([("o1", 10.0, T0), ("o2", 20.0, T0)], SCHEMA)
     r1 = run_incremental_pipeline(spark, {"fact_mini": src1})
