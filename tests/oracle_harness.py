@@ -167,9 +167,16 @@ def emit_parity_attestation(repo_dir: str | None = None) -> str | None:
     local = {n: {**PARITY_RECORDS[n], "twin": LOCAL_ONLY[n]}
              for n in sorted(names) if n in LOCAL_ONLY}
     driver = {n: PARITY_RECORDS[n] for n in sorted(names) if n not in LOCAL_ONLY}
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    # the driver-comparable attestation lives at the driver's gate scale
+    # (sf0.01); a stretch sweep (e.g. SPARK_GRAFT_ORACLE_SF=sf0.1) gets
+    # its own suffixed file instead of clobbering that record
+    suffix = ""
+    if sf_dir.rstrip("/") != "/root/testdata/sf0.01":
+        suffix = "_" + (os.path.basename(sf_dir.rstrip("/")) or "custom")
     out = {
         "round": _current_round(repo_dir),
-        "sf_dir": os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"),
+        "sf_dir": sf_dir,
         "generated_by": "tests/test_oracle_parity.py via tests.oracle_harness.compare;"
                         " emitted by tests/conftest.py pytest_sessionfinish",
         "generated_at": dt.datetime.now(dt.timezone.utc).isoformat(),
@@ -180,7 +187,7 @@ def emit_parity_attestation(repo_dir: str | None = None) -> str | None:
         "local_only": local,
         "driver_tier": driver,
     }
-    path = os.path.join(repo_dir, f"PARITY_LOCAL_r{out['round']}.json")
+    path = os.path.join(repo_dir, f"PARITY_LOCAL_r{out['round']}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, default=str)
     return path
