@@ -527,18 +527,33 @@ from spaceparts_data_pipeline_spark.queries import core, llm, stream
 # incoming d23/d24), x38b (BPE decode roundtrip — encode x38 and
 # trainer x37b stay in-window; decode is x38's inverse sharing the same
 # vocab tables).
+#
+# Late-r15 second move — PRE-DRAIN r16's whole backlog (q19, q20, q24,
+# x19, r11 rows) a round early so the r16 window budget is free for the
+# large r13 tranche, and ONE twin demotion under the standing rule:
+# q25_scd2_history → LOCAL_ONLY (its oracle text is IDENTICAL to
+# in-window q25b's — the d13→d14 precedent; q25b's apply≡rebuild oracle
+# replays the full history build every driver run). OUT with r14
+# full-hash rows (≤4-round staleness holds through r18): x07 (tfidf —
+# tokenize→explode→agg machinery held by in-window x38/x37b pretokenize
+# and d23/d24 gram counting), d08b (SimHash det — r14 FULL-hash row;
+# local parity + PARITY_LOCAL attest it every round), x41 (upsample —
+# r14 row; the training-shaping family keeps x40/x35 in-window).
+# Driver tier 94 → 93.
 # =====================================================================
 
 # ROTATION BACKLOG under the two-tier policy (driver-tier entries by
 # last full-hash driver row; all value-checked locally every run and
 # attested in PARITY_LOCAL_r{N}.json):
-#   r11 (drains in r16 at the latest — only 4 entries, well under the
-#        rotation budget): q19, q20, q24, x19,
+#   r11: none left — q19/q20/q24/x19 pre-drained into the r15 window
+#        (late-r15 note above), so r16's budget is free for the r13
+#        tranche below,
 #   r12 (r17): d04, d05, d12, x30, x31, x32,
-#   r13 (r17 at the latest): q03, q05/q07/q09/q14/q21, d20/d22,
-#        x34/x36/x18b, e05/e06/e06b, s01/s02/s03, x27/x28,
+#   r13 (r16/r17 — split the ~19 entries across both rounds): q03,
+#        q05/q07/q09/q14/q21, d20/d22, x34/x36/x18b, e05/e06/e06b,
+#        s01/s02/s03, x27/x28,
 #   r14 (r18): q01, q10, q18, q23, x02, x11, x12, x15, x21, d16, d17,
-#        d18, d21, x38b (rotated out this round, note above).
+#        d18, d21, x38b, x07, d08b, x41 (rotated out this round).
 # Further twin-pruning follows the same test as the r14 demotions: a
 # query leaves the driver tier only when a surviving driver-tier twin
 # carries its oracle body (never merely "transitively related").
@@ -571,6 +586,7 @@ LOCAL_ONLY = {
     "x31b_bigram_topk_twopass": "x31_bigram_topk",     # same oracle TEXT
     "x33_bpe_token_stats": "x38_bpe_encode",           # pretokenize = leading CTE
     "x37_bpe_merges": "x37b_bpe_merges_greedy",        # exact-path oracle twin
+    "q25_scd2_history": "q25b_scd2_apply",             # IDENTICAL oracle text
 }
 
 _PRIORITY = [
@@ -582,23 +598,25 @@ _PRIORITY = [
     "q11_changed_keys_semi", "q12_union_upsert", "q13_merge_upsert",
     "q15_profile_customer", "q16_budget_variance_monthly",
     "q17_otd_quality", "q22_dim_product_enrich",
-    "q25_scd2_history", "q25b_scd2_apply",
+    "q25b_scd2_apply",
     "p01_silver_events_pipeline",
+    # r16 backlog pre-drained (late-r15 note above)
+    "q19_distinct_ratio", "q20_date_domain_union",
+    "q24_customers_without_orders", "x19_array_stats",
     # LLM data ops: dedup + corpus-quality family (r10-stale d23/d24
     # drained at their 4-round limit; r14-fresh d16/d17/d18/d21 out)
     "d25b_semdedup_auto", "d14_canonical_corpus_lsh",
-    "d07b_minhash_lsh_det", "d08b_simhash_det",
+    "d07b_minhash_lsh_det",
     "d15_incremental_dedup",
     "d26_incremental_semdedup", "d27_line_dedup_global",
     "d23_charlm_quality", "d24_dsir_importance",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
-    "x07_tfidf_topterms",
     # LLM data ops: similarity / ANN family
     "e03c_similar_pairs_lsh_det", "e04b_knn_ivf_refined",
     # tokenizer + training shaping (x35 drained at its limit; decode
     # roundtrip x38b out with an r14 row — x37b/x38 hold the family)
     "x37b_bpe_merges_greedy", "x38_bpe_encode",
-    "x40_doc_chunking", "x41_epoch_upsample",
+    "x40_doc_chunking",
     "x35_token_budget_mix",
     # analytic extensions — the WHOLE r10-stale tranche drained at the
     # 4-round limit (r14 verdict next-round #1)
