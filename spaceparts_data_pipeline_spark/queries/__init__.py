@@ -587,7 +587,17 @@ LOCAL_ONLY = {
     "x33_bpe_token_stats": "x38_bpe_encode",           # pretokenize = leading CTE
     "x37_bpe_merges": "x37b_bpe_merges_greedy",        # exact-path oracle twin
     "q25_scd2_history": "q25b_scd2_apply",             # IDENTICAL oracle text
+    "q05_dedup_latest_events": "q23_dedup_latest_agg",  # IDENTICAL oracle text;
+    # q23's max_by agg is the 100 TB route (SCALING.md), q05's window the
+    # parity route — the d13→d14 / e01→e05 pattern: scale route survives.
 }
+# Deliberate NON-demotion under the identical-oracle test: d26 (batch
+# incremental semdedup) and s06 (its Structured-Streaming twin) share
+# one oracle text but are DISTINCT capabilities — foreachBatch
+# execution, checkpointing, and store-replay semantics only the
+# streaming row evidences. The s04/s05/s06 ingest family stays in the
+# driver tier alongside its batch siblings (same reasoning keeps
+# d15/s04 and d16/s05 apart).
 
 _PRIORITY = [
     # reference-parity core (SURVEY §2); q01/q10/q18/q23 rotated out
