@@ -320,8 +320,12 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     if not matched:
         return []
     try:
+        # temp views share the SHOW VIEWS namespace: a session temp view
+        # named like a physical version table must not hide that version
+        # from retention / current_version (r15 ADVICE)
         views = {r["viewName"] for r in
-                 spark.sql(f"SHOW VIEWS{scope} LIKE '{t}__v*'").collect()}
+                 spark.sql(f"SHOW VIEWS{scope} LIKE '{t}__v*'").collect()
+                 if not r["isTemporary"]}
     except Exception:
         views = set()
     return sorted(v for name, v in matched.items() if name not in views)
@@ -585,12 +589,14 @@ def recover_staged_swap(
     return None
 
 
-def _xxhash64_salt_cols(df) -> list:
+def _xxhash64_salt_cols(df, exclude: tuple | list = ()) -> list:
     """The subset of ``df``'s columns usable in an ``xxhash64`` salt:
     ``xxhash64`` raises AnalysisException on MapType (and Variant)
     anywhere in a column's type tree, so those columns are skipped —
     the salt only needs ENOUGH entropy to spread a partition's rows,
-    not every column."""
+    not every column. ``exclude`` drops named columns: a salt built
+    from the partition columns themselves is constant WITHIN each
+    partition value, i.e. zero spread exactly where spread is wanted."""
     from pyspark.sql import types as T
 
     def hashable(dt) -> bool:
@@ -602,7 +608,8 @@ def _xxhash64_salt_cols(df) -> list:
             return all(hashable(f.dataType) for f in dt.fields)
         return True
 
-    return [F.col(f.name) for f in df.schema.fields if hashable(f.dataType)]
+    return [F.col(f.name) for f in df.schema.fields
+            if f.name not in exclude and hashable(f.dataType)]
 
 
 def align_writers_to_partitions(spark, df, pcols: list[str]):
@@ -617,15 +624,31 @@ def align_writers_to_partitions(spark, df, pcols: list[str]):
     ``spark.spaceparts.filesPerPartition``: a deterministic row-hash
     salt then spreads each value over ≤ that many writers
     (deterministic so a map-task retry re-routes rows identically;
-    computed over the xxhash64-hashable columns only — map/variant
-    columns can't feed a hash and are skipped). Shared by the staged
+    computed over the xxhash64-hashable NON-partition columns —
+    map/variant columns can't feed a hash and partition columns are
+    constant within the value being spread; if nothing hashable
+    remains, spark_partition_id is the deterministic fallback). Shared by the staged
     full overwrite and the incremental merge path so both have the
     same skew relief. Callers that pre-align AND order their writers
     (silver's bucket sort) skip this to keep their shape."""
     fpp = int(spark.conf.get("spark.spaceparts.filesPerPartition", "1"))
     parts = [F.col(c) for c in pcols]
     if fpp > 1:
-        salt_cols = _xxhash64_salt_cols(df) or [F.lit(0)]
+        salt_cols = _xxhash64_salt_cols(df, exclude=pcols)
+        if not salt_cols:
+            # an all-map/variant frame has no xxhash64-hashable column;
+            # a constant salt would silently give ZERO writer spread.
+            # spark_partition_id is deterministic per input split (a
+            # map-task retry re-reads the same split), so it still
+            # spreads each partition value over up to fpp writers
+            # (bounded by the input partition count) — and we say so.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "filesPerPartition=%d but no xxhash64-hashable column; "
+                "salting by spark_partition_id (spread capped at the "
+                "input partition count)", fpp)
+            salt_cols = [F.spark_partition_id()]
         parts.append(F.pmod(F.xxhash64(*salt_cols), F.lit(fpp)))
     return df.repartition(*parts)
 

@@ -226,7 +226,7 @@ def run_full(spark: SparkSession, execution_id: str | None = None,
                 log_buf.add("gold", m.name, execution_id, "failed", None, str(exc)[:500])
                 results[m.name] = {"status": "failed", "error": str(exc)}
     finally:
-        log_buf.flush()
+        log_buf.flush_safe()
     return results
 
 
@@ -254,7 +254,7 @@ def run_incremental(
         # try/finally like run_full: a BaseException escaping the loop
         # (Ctrl-C after 5 of 6 models merged) must not lose the
         # buffered success rows — the log must match table state
-        log_buf.flush()
+        log_buf.flush_safe()
 
 
 def _run_incremental_models(spark, watermark, execution_id, log_table,

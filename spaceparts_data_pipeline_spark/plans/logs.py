@@ -106,6 +106,24 @@ class LogBuffer:
             self.spark.createDataFrame(rows, EXECUTION_LOG_SCHEMA),
             self.log_table, mode="append")
 
+    def flush_safe(self) -> str | None:
+        """``flush()`` that cannot abort the pipeline: the batched flush
+        runs in the layer runners' ``finally``, OUTSIDE the per-table
+        isolation — an execution-log write failure there must be
+        reported in the layer result, not raised, or a log-table
+        problem crashes a run whose data tables all succeeded (the old
+        per-row ``append_log`` failure was caught per table). Returns
+        the error string, or None on success."""
+        try:
+            self.flush()
+            return None
+        except Exception as exc:  # noqa: BLE001 - log sink must not kill the run
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "execution-log flush to %s failed: %s", self.log_table, exc)
+            return str(exc)[:500]
+
 
 def append_control(
     spark: SparkSession,

@@ -41,9 +41,12 @@ def run_bronze_layer(spark: SparkSession, sources: dict[str, DataFrame]) -> dict
                 log_buf.add("bronze", table, execution_id, "failed", None, str(exc)[:500])
                 results[table] = {"table": table, "status": "failed", "error": str(exc)}
     finally:
-        log_buf.flush()
-    return {"layer": "bronze", "status": _status(results), "tables": results,
-            "execution_id": execution_id}
+        flush_err = log_buf.flush_safe()
+    out = {"layer": "bronze", "status": _status(results), "tables": results,
+           "execution_id": execution_id}
+    if flush_err:
+        out["log_flush_error"] = flush_err
+    return out
 
 
 def run_silver_layer(spark: SparkSession, horizon=None) -> dict:
@@ -62,9 +65,12 @@ def run_silver_layer(spark: SparkSession, horizon=None) -> dict:
                 log_buf.add("silver", table, execution_id, "failed", None, str(exc)[:500])
                 results[table] = {"table": table, "status": "failed", "error": str(exc)}
     finally:
-        log_buf.flush()
-    return {"layer": "silver", "status": _status(results), "tables": results,
-            "execution_id": execution_id}
+        flush_err = log_buf.flush_safe()
+    out = {"layer": "silver", "status": _status(results), "tables": results,
+           "execution_id": execution_id}
+    if flush_err:
+        out["log_flush_error"] = flush_err
+    return out
 
 
 def check_gold_preconditions(spark: SparkSession, models: list[gold.GoldModel] | None = None) -> tuple[bool, float]:

@@ -71,7 +71,9 @@ def run_incremental_pipeline(
                 results["bronze"][table] = {"table": table, "status": "failed",
                                             "error": str(exc)}
     finally:
-        log_buf.flush()
+        flush_err = log_buf.flush_safe()
+    if flush_err:
+        results.setdefault("log_flush_errors", {})["bronze"] = flush_err
     log_buf = logs.LogBuffer(spark, "silver_execution_log")
     try:
         for table in sorted(sources):
@@ -97,7 +99,9 @@ def run_incremental_pipeline(
                 results["silver"][table] = {"table": table, "status": "failed",
                                             "error": str(exc)}
     finally:
-        log_buf.flush()
+        flush_err = log_buf.flush_safe()
+    if flush_err:
+        results.setdefault("log_flush_errors", {})["silver"] = flush_err
     if not skip_gold:
         wm = effective_watermark(lookback_days, now)
         results["gold"] = gold.run_incremental(

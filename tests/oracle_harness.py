@@ -81,12 +81,19 @@ def _dtype_group(dtype) -> str:
     return "object"
 
 
-def assert_dtype_compatible(sdf: pd.DataFrame, odf: pd.DataFrame, name: str = "?") -> None:
+def _dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[tuple]:
     mism = []
     for c in sorted(sdf.columns):
+        if c not in odf.columns:
+            continue  # column-set mismatch is schema_match's job
         sg, og = _dtype_group(sdf[c].dtype), _dtype_group(odf[c].dtype)
         if sg != og:
             mism.append((c, f"spark={sdf[c].dtype}({sg})", f"oracle={odf[c].dtype}({og})"))
+    return mism
+
+
+def assert_dtype_compatible(sdf: pd.DataFrame, odf: pd.DataFrame, name: str = "?") -> None:
+    mism = _dtype_mismatches(sdf, odf)
     assert not mism, (
         f"{name}: dtype mismatch between Spark and oracle frames (the driver's "
         f"hash is dtype-sensitive — CAST the oracle to the Spark type): {mism}"
@@ -116,16 +123,24 @@ def compare(spark, query_fn, oracle: str | None, sf_dir: str, name: str = "?") -
     odf = con.execute(oracle).df()
     s_rows, o_rows = normalize(sdf), normalize(odf)
     s_hash, o_hash = _value_hash(s_rows), _value_hash(o_rows)
+    dtype_mism = _dtype_mismatches(sdf, odf)
     rec = PARITY_RECORDS[name] = {
         "spark_rows": len(sdf), "oracle_rows": len(odf),
         "rows_match": len(sdf) == len(odf),
         "schema_match": sorted(sdf.columns) == sorted(odf.columns),
         "hash_match": s_hash == o_hash,
+        # the driver's hash is dtype-sensitive, so the attestation
+        # verdict must reflect dtype compatibility too — a query with
+        # matching normalized values but incompatible dtypes would
+        # otherwise record 'pass' while the pytest gate itself fails
+        # (r15 ADVICE, oracle_harness.py).
+        "dtype_compatible": not dtype_mism,
         "value_hash": s_hash, "oracle_value_hash": o_hash,
         "verdict": None,
     }
     rec["verdict"] = ("pass" if rec["rows_match"] and rec["schema_match"]
-                      and rec["hash_match"] else "fail")
+                      and rec["hash_match"] and rec["dtype_compatible"]
+                      else "fail")
     assert rec["schema_match"], (
         f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )

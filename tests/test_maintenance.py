@@ -801,6 +801,65 @@ def test_list_versions_ignores_views_matching_the_pattern(spark, maint_db):
         spark.sql("DROP VIEW IF EXISTS lvv_t__v99")
 
 
+def test_list_versions_temp_view_collision_does_not_hide_real_version(spark, maint_db):
+    """r15 advice: SHOW VIEWS also lists session TEMP views, so a temp
+    view whose name collides with a real physical version table
+    ``{t}__vN`` used to remove that version from list_versions —
+    retention never dropped it and current_version under-reported.
+    Only permanent views may mask a version-pattern name."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        list_versions, overwrite_via_staging,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    overwrite_via_staging(spark, "lvc_t", df)
+    overwrite_via_staging(spark, "lvc_t", df)
+    assert list_versions(spark, "lvc_t") == [1, 2]
+    df.createOrReplaceTempView("lvc_t__v1")   # collides with REAL v1
+    try:
+        assert list_versions(spark, "lvc_t") == [1, 2]
+    finally:
+        spark.catalog.dropTempView("lvc_t__v1")
+
+
+def test_fpp_salt_falls_back_when_only_partition_cols_hashable(spark, maint_db):
+    """r15 advice: when the only xxhash64-hashable column is the
+    partition column itself, the salt is constant WITHIN each
+    partition value — silently zero writer spread. The salt must
+    exclude partition columns and fall back to spark_partition_id
+    for an otherwise all-map frame (with a warning), keeping the
+    write working and deterministically spread."""
+    import glob as _glob
+
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        _xxhash64_salt_cols, overwrite_via_staging, resolve_physical,
+        table_location,
+    )
+
+    df = (spark.range(2_000)
+          .withColumn("p", F.pmod("id", F.lit(2)).cast("int"))
+          .withColumn("m", F.create_map(F.lit("k"), F.col("id")))
+          .drop("id")
+          .repartition(8))
+    assert _xxhash64_salt_cols(df, exclude=("p",)) == []
+    spark.conf.set("spark.spaceparts.filesPerPartition", "4")
+    # at this toy size AQE's partition coalescing folds the whole
+    # shuffle into one task (desired in production, hides the spread
+    # here) — turn it off so the salt's writer spread is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        overwrite_via_staging(spark, "mapsalt_t", df, partition_by="p")
+    finally:
+        spark.conf.unset("spark.spaceparts.filesPerPartition")
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    assert spark.table("mapsalt_t").count() == 2_000
+    loc = table_location(spark, resolve_physical(spark, "mapsalt_t"))
+    files = _glob.glob(f"{loc}/p=*/*.parquet")
+    # spark_partition_id over 8 input partitions mod 4 -> real spread,
+    # still bounded by the fpp cap per value
+    assert 2 < len(files) <= 2 * 4, files
+
+
 def test_fpp_salt_skips_unhashable_map_columns(spark, maint_db):
     """r14 advice: the filesPerPartition salt hashed EVERY column via
     xxhash64, which raises AnalysisException on MapType — enabling the
@@ -841,6 +900,35 @@ def test_log_buffer_batches_success_flushes_failures(spark, maint_db):
     buf.flush()
     buf.flush()                                        # idempotent on empty
     assert spark.table("lbuf_log").count() == 4
+
+
+def test_log_flush_failure_reported_not_raised(spark, maint_db, monkeypatch):
+    """r15 advice: the batched flush runs in the layer runners'
+    ``finally``, OUTSIDE the per-table isolation — an execution-log
+    write failure there must land in the layer result, not crash a run
+    whose data tables all succeeded."""
+    from spaceparts_data_pipeline_spark.plans import logs, runner
+    from spaceparts_data_pipeline_spark.plans.logs import LogBuffer
+
+    # unit: flush_safe returns the error instead of raising
+    buf = LogBuffer(spark, "lbuf_safe_log")
+    buf._rows.append(("x",) * 7)   # malformed row -> createDataFrame fails
+    err = buf.flush_safe()
+    assert err is not None
+    assert buf.flush_safe() is None   # buffer was drained, now a no-op
+
+    # layer: a poisoned flush must not abort run_bronze_layer
+    def boom(self):
+        if self._rows:
+            raise RuntimeError("log table unwritable")
+
+    monkeypatch.setattr(LogBuffer, "flush", boom)
+    src = {"flushfail": spark.range(5).withColumnRenamed("id", "k")}
+    out = runner.run_bronze_layer(spark, src)
+    assert out["tables"]["flushfail"]["status"] == "success"
+    assert out["status"] == "success"
+    assert "log table unwritable" in out["log_flush_error"]
+    assert spark.table("bronze_flushfail").count() == 5
 
 
 def test_db_location_always_reflects_current_catalog_state(spark, tmp_path):

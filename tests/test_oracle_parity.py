@@ -67,6 +67,31 @@ def test_dtype_gate_catches_hugeint_float_mismatch():
     assert_dtype_compatible(sdf, odf_ok, "int-family")
 
 
+def test_attestation_verdict_includes_dtype_outcome(spark, sf_oracle):
+    """r15 advice: the attestation verdict was computed from
+    rows/schema/hash only, BEFORE assert_dtype_compatible — a query
+    with incompatible dtypes but matching normalized values (e.g. an
+    empty result set over int64 vs float64 columns) recorded verdict
+    'pass' in PARITY_LOCAL_r{N}.json while the pytest gate itself
+    failed. The record must agree with the gate."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import PARITY_RECORDS, compare
+
+    def q(spark_, sf_dir):
+        return (spark_.range(1)
+                .select(F.lit(5).cast("long").alias("total"))
+                .where(F.lit(False)))
+
+    with pytest.raises(AssertionError, match="dtype"):
+        compare(spark, q, "SELECT 5.0 AS total WHERE false", sf_oracle,
+                name="_dtype_verdict_probe")
+    rec = PARITY_RECORDS.pop("_dtype_verdict_probe")
+    assert rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+    assert rec["dtype_compatible"] is False
+    assert rec["verdict"] == "fail"
+
+
 def test_every_query_has_oracle_or_is_approximate(spark):
     # d14 left this set in round 8; d16 and s05 left in round 9 (the
     # same playbook: admit-set equality with the exact path is a tested
