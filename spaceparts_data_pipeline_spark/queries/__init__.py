@@ -599,9 +599,36 @@ LOCAL_ONLY = {
 # driver tier alongside its batch siblings (same reasoning keeps
 # d15/s04 and d16/s05 apart).
 
+# =====================================================================
+# Round-16 window rotation (round-15 verdict next-round #1 + #3,
+# executed MECHANICALLY this round: the window is now derived from the
+# computed staleness ledger — tests/staleness_ledger.py reads every
+# CORRECTNESS_r*.json, and tests/test_staleness_ledger.py fails the
+# suite if the first-50 window would let any driver-tier entry exceed
+# the 4-round staleness limit next round, or if COVERAGE.md's generated
+# ledger section drifts from the computed one. The r15 hand-written
+# ledger had misfiled q03, omitted x29, and still listed demoted q05.)
+#
+# IN — everything due through r17 by the computed ledger, 25 entries:
+#   r11 rows at their limit (the r16 obligation): q03, x29;
+#   r12 rows (due r17) pre-drained a round early: d04, d05, d12, x30,
+#       x32;
+#   the WHOLE r13 tranche (due r17) taken a round early rather than
+#       split — clearing r17's obligation entirely so its budget is
+#       free for the 17-entry r14 tranche: q07, q09, q14, q21, d20,
+#       d22, x18b, x27, x28, x31, x34, x36, e05, e06, e06b, s01, s02,
+#       s03.
+# OUT — 25 entries, every one with an r15 full-hash driver row (fresh
+# through r19) and all still value-checked by the local parity suite
+# every run, attested in PARITY_LOCAL_r{N}.json:
+#   q19/q20/q24/x19 (the pre-drained late-r15 batch), d07b, d23, d24,
+#   x35, x40, the whole r15 analytic tranche x03/x04/x08/x09/x10/x13/
+#   x16/x17/x20/x22/x24, m01, x01, and the streaming ingest family
+#   s04/s05/s06 (their batch siblings d15/d26 stay in-window; the
+#   incoming s01/s02/s03 carry the streaming family's r16 evidence).
+# =====================================================================
 _PRIORITY = [
-    # reference-parity core (SURVEY §2); q01/q10/q18/q23 rotated out
-    # with r14 rows — their families stay via q04/q08/q12/q16/q17/p01
+    # reference-parity core (SURVEY §2) — the keep set
     "q02_dim_customer_enrich",
     "q04_flagship_sales_eur", "q06_quarantine_orders",
     "q08_watermark_scan",
@@ -610,37 +637,36 @@ _PRIORITY = [
     "q17_otd_quality", "q22_dim_product_enrich",
     "q25b_scd2_apply",
     "p01_silver_events_pipeline",
-    # r16 backlog pre-drained (late-r15 note above)
-    "q19_distinct_ratio", "q20_date_domain_union",
-    "q24_customers_without_orders", "x19_array_stats",
-    # LLM data ops: dedup + corpus-quality family (r10-stale d23/d24
-    # drained at their 4-round limit; r14-fresh d16/d17/d18/d21 out)
+    # reference-parity drains: r11-limit q03 + the r13 scalar/sample
+    # tranche
+    "q03_top_revenue_orders",
+    "q07_null_standardize", "q09_latest_control_row",
+    "q14_calendar_dim", "q21_sample_scan",
+    # LLM data ops: dedup + corpus-quality family (keep set + the r12/
+    # r13 drains d04/d05/d12/d20/d22 and r11-limit x29)
     "d25b_semdedup_auto", "d14_canonical_corpus_lsh",
-    "d07b_minhash_lsh_det",
     "d15_incremental_dedup",
     "d26_incremental_semdedup", "d27_line_dedup_global",
-    "d23_charlm_quality", "d24_dsir_importance",
+    "d04_text_quality", "d05_lang_id", "d12_stratified_sample",
+    "d20_blocklist_filter", "d22_substring_dedup",
+    "x29_contamination_check", "x32_pii_redact",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
-    # LLM data ops: similarity / ANN family
+    # LLM data ops: similarity / ANN family (keep e03c/e04b; drain the
+    # r13 e05/e06/e06b rows)
     "e03c_similar_pairs_lsh_det", "e04b_knn_ivf_refined",
-    # tokenizer + training shaping (x35 drained at its limit; decode
-    # roundtrip x38b out with an r14 row — x37b/x38 hold the family)
+    "e05_knn_topk_vectorized", "e06_knn_ivf_pq", "e06b_knn_ivf_pq_residual",
+    # tokenizer + training shaping (keep x37b/x38; drain r12 x30 and
+    # r13 x31/x36)
     "x37b_bpe_merges_greedy", "x38_bpe_encode",
-    "x40_doc_chunking",
-    "x35_token_budget_mix",
-    # analytic extensions — the WHOLE r10-stale tranche drained at the
-    # 4-round limit (r14 verdict next-round #1)
-    "x03_rollup_revenue", "x04_topk_per_group", "x08_pivot_revenue",
-    "x09_price_histogram", "x10_key_set_ops", "x13_stats_moments",
-    "x16_string_kit", "x17_date_parts", "x20_having_filter",
-    "x22_above_average_orders", "x24_unpivot_metrics",
-    # LLM data ops: multimodal
-    "m01_binary_bytes",
-    # windowed sessionization (guards the NTZ-safe epoch-micros path)
-    "x01_event_sessions",
-    # structured streaming: the ingest-screen family
-    "s04_stream_ingest_dedup", "s05_stream_ingest_near_dedup",
-    "s06_stream_ingest_semdedup",
+    "x30_sequence_packing", "x31_bigram_topk", "x36_corpus_shuffle",
+    # analytic extensions — the r13 temporal/quantile/profile drains
+    "x18b_exact_quantiles", "x27_asof_join", "x28_range_pairs",
+    "x34_corpus_summary",
+    # structured streaming: the windowed/stateful/dedup family (r13
+    # drains; the ingest-screen family s04/s05/s06 rotates out on r15
+    # rows)
+    "s01_stream_windowed_counts", "s02_stream_stateful_profile",
+    "s03_stream_dedup",
 ]
 
 
