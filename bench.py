@@ -2,8 +2,12 @@
 """Benchmark the engine's headline queries.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS]; prints ONE compact JSON line (≤1.9k chars so
+the driver's 2000-char stdout tail parses it whole):
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "queries_corpus": {...}, "queries_twins": {...}, "sf": ...,
+ "layer_rows_per_hour": {...}} — dispersion/vs_prev/notes land in the
+full record appended to BENCH_LOCAL.jsonl.
 
 Each query executes fully through the noop sink (no driver collect, no
 result materialization cost) — the measured time is scan + compute +
@@ -222,11 +226,26 @@ def main() -> None:
                  "(single-file serializes the md5 compute ~5x on d07b — r14 "
                  "verdict #3), keys tagged @multifile32",
     }
-    print(json.dumps(doc))
-    # Persist the FULL output to a repo-local history file: the driver's
-    # BENCH_r*.json wrappers truncate bench stdout (r07 arrived with
-    # "parsed": null and only a tail fragment), which silently erased
-    # the round-over-round comparison — the local history is the source
+    # stdout gets a COMPACT line: the driver's BENCH_r*.json wrapper
+    # keeps only the last 2000 chars of stdout and records
+    # "parsed": null when the final JSON line exceeds that (observed
+    # r07 and again r13-r15) — so the stamped per-round artifact was a
+    # left-truncated fragment. The compact line (~1.3k chars: every
+    # timing + layer rates) parses in the wrapper; dispersion/vs_prev/
+    # notes live in the full BENCH_LOCAL.jsonl record below.
+    compact = {k: doc[k] for k in
+               ("metric", "value", "unit", "queries", "queries_corpus",
+                "queries_twins", "sf", "layer_rows_per_hour")}
+    compact["detail"] = "BENCH_LOCAL.jsonl"
+    line = json.dumps(compact)
+    if len(line) > 1900:   # never regress to an unparseable wrapper
+        compact.pop("queries_twins", None)
+        compact.pop("queries_corpus", None)
+        line = json.dumps(compact)
+    # leading newline: terminates any \r-progress fragment a foreign
+    # conf might have left on stdout, so the JSON is always its own line
+    print("\n" + line)
+    # Persist the FULL output to a repo-local history file — the source
     # of truth vs_previous_round diffs against (round-7 verdict #6).
     try:
         record = {"ts": time.time(), **doc}

@@ -1114,6 +1114,91 @@ def measure_silver_steps(spark, src_dir: str, base: str, factor: int) -> list[di
     return rows
 
 
+def measure_wide_layer_log(spark, n_tables: int = 50) -> list[dict]:
+    """Round 16 (r15 verdict next-round #6): validate the LogBuffer
+    claim at WIDTH. The r15 silver step profile measured ~0.4 s of
+    fixed job latency per 1-row execution-log append on a 3-table layer
+    and EXTRAPOLATED "~40 s of driver dead time per 100-table layer
+    pass". This drives a synthetic wide layer — ``n_tables`` tiny
+    tables through the REAL ``run_bronze_layer``/``run_silver_layer``
+    — in both modes: ``batched`` (LogBuffer as shipped, one append per
+    layer pass) vs ``per_row`` (the pre-r15 behavior, simulated by
+    flushing after every add), and reports the measured per-pass append
+    cost each way plus the per-table delta."""
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.plans import runner
+    from spaceparts_data_pipeline_spark.plans.logs import LogBuffer
+
+    def sources(n):
+        out = {}
+        for i in range(n):
+            out[f"wt{i:03d}"] = spark.range(2_000).select(
+                F.col("id").alias("eventid"),
+                (F.col("id") % 7).cast("string").alias("category"),
+                F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+                .alias("dwcreateddate"))
+        return out
+
+    orig_add = LogBuffer.add
+
+    def per_row_add(self, *a, **k):
+        orig_add(self, *a, **k)
+        self.flush()
+
+    prev_db = spark.catalog.currentDatabase()
+    # warm-up: a tiny 2-table layer in a scratch db amortizes cold
+    # committer/codegen costs so mode order doesn't bias the comparison
+    spark.sql("DROP DATABASE IF EXISTS wide_warm CASCADE")
+    spark.sql("CREATE DATABASE wide_warm")
+    spark.catalog.setCurrentDatabase("wide_warm")
+    runner.run_bronze_layer(spark, sources(2))
+    runner.run_silver_layer(spark)
+    spark.catalog.setCurrentDatabase(prev_db)
+    spark.sql("DROP DATABASE wide_warm CASCADE")
+
+    rows, per_mode = [], {}
+    for mode in ("batched", "per_row"):
+        db = f"wide_layer_{mode}"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.sql(f"CREATE DATABASE {db}")
+        spark.catalog.setCurrentDatabase(db)
+        LogBuffer.add = per_row_add if mode == "per_row" else orig_add
+        try:
+            t0 = time.perf_counter()
+            rb = runner.run_bronze_layer(spark, sources(n_tables))
+            bronze_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rs = runner.run_silver_layer(spark)
+            silver_sec = time.perf_counter() - t0
+            assert rb["status"] == "success" and rs["status"] == "success"
+            log_rows = (spark.table("bronze_execution_log").count()
+                        + spark.table("silver_execution_log").count())
+            row = {"check": "wide_layer_log", "mode": mode,
+                   "n_tables": n_tables,
+                   "bronze_sec": round(bronze_sec, 2),
+                   "silver_sec": round(silver_sec, 2),
+                   "log_rows": log_rows}
+            per_mode[mode] = row
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        finally:
+            LogBuffer.add = orig_add
+            spark.catalog.setCurrentDatabase(prev_db)
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    if len(per_mode) == 2:
+        b, p = per_mode["batched"], per_mode["per_row"]
+        delta = {"check": "wide_layer_log_delta", "n_tables": n_tables,
+                 "bronze_append_tax_sec": round(p["bronze_sec"] - b["bronze_sec"], 2),
+                 "silver_append_tax_sec": round(p["silver_sec"] - b["silver_sec"], 2),
+                 "per_table_append_sec": round(
+                     (p["bronze_sec"] - b["bronze_sec"]
+                      + p["silver_sec"] - b["silver_sec"]) / (2 * n_tables), 3)}
+        rows.append(delta)
+        print(json.dumps(delta), flush=True)
+    return rows
+
+
 def measure_bpe_train(spark, base: str, factor: int) -> list[dict]:
     """Round-12 (r11 verdict next-round #2): BPE trainer scaling.
     Sequential training is O(k) Spark rounds — one argmax collect + one
@@ -1367,6 +1452,12 @@ def main() -> None:
                          "quarantine append, bucket write, swap overhead, "
                          "final count) at 1x and Nx — r14 verdict #4: "
                          "profile before touching the slowest layer")
+    ap.add_argument("--wide-layer", action="store_true",
+                    help="validate the LogBuffer claim at WIDTH (r15 "
+                         "verdict #6): a synthetic 50-table layer through "
+                         "the real runners, batched vs per-row appends, "
+                         "reporting the measured per-pass append tax")
+    ap.add_argument("--wide-tables", type=int, default=50)
     ap.add_argument("--gold", action="store_true",
                     help="measure gold-layer throughput (bench.gold_throughput "
                          "protocol) at 1x and Nx fact volume — the sf0.1 bench "
@@ -1421,6 +1512,10 @@ def main() -> None:
 
     if args.semdedup_store:
         measure_semdedup_store(spark, base, args.factor)
+        return
+
+    if args.wide_layer:
+        measure_wide_layer_log(spark, args.wide_tables)
         return
 
     if args.gold:

@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # console progress bars write to STDOUT carriage-return frames;
+        # bench.py's contract is ONE parseable JSON line on stdout and
+        # the driver wrapper keeps only the last 2000 chars — progress
+        # junk glued (no newline) in front of the JSON breaks its parse
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if persistent_warehouse:
         wh = os.path.abspath(persistent_warehouse)

@@ -37,6 +37,12 @@ def test_driver_tier_composition():
     window = list(driver)[:50]
     rows_only = [n for n in window if n not in driver_oracles]
     assert not rows_only, f"rows-only queries spending window slots: {rows_only}"
+    # the standing tier-size guideline (r14/r15 verdicts): the ≤4-round
+    # staleness discipline is only sustainable with ≤95 driver entries
+    # against the 50-slot window — new twins go straight to LOCAL_ONLY
+    assert len(driver) <= 95, (
+        f"driver tier grew to {len(driver)} (>95): demote an oracle-twin "
+        "to LOCAL_ONLY instead of growing the rotation debt")
 
 
 def test_entry_smoke(spark):

@@ -47,3 +47,32 @@ def test_ledger_green_row_semantics():
                           "hash_match": None, "err": None})
     assert not sl._row_green({"rows_match": False, "schema_match": True,
                               "hash_match": None, "err": None})
+
+
+def test_identical_oracle_audit():
+    """r15 verdict next-round #7: the audit that produced the q05/q25
+    demotions, run mechanically every round — two DRIVER-tier entries
+    sharing one oracle text are redundant window evidence unless they
+    are DISTINCT capabilities under that text (the documented batch vs
+    Structured-Streaming pairs). A new identical-oracle pair must
+    either demote one side to LOCAL_ONLY or join the allowlist with a
+    capability rationale."""
+    from collections import defaultdict
+
+    from spaceparts_data_pipeline_spark.queries import driver_oracles
+
+    # batch vs streaming execution are distinct capabilities under one
+    # oracle text: foreachBatch, checkpointing and store-replay
+    # semantics only the streaming row evidences (same reasoning keeps
+    # d15/s04 and d16/s05 apart — those differ textually today)
+    allowed = {frozenset({"d26_incremental_semdedup",
+                          "s06_stream_ingest_semdedup"})}
+    by_text = defaultdict(list)
+    for name, sql in driver_oracles().items():
+        by_text[" ".join(sql.split())].append(name)
+    offenders = [sorted(names) for names in by_text.values()
+                 if len(names) > 1 and frozenset(names) not in allowed]
+    assert not offenders, (
+        f"driver-tier entries share one oracle text: {offenders} — demote "
+        "one side to LOCAL_ONLY (queries/__init__.py) or allowlist the "
+        "pair here with a distinct-capability rationale")
