@@ -238,9 +238,12 @@ def main() -> None:
                 "queries_twins", "sf", "layer_rows_per_hour")}
     compact["detail"] = "BENCH_LOCAL.jsonl"
     line = json.dumps(compact)
-    if len(line) > 1900:   # never regress to an unparseable wrapper
-        compact.pop("queries_twins", None)
-        compact.pop("queries_corpus", None)
+    # never regress to an unparseable wrapper: shed optional sections
+    # one at a time, re-checking the length after each pop
+    for optional in ("queries_twins", "queries_corpus", "query_count"):
+        if len(line) <= 1900:
+            break
+        compact.pop(optional, None)
         line = json.dumps(compact)
     # leading newline: terminates any \r-progress fragment a foreign
     # conf might have left on stdout, so the JSON is always its own line

@@ -1152,10 +1152,12 @@ def measure_wide_layer_log(spark, n_tables: int = 50) -> list[dict]:
     spark.sql("DROP DATABASE IF EXISTS wide_warm CASCADE")
     spark.sql("CREATE DATABASE wide_warm")
     spark.catalog.setCurrentDatabase("wide_warm")
-    runner.run_bronze_layer(spark, sources(2))
-    runner.run_silver_layer(spark)
-    spark.catalog.setCurrentDatabase(prev_db)
-    spark.sql("DROP DATABASE wide_warm CASCADE")
+    try:
+        runner.run_bronze_layer(spark, sources(2))
+        runner.run_silver_layer(spark)
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql("DROP DATABASE IF EXISTS wide_warm CASCADE")
 
     rows, per_mode = [], {}
     for mode in ("batched", "per_row"):

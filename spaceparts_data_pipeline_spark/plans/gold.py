@@ -226,7 +226,13 @@ def run_full(spark: SparkSession, execution_id: str | None = None,
                 log_buf.add("gold", m.name, execution_id, "failed", None, str(exc)[:500])
                 results[m.name] = {"status": "failed", "error": str(exc)}
     finally:
-        log_buf.flush_safe()
+        flush_err = log_buf.flush_safe()
+    if flush_err:
+        # surface the lost log rows in the layer result (same shape as a
+        # table entry so _status/notify consumers handle it): the log no
+        # longer matches table state, which is a completed_with_errors
+        # condition, not a silent warning
+        results["_execution_log"] = {"status": "failed", "error": flush_err}
     return results
 
 
@@ -253,8 +259,12 @@ def run_incremental(
     finally:
         # try/finally like run_full: a BaseException escaping the loop
         # (Ctrl-C after 5 of 6 models merged) must not lose the
-        # buffered success rows — the log must match table state
-        log_buf.flush_safe()
+        # buffered success rows — the log must match table state.
+        # results is the SAME dict _run_incremental_models returns, so
+        # the flush error lands in the caller's view too
+        flush_err = log_buf.flush_safe()
+        if flush_err:
+            results["_execution_log"] = {"status": "failed", "error": flush_err}
 
 
 def _run_incremental_models(spark, watermark, execution_id, log_table,

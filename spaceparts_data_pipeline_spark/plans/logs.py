@@ -94,7 +94,12 @@ class LogBuffer:
              dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
              status, record_count, message))
         if status != "success":
-            self.flush()
+            # immediate-flush contract for failure rows — but this add
+            # runs INSIDE the layer runners' per-table except handlers,
+            # so a log-sink failure here must not escape the isolation
+            # either; the rows stay buffered (see flush) and the layer's
+            # finally-flush retries and reports them
+            self.flush_safe()
 
     def flush(self) -> None:
         if not self._rows:
@@ -102,9 +107,15 @@ class LogBuffer:
         from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
 
         rows, self._rows = self._rows, []
-        safe_save_as_table(
-            self.spark.createDataFrame(rows, EXECUTION_LOG_SCHEMA),
-            self.log_table, mode="append")
+        try:
+            safe_save_as_table(
+                self.spark.createDataFrame(rows, EXECUTION_LOG_SCHEMA),
+                self.log_table, mode="append")
+        except BaseException:
+            # keep the rows so a later flush (the layer's finally) can
+            # retry — a failed log write must not silently drop them
+            self._rows = rows + self._rows
+            raise
 
     def flush_safe(self) -> str | None:
         """``flush()`` that cannot abort the pipeline: the batched flush

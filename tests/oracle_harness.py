@@ -145,7 +145,12 @@ def compare(spark, query_fn, oracle: str | None, sf_dir: str, name: str = "?") -
         f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )
     assert rec["rows_match"], f"{name}: row count spark={len(sdf)} oracle={len(odf)}"
-    assert_dtype_compatible(sdf, odf, name)
+    # assert from the SAME mismatch list the attested dtype_compatible
+    # field was computed from (no second scan, no drift between them)
+    assert not dtype_mism, (
+        f"{name}: dtype mismatch between Spark and oracle frames (the driver's "
+        f"hash is dtype-sensitive — CAST the oracle to the Spark type): {dtype_mism}"
+    )
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]

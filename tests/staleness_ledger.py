@@ -143,7 +143,13 @@ def write_section(repo_dir: str = REPO) -> str:
     text = open(path).read()
     block = render(repo_dir)
     if BEGIN in text:
-        text = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S)
+        text, n = re.subn(re.escape(BEGIN) + r".*?" + re.escape(END), block,
+                          text, flags=re.S)
+        if n == 0:
+            raise ValueError(
+                "COVERAGE.md has the BEGIN GENERATED-LEDGER marker but no "
+                "matching END marker — restore the END line before --write "
+                "can replace the section")
     else:
         text = text.rstrip() + "\n\n" + block + "\n"
     with open(path, "w") as f:

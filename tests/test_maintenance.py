@@ -910,25 +910,46 @@ def test_log_flush_failure_reported_not_raised(spark, maint_db, monkeypatch):
     from spaceparts_data_pipeline_spark.plans import logs, runner
     from spaceparts_data_pipeline_spark.plans.logs import LogBuffer
 
-    # unit: flush_safe returns the error instead of raising
+    # unit: flush_safe returns the error instead of raising, and the
+    # rows are RETAINED so a later flush can retry (not silently lost)
     buf = LogBuffer(spark, "lbuf_safe_log")
     buf._rows.append(("x",) * 7)   # malformed row -> createDataFrame fails
     err = buf.flush_safe()
     assert err is not None
-    assert buf.flush_safe() is None   # buffer was drained, now a no-op
+    assert buf._rows                       # kept for retry
+    assert buf.flush_safe() is not None    # retry hits the same rows
+    buf._rows.clear()
+    assert buf.flush_safe() is None        # drained -> no-op
 
-    # layer: a poisoned flush must not abort run_bronze_layer
+    # layer: a poisoned flush must not abort run_bronze_layer — neither
+    # via the finally-flush nor via a FAILURE row's immediate flush
+    # inside the per-table except handler
     def boom(self):
         if self._rows:
             raise RuntimeError("log table unwritable")
 
     monkeypatch.setattr(LogBuffer, "flush", boom)
-    src = {"flushfail": spark.range(5).withColumnRenamed("id", "k")}
+    src = {"flushfail": spark.range(5).withColumnRenamed("id", "k"),
+           "tablefail": None}    # prepare(None) raises -> per-table except
     out = runner.run_bronze_layer(spark, src)
     assert out["tables"]["flushfail"]["status"] == "success"
-    assert out["status"] == "success"
+    assert out["tables"]["tablefail"]["status"] == "failed"
+    assert out["status"] == "completed_with_errors"
     assert "log table unwritable" in out["log_flush_error"]
     assert spark.table("bronze_flushfail").count() == 5
+
+    # gold: a flush failure surfaces as a failed _execution_log entry
+    from spaceparts_data_pipeline_spark.plans import gold as gold_plan
+
+    spark.range(3).withColumnRenamed("id", "k").write \
+        .mode("overwrite").saveAsTable("silver_goldsrc")
+    model = gold_plan.GoldModel(
+        name="gold_flushprobe", builder=lambda s: s.table("silver_goldsrc"),
+        merge_keys=["k"], source_tables=["goldsrc"])
+    res = gold_plan.run_full(spark, models=[model])
+    assert res["gold_flushprobe"]["status"] == "success"
+    assert res["_execution_log"]["status"] == "failed"
+    assert "log table unwritable" in res["_execution_log"]["error"]
 
 
 def test_db_location_always_reflects_current_catalog_state(spark, tmp_path):
