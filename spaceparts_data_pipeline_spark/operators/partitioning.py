@@ -33,11 +33,39 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Persist hash-bucketed by ``keys`` (and optionally sorted within
-    buckets, which also gives parquet min/max skipping on the sort key)."""
-    writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
-    if sort_by:
-        writer = writer.sortBy(*sort_by)
-    writer.saveAsTable(table)
+    buckets, which also gives parquet min/max skipping on the sort key).
+
+    Hardened against the crash-orphan wedge exactly like
+    ``maintenance.safe_save_as_table`` (which cannot express
+    ``bucketBy``): a SIGKILL mid-``saveAsTable`` leaves a catalog-less
+    warehouse directory, and every later create of the same table —
+    the vector store's compaction targets and first-ever creates route
+    here — would die with LOCATION_ALREADY_EXISTS until manual cleanup,
+    because the catalog-only ``recover_store_table`` sweep cannot see
+    it (r16 review). Recovery is reactive and narrowly gated on the
+    structural error condition + the catalog NOT knowing the table,
+    with the same freshness grace against racing first creates."""
+    from spaceparts_data_pipeline_spark.operators import maintenance as mt
+
+    spark = df.sparkSession
+
+    def _write():
+        writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.saveAsTable(table)
+
+    try:
+        _write()
+    except Exception as exc:
+        _, bare = mt._split_db(table)
+        if not (mt._is_location_collision(exc, bare)
+                and not spark.catalog.tableExists(table)):
+            raise
+        if not mt._clear_orphan_location(spark, table, force=True,
+                                         min_age_s=mt.DEFAULT_ORPHAN_GRACE_S):
+            raise
+        _write()
 
 
 def dedup_latest_agg(

@@ -115,13 +115,17 @@ class WebhookNotifier:
     def send(self, notification: Notification) -> bool:
         import urllib.request
 
-        req = urllib.request.Request(
-            self.url,
-            data=json.dumps(notification.as_dict(), ensure_ascii=False).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
         try:
+            # Request construction INSIDE the try: a malformed/schemeless
+            # URL raises ValueError at construction, and the never-raise
+            # contract covers configuration errors too — a bad webhook
+            # URL must not crash a pipeline whose data work succeeded
+            req = urllib.request.Request(
+                self.url,
+                data=json.dumps(notification.as_dict(), ensure_ascii=False).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 self.last_error = None
                 return 200 <= resp.status < 300

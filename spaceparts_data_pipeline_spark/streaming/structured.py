@@ -28,8 +28,90 @@ from spaceparts_data_pipeline_spark.operators.merge import merge_into_table
 
 
 def stream_events(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    """File-source stream (one file per micro-batch by default)."""
+    """File-source stream over a directory of parquet.
+
+    NOTE: with no rate limit configured, the file source drains ALL
+    available files in ONE micro-batch (availableNow included) — callers
+    that want per-file batch granularity must set
+    ``.option("maxFilesPerTrigger", 1)`` on their own reader (the way
+    the ingest tests do); this helper deliberately leaves the trigger
+    rate unconfigured."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_tag(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Partition scope for this checkpoint INSTANCE — the batch-id
+    scope: derived from the streaming query id in
+    ``{checkpoint}/metadata``, which Spark writes at query start, keeps
+    STABLE across restarts of the same checkpoint, and REGENERATES when
+    the checkpoint is wiped. A tag derived from the checkpoint PATH
+    collides when a wiped path is reused: batch ids restart at 0 under
+    the same tag, so the new deployment's batch-0 dynamic overwrite
+    would delete the prior deployment's batch-0 documents (r16 review).
+    Falls back to the path hash when the metadata file is unreadable
+    (called before query start, exotic FS).
+
+    "r" prefix: a digits-only md5 prefix would make Spark's
+    partition-column type inference read ``ingest_run`` back as BIGINT,
+    and a later deployment's non-numeric tag then crashes the ANSI
+    string→bigint cast in the read-back filter (hit by md5 luck in the
+    round-13 suite). A leading letter pins the inferred type to STRING
+    for every corpus this writes."""
+    import hashlib
+    import json
+
+    try:
+        line = spark.read.text(os.path.join(checkpoint_dir, "metadata")).head()
+        qid = json.loads(line[0])["id"]
+        return "r" + hashlib.md5(str(qid).encode()).hexdigest()[:11]
+    except Exception:
+        return "r" + hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:11]
+
+
+def _write_batch_partition(payload: DataFrame, corpus_path: str,
+                           run_tag: str, batch_id: int, id_col: str) -> None:
+    """Dynamic-overwrite the (run_tag, batch_id) corpus partition with
+    ``payload`` ∪ the partition's EXISTING rows.
+
+    The union is the replay guard for PARTIALLY-committed store
+    appends: if the fingerprint/band/vector append crashed mid
+    job-commit, a replayed batch's screen rejects the docs whose store
+    rows became visible and would otherwise rewrite the partition
+    WITHOUT them — deleting durable corpus rows whose fingerprints
+    remain in the store, i.e. permanent loss (r16 review). Unioning the
+    already-durable partition back in makes the rewrite byte-equivalent
+    under every partial state; rows are deterministic re-derivations of
+    the same docs, so the id-keyed dropDuplicates picks identical
+    content either way. The existence probe is a pure FS check — the
+    extra pruned read job runs ONLY on the replay path.
+
+    foreachBatch runs under a CLONED session with isolated conf — the
+    dynamic-overwrite conf is set on the batch's own session."""
+    from spaceparts_data_pipeline_spark.operators import dedup
+
+    sess = payload.sparkSession
+    part_dir = os.path.join(corpus_path, f"ingest_run={run_tag}",
+                            f"ingest_batch_id={batch_id}")
+    if dedup.has_data_files(sess, part_dir):
+        existing = sess.read.parquet(corpus_path).filter(
+            (F.col("ingest_run").cast("string") == run_tag)
+            & (F.col("ingest_batch_id") == batch_id))
+        for f in payload.schema.fields:
+            existing = existing.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        payload = (payload.unionByName(existing.select(payload.columns))
+                   .dropDuplicates([id_col]))
+        # materialize BEFORE the overwrite: the union reads the very
+        # files the commit will replace — localCheckpoint finishes the
+        # read and cuts the lineage to a leaf first
+        payload = payload.localCheckpoint()
+    prior = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        payload.write.mode("overwrite").partitionBy(
+            "ingest_run", "ingest_batch_id").parquet(corpus_path)
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
 
 def windowed_counts(
@@ -139,11 +221,18 @@ def stream_upsert(
             # path expects — a plain saveAsTable here would leave the
             # table unpartitioned and every later batch on the O(table)
             # full-rewrite fallback instead of O(touched partitions).
+            # Keep-latest dedup FIRST: the merge path dedups its source
+            # to one row per key, and a batch-0 carrying two versions of
+            # one key must not create a target that permanently violates
+            # that invariant (keys never updated again would stay
+            # duplicated forever).
+            from spaceparts_data_pipeline_spark.operators.dedup import dedup_latest
             from spaceparts_data_pipeline_spark.operators.maintenance import (
                 safe_save_as_table,
             )
 
-            safe_save_as_table(batch_df, target_table, mode="overwrite",
+            safe_save_as_table(dedup_latest(batch_df, order_col=order_col, keys=keys),
+                               target_table, mode="overwrite",
                                partition_by=partition_col)
             return
         target = spark.table(target_table)
@@ -190,12 +279,16 @@ def stream_ingest_dedup(
       scope a redeployment's batch 0 would silently overwrite the prior
       deployment's batch-0 documents (whose fingerprints stay in the
       store — permanent loss). ``run_tag`` defaults to a hash of the
-      checkpoint dir, which is exactly the batch-id scope;
+      streaming query id in the checkpoint's metadata (stable across
+      restarts, regenerated on checkpoint wipe — see :func:`_run_tag`);
     - the store append is idempotent under the screen (the anti join
       reads DISTINCT fingerprints — see ``update_fingerprint_store``);
-    - corpus lands BEFORE the store append, so the only replayable
-      crash window (corpus written, store not) re-screens to the same
-      survivor set and overwrites the same partition.
+    - corpus lands BEFORE the store append, and a replayed batch's
+      rewrite unions the partition's already-durable rows back in
+      (:func:`_write_batch_partition`) — so both replayable crash
+      windows (corpus written + store not, and corpus written + store
+      PARTIALLY committed) converge to the same partition content
+      instead of dropping rows whose fingerprints became visible.
 
     The batch is persisted across the two writes: fingerprints shuffle;
     raw text goes scan→corpus without entering any exchange.
@@ -209,21 +302,17 @@ def stream_ingest_dedup(
     append, so every crash window replays to the same decisions (band
     appends are idempotent under the DISTINCT band screen exactly as
     fingerprint appends are under theirs)."""
-    import hashlib
-
     from spaceparts_data_pipeline_spark.operators import dedup, dedup_fuzzy
 
-    if run_tag is None:
-        # "r" prefix: a digits-only md5 prefix would make Spark's
-        # partition-column type inference read ingest_run back as
-        # BIGINT, and a later deployment's non-numeric tag then crashes
-        # the ANSI string->bigint cast in the read-back filter (hit by
-        # md5 luck in the round-13 suite). A leading letter pins the
-        # inferred type to STRING for every corpus this writes.
-        run_tag = "r" + hashlib.md5(
-            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:11]
+    tag_cell = {"v": run_tag}
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if tag_cell["v"] is None:
+            # resolved lazily INSIDE the batch: the checkpoint metadata
+            # (the query id the tag derives from) exists by the time the
+            # first batch runs, not necessarily when the query is built
+            tag_cell["v"] = _run_tag(spark, checkpoint_dir)
+        run_tag = tag_cell["v"]
         # read_store recovers interrupted compactions and raises on any
         # failure other than "never created" — a transient read fault
         # must NOT silently screen against an empty store.
@@ -248,18 +337,8 @@ def stream_ingest_dedup(
                 .withColumn("ingest_run", F.lit(run_tag))
                 .withColumn("ingest_batch_id", F.lit(batch_id))
             )
-            # foreachBatch runs under a CLONED session with isolated
-            # conf — set dynamic overwrite on the batch's session (the
-            # one the write executes under), not the outer one.
-            sess = batch_df.sparkSession
-            prior = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                payload.write.mode("overwrite").partitionBy(
-                    "ingest_run", "ingest_batch_id"
-                ).parquet(corpus_path)
-            finally:
-                sess.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+            _write_batch_partition(payload, corpus_path, run_tag, batch_id,
+                                   id_col=id_col)
             # Append fingerprints FROM THE DURABLE CORPUS, not the
             # in-memory survivors: a replay whose screen already finds
             # the fingerprints (survivors empty) still completes a
@@ -320,27 +399,28 @@ def stream_ingest_semdedup(
     prior run or micro-batch admitted; survivors land in the corpus
     and their ``(id, vector, sigs)`` rows extend the store.
 
-    Exactly-once by the s04 construction, unchanged: the corpus is
-    partitioned by (ingest_run, ingest_batch_id) and written with
-    dynamic partition overwrite, so a replayed micro-batch rewrites
-    its own partition; the store rows are derived FROM THE DURABLE
-    corpus after the corpus write, so every crash window replays to
-    the same decisions; store appends are idempotent under the
-    existence screen (duplicate store rows change no decision —
-    :func:`operators.similarity.incremental_semdedup`'s contract).
+    Exactly-once by the s04 construction: the corpus is partitioned by
+    (ingest_run, ingest_batch_id) and written with dynamic partition
+    overwrite (a replayed micro-batch rewrites its own partition, with
+    the partition's already-durable rows unioned back in — see
+    :func:`_write_batch_partition` for why a PARTIALLY-committed store
+    append would otherwise lose rows on replay); the store rows are
+    derived FROM THE DURABLE corpus after the corpus write, so every
+    crash window replays to the same decisions; store appends are
+    idempotent under the existence screen (duplicate store rows change
+    no decision — :func:`operators.similarity.incremental_semdedup`'s
+    contract). ``run_tag`` defaults to the checkpoint-instance scope of
+    :func:`_run_tag`.
     """
-    import hashlib
-
     from spaceparts_data_pipeline_spark.operators import (
         dedup, similarity, vector_store)
 
-    if run_tag is None:
-        # "r" prefix: see stream_ingest_dedup — keeps the ingest_run
-        # partition column STRING under partition type inference.
-        run_tag = "r" + hashlib.md5(
-            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:11]
+    tag_cell = {"v": run_tag}
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if tag_cell["v"] is None:
+            tag_cell["v"] = _run_tag(spark, checkpoint_dir)
+        run_tag = tag_cell["v"]
         store = vector_store.read_semdedup_store(spark, sem_store_prefix)
         batch_df = batch_df.persist()
         try:
@@ -353,15 +433,8 @@ def stream_ingest_semdedup(
                 .withColumn("ingest_run", F.lit(run_tag))
                 .withColumn("ingest_batch_id", F.lit(batch_id))
             )
-            sess = batch_df.sparkSession
-            prior = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                payload.write.mode("overwrite").partitionBy(
-                    "ingest_run", "ingest_batch_id"
-                ).parquet(corpus_path)
-            finally:
-                sess.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+            _write_batch_partition(payload, corpus_path, run_tag, batch_id,
+                                   id_col=id_col)
             if not dedup.has_data_files(spark, corpus_path):
                 return
             durable = spark.read.parquet(corpus_path).filter(

@@ -47,6 +47,14 @@ class TestTransports:
         assert n.send(_note()) is False
         assert n.last_error
 
+    def test_webhook_notifier_malformed_url_never_raises(self):
+        # r16 review: a schemeless URL used to raise ValueError at
+        # Request CONSTRUCTION, before the try — a misconfigured alert
+        # endpoint must not crash the pipeline either
+        n = WebhookNotifier("example.com/hook", timeout_s=2.0)
+        assert n.send(_note()) is False
+        assert n.last_error
+
     def test_file_notifier_unwritable_path_never_raises(self, tmp_path):
         n = FileNotifier(str(tmp_path / "no" / "such" / "dir" / "a.jsonl"))
         assert n.send(_note()) is False

@@ -289,3 +289,42 @@ def test_zorder_bits_capped_to_sign_bit(spark, sf_small):
             e.select(*(F.col("event_id").alias(f"c{i}") for i in range(64))),
             [f"c{i}" for i in range(64)],
         )
+
+
+def test_write_bucketed_recovers_crash_orphan(spark):
+    """r16 review: the vector store's bucketed writes (compaction
+    targets, first-ever creates) went through a bare saveAsTable — a
+    SIGKILL mid-write leaves a catalog-less warehouse directory the
+    catalog-only recover_store_table sweep cannot heal, and every later
+    create dies with LOCATION_ALREADY_EXISTS. write_bucketed now
+    recovers the wedge the safe_save_as_table way."""
+    import os
+    import time
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS buck_orphan_db")
+    spark.catalog.setCurrentDatabase("buck_orphan_db")
+    try:
+        loc = None
+        for row in spark.sql("DESCRIBE DATABASE buck_orphan_db").collect():
+            if row[0] == "Location":
+                loc = row[1].replace("file:", "")
+        assert loc
+        d = os.path.join(loc, "vstore_compact")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-zombie.parquet"), "w") as f:
+            f.write("not parquet")
+        old = time.time() - 3600   # backdate past the racing-writer grace
+        os.utime(os.path.join(d, "part-zombie.parquet"), (old, old))
+        os.utime(d, (old, old))
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "vec_id long, v string")
+        write_bucketed(df, "vstore_compact", ["vec_id"], num_buckets=4)
+        assert spark.table("vstore_compact").count() == 2
+        # a live-table error still surfaces (recovery is catalog-LESS only)
+        bad = spark.createDataFrame([("x", 1)], "vec_id string, v long")
+        with pytest.raises(Exception):
+            write_bucketed(bad, "vstore_compact", ["vec_id"],
+                           num_buckets=4, mode="append")
+        assert spark.table("vstore_compact").count() == 2
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE buck_orphan_db CASCADE")
