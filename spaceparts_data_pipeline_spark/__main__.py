@@ -131,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.database}")
     spark.catalog.setCurrentDatabase(args.database)
 
+    # crash-state sweep at the entrypoint (the contract SCALING.md
+    # documents): with --warehouse a killed PREVIOUS run can leave
+    # staged-swap states on tables this run only reads — most visibly
+    # the view-missing state, where the table name doesn't resolve at
+    # all. Catalog ops only; no data reads. The library path
+    # (plans.runner.run_pipeline) runs the same sweep itself, but this
+    # CLI composes the layers directly and must open with it too.
+    from spaceparts_data_pipeline_spark.operators.maintenance import recover_all
+
+    recovered = recover_all(spark)
+
     from spaceparts_data_pipeline_spark.sources.files import load_landing_dir
 
     sources, landing_quarantined, parents = load_landing_dir(spark, args.source_dir)
@@ -211,10 +222,17 @@ def main(argv: list[str] | None = None) -> int:
         "tables": {
             layer: {
                 t: r.get("records") for t, r in info.get("tables", {}).items()
-            } if isinstance(info, dict) and "tables" in info else info.get("status", info)
-            for layer, info in (result.items() if args.mode == "full" else result.items())
-            if isinstance(info, dict)
+            } if "tables" in info else info.get("status", info)
+            for layer, info in result.items()
+            # only real layers: both result shapes also carry dict-valued
+            # bookkeeping keys ('recovered' in full mode,
+            # 'log_flush_errors' in incremental) that must not render as
+            # pipeline layers in the machine-readable summary
+            if layer in ("bronze", "silver", "gold") and isinstance(info, dict)
         },
+        **({"recovered": recovered} if recovered else {}),
+        **({"log_flush_errors": result["log_flush_errors"]}
+           if result.get("log_flush_errors") else {}),
     }
     print(json.dumps(summary, default=str))
     return 0 if status == "success" else 1

@@ -110,6 +110,8 @@ def _split_db(table: str) -> tuple[str | None, str]:
 
 
 def _strip_scheme(p: str) -> str:
+    """URI → bare path (test support: normalizes ``_db_location`` output
+    for comparison against local paths)."""
     return re.sub(r"^[a-z][a-z0-9+.-]*:(//)?", "", p or "").rstrip("/")
 
 
@@ -309,7 +311,14 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
         rows = spark.sql(f"SHOW TABLES{scope} LIKE '{t}__v*'").collect()
     except Exception:
         return []
-    pat = re.compile(re.escape(t) + r"__v(\d+)$")
+    # IGNORECASE: the metastore lowercases identifiers while callers may
+    # pass mixed case (store_table_prefix is caller-supplied) — a
+    # case-sensitive match saw zero versions, so retention never pruned
+    # and crash recovery skipped the versioned branch entirely.
+    # SHOW TABLES LIKE itself matches case-insensitively, so the rows
+    # arrive regardless of the argument's case; only this regex filtered
+    # them out.
+    pat = re.compile(re.escape(t) + r"__v(\d+)$", re.IGNORECASE)
     matched = {}
     for r in rows:
         if r["isTemporary"]:
@@ -348,7 +357,10 @@ def current_version(spark: SparkSession, table: str) -> int | None:
     except Exception:
         return None
     _, t = _split_db(table)
-    m = re.search(re.escape(t) + r"__v(\d+)", ddl)
+    # IGNORECASE for the same metastore-lowercasing reason as
+    # :func:`list_versions` — the DDL quotes the stored (lowercased)
+    # identifier while ``table`` keeps the caller's case.
+    m = re.search(re.escape(t) + r"__v(\d+)", ddl, re.IGNORECASE)
     return int(m.group(1)) if m else None
 
 
@@ -833,17 +845,21 @@ def recover_all(spark: SparkSession, db: str | None = None) -> dict[str, str]:
         if m:
             suspects.setdefault(m.group("base"), []).append(n)
     actions = {}
+    qualify = (lambda t: f"{db}.{t}") if db else (lambda t: t)
     for base in sorted(suspects):
-        qualify = (lambda t: f"{db}.{t}") if db else (lambda t: t)
         owned = current_version(spark, qualify(base)) is not None or any(
             is_managed(spark, qualify(a)) for a in suspects[base]
         )
         if not owned:
             continue
         try:
-            act = recover_staged_swap(spark, base)
+            # recovery must address the same database the ownership probes
+            # did — an unqualified name here resolved in the CURRENT
+            # database, so recover_all(db='analytics') from 'default'
+            # repaired (or mutated) default's same-named tables instead
+            act = recover_staged_swap(spark, qualify(base))
         except Exception as exc:  # noqa: BLE001 — sweep must not block the run
             act = f"recovery_error: {str(exc)[:120]}"
         if act:
-            actions[base] = act
+            actions[qualify(base)] = act
     return actions

@@ -182,8 +182,15 @@ def merge_into_table(
 
         merged = merge_upsert(target, source.select(*target.columns), keys, order_col=order_col)
         # staged swap: materializes the merge before the old table drops,
-        # so no executor-memory checkpoint and a crash can't lose the table
-        overwrite_via_staging(spark, table, merged)
+        # so no executor-memory checkpoint and a crash can't lose the table.
+        # Preserve the target's REAL partition layout (re-probed: this
+        # branch is also reached when the first metadata probe failed
+        # transiently, or when partition_col names a column the table is
+        # not actually partitioned on) — a bare staged rewrite would
+        # silently promote an UNPARTITIONED new version, and every later
+        # merge would permanently take this full-rewrite path.
+        overwrite_via_staging(spark, table, merged,
+                              partition_by=physical_partition_cols(spark, phys) or None)
 
 
 def scd2_history(

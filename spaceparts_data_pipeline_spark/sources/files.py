@@ -93,7 +93,15 @@ def _sink_corrupt(
     """Append corrupt raw lines to the landing quarantine table, stamped
     with their file of origin — idempotent on re-ingestion of the same
     file (anti-join on (raw_record, landing_file), mirroring the silver
-    quarantine's exactly-once contract at landing granularity)."""
+    quarantine's exactly-once contract at landing granularity). Returns
+    the number of NEW lines appended by this call (a re-ingested file
+    whose lines are all already quarantined reports 0, not the sink's
+    cumulative total). The append rides
+    :func:`~spaceparts_data_pipeline_spark.operators.maintenance.
+    safe_save_as_table` so a crash orphan on the quarantine sink's
+    first-ever create can't wedge every later pipeline run."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
+
     out = (
         corrupt.withColumn("landing_file", F.lit(landing_file))
         .withColumn("source_format", F.lit(fmt))
@@ -102,10 +110,11 @@ def _sink_corrupt(
         seen = spark.table(sink).select("raw_record", "landing_file")
         out = out.join(seen, ["raw_record", "landing_file"], "left_anti")
     out = out.withColumn("quarantine_date", F.current_timestamp())
-    if out.isEmpty():
+    n = out.count()
+    if n == 0:
         return 0
-    out.write.mode("append").saveAsTable(sink)
-    return spark.table(sink).where(F.col("landing_file") == landing_file).count()
+    safe_save_as_table(out, sink, mode="append")
+    return n
 
 
 def load_landing_dir(

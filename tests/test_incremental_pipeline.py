@@ -501,3 +501,45 @@ def test_quarantine_sink_survives_schema_drift(spark, inc_db):
     # basis changed) — documented; the new-schema rows both land once
     assert rows.get("oBAD2") == "app"
     assert q.filter(q.order_number == "oBAD2").count() == 1
+
+
+def test_merge_fallback_preserves_physical_partitioning(spark, inc_db):
+    """r16 review finding: merge_into_table's full-rewrite fallback
+    staged the merge WITHOUT partitionBy, silently promoting an
+    UNPARTITIONED new version — after which every later merge
+    permanently took the full-rewrite path (the partition probe no
+    longer saw the column)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.operators.maintenance import resolve_physical
+    from spaceparts_data_pipeline_spark.operators.merge import (
+        merge_into_table, physical_partition_cols,
+    )
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.to_date(F.lit("2025-01-15")).alias("billing_date"),
+        (F.col("id") * 1.0).alias("v"),
+    ).withColumn("p_month", F.trunc("billing_date", "month"))
+    base.write.mode("overwrite").partitionBy("p_month").saveAsTable("gold_fb")
+
+    delta = spark.createDataFrame(
+        [(3, dtm.date(2025, 1, 20), 333.0)], "k long, billing_date date, v double"
+    ).withColumn("p_month", F.trunc("billing_date", "month"))
+    # partition_col omitted -> the full-rewrite fallback
+    merge_into_table(spark, "gold_fb", delta, ["k"])
+
+    phys = resolve_physical(spark, "gold_fb")
+    assert phys != "gold_fb"                        # staged swap promoted a version
+    assert physical_partition_cols(spark, phys) == ["p_month"]
+    t = spark.table("gold_fb")
+    assert t.count() == 10
+    assert t.filter(F.col("k") == 3).collect()[0]["v"] == 333.0
+    # the preserved layout keeps the partition-scoped merge path alive
+    delta2 = spark.createDataFrame(
+        [(4, dtm.date(2025, 1, 21), 444.0)], "k long, billing_date date, v double"
+    ).withColumn("p_month", F.trunc("billing_date", "month"))
+    merge_into_table(spark, "gold_fb", delta2, ["k"], partition_col="p_month")
+    assert spark.table("gold_fb").filter(F.col("k") == 4).collect()[0]["v"] == 444.0

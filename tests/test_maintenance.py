@@ -978,3 +978,58 @@ def test_db_location_always_reflects_current_catalog_state(spark, tmp_path):
     spark.sql(f"CREATE DATABASE defloc_db LOCATION '{loc_a}'")
     assert _strip_scheme(_db_location(spark, "defloc_db")) == loc_a
     spark.sql("DROP DATABASE defloc_db CASCADE")
+
+
+def test_recover_all_scopes_recovery_to_the_given_db(spark, maint_db):
+    """r16 review finding: ``recover_all(db=...)`` probed ownership with
+    db-qualified names but ran ``recover_staged_swap`` on the
+    UNQUALIFIED base — the repair resolved in the CURRENT database,
+    leaving the target db's crashed view missing and mutating any
+    same-named artifacts the current db happened to hold."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        _mark_managed, recover_all,
+    )
+
+    # decoy in the CURRENT db (maint_db): a healthy user layout whose
+    # names collide with the target db's crashed table — the old
+    # unqualified recovery dropped this staging table
+    spark.range(3).write.mode("overwrite").saveAsTable("sw_x")
+    spark.createDataFrame([(9,)], "id long").write.mode("overwrite") \
+        .saveAsTable("sw_x__staging")
+    spark.sql("CREATE DATABASE IF NOT EXISTS maint_db_other")
+    try:
+        # crashed mid-migration state in the TARGET db: version exists,
+        # view missing
+        spark.createDataFrame([(1,)], "id long").write.mode("overwrite") \
+            .saveAsTable("maint_db_other.sw_x__v1")
+        _mark_managed(spark, "maint_db_other.sw_x__v1")
+
+        actions = recover_all(spark, db="maint_db_other")
+
+        assert actions == {"maint_db_other.sw_x": "recreated_view"}
+        assert [r["id"] for r in spark.table("maint_db_other.sw_x").collect()] == [1]
+        # the current db's same-named tables are untouched
+        assert spark.catalog.tableExists("sw_x__staging")
+        assert spark.table("sw_x").count() == 3
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS maint_db_other CASCADE")
+
+
+def test_version_probes_accept_mixed_case_names(spark, maint_db):
+    """r16 review finding: the metastore lowercases identifiers, and
+    ``SHOW TABLES LIKE`` matches case-insensitively — but the Python
+    regexes in ``list_versions`` / ``current_version`` matched the
+    caller's case literally, so a mixed-case table argument (the store
+    prefix is caller-supplied) saw ZERO versions: retention never
+    pruned, and crash recovery skipped the versioned branch."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        current_version, list_versions, resolve_physical,
+    )
+
+    spark.range(2).write.mode("overwrite").saveAsTable("mcase_store__v3")
+    spark.sql("CREATE OR REPLACE VIEW mcase_store AS SELECT * FROM mcase_store__v3")
+    assert list_versions(spark, "MCase_Store") == [3]
+    assert current_version(spark, "MCase_Store") == 3
+    # the resolved physical name keeps the caller's case — SQL
+    # identifiers are case-insensitive, so it still resolves
+    assert spark.table(resolve_physical(spark, "MCase_Store")).count() == 2

@@ -5,6 +5,7 @@ behavior, then an incremental round with updates + inserts."""
 from __future__ import annotations
 
 import datetime as dt
+import json
 import uuid
 
 import pytest
@@ -1211,3 +1212,83 @@ def test_line_dedup_pass_all_text_empty_returns_zero_stats(spark, tmp_path):
     stats0 = run_line_dedup_pass(spark, empty)
     assert stats0 == {"input": 0, "kept": 0, "lines_removed": 0,
                       "out": empty + "/corpus_lines_clean"}
+
+
+def test_cli_summary_keeps_bookkeeping_out_of_tables(spark, tmp_path, capsys, monkeypatch):
+    """r16 review finding: the incremental summary's 'tables' map
+    rendered the result's 'log_flush_errors' bookkeeping entry as if it
+    were a pipeline layer. It must surface as its own top-level key in
+    the machine-readable summary instead."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spaceparts_data_pipeline_spark import __main__ as cli
+    from spaceparts_data_pipeline_spark.streaming import incremental as inc_mod
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(pa.table({
+        "order_number": ["a"], "amount": [1.0],
+        "dwcreateddate": [dt.datetime(2025, 1, 1, 10, 0)],
+    }), landing / "ordersy.parquet")
+
+    def fake_incremental(spark_, sources, ts_col="dwcreateddate", skip_gold=False):
+        return {
+            "bronze": {"ordersy": {"table": "ordersy", "status": "success"}},
+            "silver": {"ordersy": {"table": "ordersy", "status": "success"}},
+            "gold": {},
+            "execution_id": "e-synthetic",
+            "log_flush_errors": {"bronze": "synthetic flush failure"},
+        }
+
+    monkeypatch.setattr(inc_mod, "run_incremental_pipeline", fake_incremental)
+    db = f"cli_book_{_uuid.uuid4().hex[:8]}"
+    prev_db = spark.catalog.currentDatabase()
+    try:
+        rc = cli.main([
+            "--source-dir", str(landing), "--database", db, "--skip-gold",
+            "--mode", "incremental",
+        ])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and summary["status"] == "success"
+        assert set(summary["tables"]) == {"bronze", "silver", "gold"}
+        assert summary["log_flush_errors"] == {"bronze": "synthetic flush failure"}
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cli_opens_with_crash_recovery_sweep(spark, sf_small, tmp_path, capsys):
+    """The CLI composes layers directly (not via run_pipeline), so it
+    must open with its own recover_all sweep: a crashed staged swap
+    from a killed previous run — view missing, version table present —
+    is repaired before the layers run, and reported in the summary."""
+    import shutil
+    import uuid as _uuid
+
+    from spaceparts_data_pipeline_spark.__main__ import main
+    from spaceparts_data_pipeline_spark.operators.maintenance import _mark_managed
+
+    db = f"cli_rec_{_uuid.uuid4().hex[:8]}"
+    prev_db = spark.catalog.currentDatabase()
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        # crashed mid-migration state left by a "previous run"
+        spark.createDataFrame([(7,)], "id long").write.saveAsTable(f"{db}.legacy__v2")
+        _mark_managed(spark, f"{db}.legacy__v2")
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        shutil.copy(f"{sf_small}/region.parquet", landing / "regions.parquet")
+        rc = main(["--source-dir", str(landing), "--database", db, "--skip-gold"])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert summary["recovered"] == {"legacy": "recreated_view"}
+        assert "recovered" not in summary["tables"]
+        assert [r["id"] for r in spark.table(f"{db}.legacy").collect()] == [7]
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

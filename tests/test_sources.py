@@ -273,3 +273,83 @@ class TestFileSources:
             assert bad == ["2,notanumber,beta"]
         finally:
             parent.unpersist()
+
+
+class TestQuarantineSink:
+    """r16 review findings on the landing quarantine sink
+    (sources/files.py:_sink_corrupt)."""
+
+    def test_reports_per_call_count_not_cumulative(self, spark, tmp_path):
+        """The returned count is the lines sunk THIS call: a grown file
+        re-ingested with one new corrupt line reports 1 (not the sink's
+        cumulative total), and an unchanged re-ingest reports nothing."""
+        import uuid as _uuid
+
+        from spaceparts_data_pipeline_spark.sources import files
+
+        prefix = f"lq_{_uuid.uuid4().hex[:8]}_"
+        schemas = {"docs": "doc_id long"}
+        p = tmp_path / "docs.jsonl"
+        p.write_text('{"doc_id": 1}\nbad line one\n')
+
+        def load():
+            # honor the parent-owner contract between calls: a parent
+            # left persisted would serve run N's cached parse to run N+1
+            # over the same path (CacheManager plan-cache hit), hiding
+            # the grown file
+            _, q, parents = files.load_landing_dir(
+                spark, str(tmp_path), quarantine_prefix=prefix, schemas=schemas)
+            for parent in parents:
+                parent.unpersist()
+            return q
+
+        try:
+            assert load() == {"docs": 1}
+            # the landing file grew: ONE new corrupt line
+            p.write_text('{"doc_id": 1}\nbad line one\nbad line two\n')
+            assert load() == {"docs": 1}      # this call's lines, not 2
+            assert spark.table(prefix + "docs").count() == 2
+            # unchanged re-ingest: idempotent, nothing new to report
+            assert load() == {}
+            assert spark.table(prefix + "docs").count() == 2
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}docs")
+
+    def test_sink_recovers_crash_orphan_directory(self, spark, tmp_path):
+        """A kill mid-first-create of the quarantine sink leaves a
+        catalog-less warehouse directory; the append must recover the
+        LOCATION_ALREADY_EXISTS wedge (safe_save_as_table) instead of
+        failing every later pipeline run over that landing dir."""
+        import os
+        import time
+        import uuid as _uuid
+
+        from spaceparts_data_pipeline_spark.sources import files
+
+        prefix = f"lqo_{_uuid.uuid4().hex[:8]}_"
+        db = spark.catalog.currentDatabase()
+        loc = None
+        for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
+            if row[0] == "Location":
+                loc = row[1].replace("file:", "")
+        assert loc
+        d = os.path.join(loc, f"{prefix}docs")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-zombie.parquet"), "w") as f:
+            f.write("not parquet")
+        old = time.time() - 3600   # a real crumb is old; clear the grace window
+        os.utime(os.path.join(d, "part-zombie.parquet"), (old, old))
+        os.utime(d, (old, old))
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text('{"doc_id": 1}\nnot json\n')
+        try:
+            _, q, parents = files.load_landing_dir(
+                spark, str(tmp_path), quarantine_prefix=prefix,
+                schemas={"docs": "doc_id long"})
+            assert q == {"docs": 1}
+            assert spark.table(prefix + "docs").count() == 1
+            for parent in parents:
+                parent.unpersist()
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}docs")
