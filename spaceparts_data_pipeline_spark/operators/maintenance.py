@@ -84,6 +84,50 @@ def is_managed(spark: SparkSession, table: str) -> bool:
     return bool(rows) and str(rows[0][-1]).lower() == "true"
 
 
+def get_pipeline_prop(spark: SparkSession, table: str, key: str) -> str | None:
+    """One ``spaceparts.*`` table property of ``table`` (a PHYSICAL
+    table — views don't keep properties across CREATE OR REPLACE), or
+    None when absent/unreadable."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}('{key}')").collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    val = str(rows[0][-1])
+    # Spark renders a MISSING property as a "does not have property"
+    # message in the value slot rather than an empty result
+    return None if "does not have" in val else val
+
+
+def set_pipeline_prop(spark: SparkSession, table: str, key: str, value) -> None:
+    """Stamp a ``spaceparts.*`` property on a physical table. Durable
+    across staged swaps and compactions: :func:`overwrite_via_staging`
+    carries every ``spaceparts.*`` property (except the managed marker,
+    re-stamped fresh) from the outgoing physical version onto the new
+    one."""
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{key}'='{value}')")
+
+
+def _copy_pipeline_props(spark: SparkSession, src_table: str, dst_table: str) -> None:
+    """Carry custom ``spaceparts.*`` properties across a staged swap —
+    a property stamped on one physical version (e.g. silver's bucket
+    count) must survive overwrites and compactions of the table, which
+    create a fresh physical table each time."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {src_table}").collect()
+    except Exception:
+        return
+    props = {r["key"]: r["value"] for r in rows
+             if r["key"].startswith("spaceparts.") and r["key"] != MANAGED_PROP}
+    if props:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        try:
+            spark.sql(f"ALTER TABLE {dst_table} SET TBLPROPERTIES ({kv})")
+        except Exception:
+            pass  # advisory metadata; the swap itself must not fail on it
+
+
 #: How many complete generations (current + predecessors) the versioned
 #: swap retains. 2 = current + one grace copy for in-flight readers; a
 #: slow consumer (BI extract spanning several refreshes) raises it via
@@ -735,6 +779,10 @@ def overwrite_via_staging(
     w.saveAsTable(staging)
     _mark_managed(spark, staging)
     cur = current_version(spark, table)
+    src_phys = (f"{table}__v{cur}" if cur is not None
+                else (table if spark.catalog.tableExists(table) else None))
+    if src_phys:
+        _copy_pipeline_props(spark, src_phys, staging)
     if cur is None and spark.catalog.tableExists(table):
         # one-time migration from the legacy real-table layout: move the
         # old table aside so the view can take its name. A crash in here

@@ -105,19 +105,34 @@ def run_incremental(
     immediately — it carries the watermark the next run scans from, and
     deferring it would widen the crash window in which the overlap
     re-append duplicates rows."""
+    from pyspark.storagelevel import StorageLevel
+
     execution_id = execution_id or logs.new_execution_id()
     wm = logs.last_watermark(spark, control_table, table)
-    incoming = prepare(watermark_scan(source, ts_col, wm, overlap))
-    target = f"bronze_{table}"
-    if spark.catalog.tableExists(target):
-        _append_with_evolution(spark, incoming, target)
-    else:
-        from spaceparts_data_pipeline_spark.operators.maintenance import safe_save_as_table
+    # ONE materialized snapshot serves both the append and the
+    # count/watermark agg below. Without the persist the agg RE-EXECUTES
+    # the scan after the append — on a live (JDBC) source a row landing
+    # in between is counted into the new watermark but was never
+    # appended, so the next run's scan skips it forever (the overlap
+    # only shields rows within its window); on static parquet it is
+    # still a wasted second full pass of the source.
+    incoming = prepare(watermark_scan(source, ts_col, wm, overlap)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        target = f"bronze_{table}"
+        if spark.catalog.tableExists(target):
+            _append_with_evolution(spark, incoming, target)
+        else:
+            from spaceparts_data_pipeline_spark.operators.maintenance import (
+                safe_save_as_table,
+            )
 
-        safe_save_as_table(incoming, target, mode="overwrite")
-    stats = incoming.agg(
-        F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("mx")
-    ).collect()[0]
+            safe_save_as_table(incoming, target, mode="overwrite")
+        stats = incoming.agg(
+            F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("mx")
+        ).collect()[0]
+    finally:
+        incoming.unpersist()
     new_wm = stats["mx"] or wm
     logs.append_control(spark, control_table, table, execution_id, new_wm, "success", stats["n"])
     if log_buffer is not None:

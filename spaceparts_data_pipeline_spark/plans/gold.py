@@ -29,6 +29,13 @@ from spaceparts_data_pipeline_spark.operators.merge import merge_into_table
 from spaceparts_data_pipeline_spark.plans import logs
 
 
+#: Per-(model, secondary-source) watermark memory for the incremental
+#: driver: records each joined dim's max watermark as of the last
+#: successful merge, so a dim refresh triggers exactly ONE full-delta
+#: merge instead of either none (stale gold) or lookback-window many.
+SECONDARY_CONTROL_TABLE = "gold_secondary_control"
+
+
 def _t(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(f"silver_{name}")
 
@@ -68,11 +75,6 @@ def build_dim_product(spark: SparkSession) -> DataFrame:
             "weight_tonnes", "color", "material",
         )
     )
-
-
-_MONETARY_SALES_COLS = (
-    "net_invoice_value", "net_invoice_cogs", "delivery_cost", "freight", "taxes_commercial_fees",
-)
 
 
 def build_fact_sales(spark: SparkSession) -> DataFrame:
@@ -155,6 +157,14 @@ class GoldModel:
     builder: callable
     merge_keys: list[str]
     watermark_col: str = "silver_created_date"
+    #: EVERY silver input the builder reads. ``[0]`` is the PRIMARY
+    #: source — the one whose changed rows carry the model's merge keys
+    #: and drive the changed-key restriction. The rest are secondary
+    #: (joined dims): their changes don't map to merge keys, so a fresh
+    #: row there makes the run fall back to a full-delta MERGE — a
+    #: corrected FX rate must reprice gold rows whose invoice rows never
+    #: changed. The full list also feeds the silver-availability
+    #: precondition (runner.check_gold_preconditions).
     source_tables: list[str] = field(default_factory=list)
     #: (partition_col, expr_factory): a column *derived from the merge
     #: keys* (so an upsert never moves a row across partitions). Facts
@@ -174,20 +184,20 @@ def _bucket_of(col: str, n: int = 16):
 
 MODELS: list[GoldModel] = [
     GoldModel("gold_dim_customer", build_dim_customer, ["customer_key"],
-              source_tables=["dim_customers"],
+              source_tables=["dim_customers", "dim_regions", "dim_employees"],
               partition=("p_bucket", _bucket_of("customer_key"))),
     GoldModel("gold_dim_product", build_dim_product, ["product_key"],
-              source_tables=["dim_products"],
+              source_tables=["dim_products", "dim_brands"],
               partition=("p_bucket", _bucket_of("product_key"))),
     GoldModel("gold_fact_sales", build_fact_sales,
               ["customer_key", "product_key", "billing_date", "billing_document_number",
                "billing_document_line_item_number"],
-              source_tables=["fact_invoices"],
+              source_tables=["fact_invoices", "dim_budget_rate", "dim_invoice_doctype"],
               partition=("p_month", _month_of("billing_date"))),
     GoldModel("gold_fact_orders", build_fact_orders,
               ["customer_key", "product_key", "order_date", "sales_order_document_number",
                "sales_order_document_line_item_number"],
-              source_tables=["fact_orders"],
+              source_tables=["fact_orders", "dim_budget_rate"],
               partition=("p_month", _month_of("order_date"))),
     GoldModel("gold_fact_budget", build_fact_budget,
               ["customer_key", "product_key", "budget_month"],
@@ -200,13 +210,21 @@ MODELS: list[GoldModel] = [
 
 
 def run_full(spark: SparkSession, execution_id: str | None = None,
-             log_table: str = "gold_execution_log", models: list[GoldModel] | None = None) -> dict:
+             log_table: str = "gold_execution_log", models: list[GoldModel] | None = None,
+             log_buffer=None) -> dict:
+    """``log_buffer``: a shared ``logs.LogBuffer`` — when the caller owns
+    one (the incremental driver's per-model full-refresh fallback), the
+    success rows batch into ITS flush and this function performs no
+    flush of its own (the owner reports flush failures); without it this
+    run owns the buffer and flushes once at the end."""
     execution_id = execution_id or logs.new_execution_id()
     results = {}
     # one log append per RUN, not per model: each 1-row append is a
     # full Spark job (~0.4 s fixed), ~2.5 s across a 6-model pass;
     # failure rows still flush immediately (LogBuffer contract)
-    log_buf = logs.LogBuffer(spark, log_table)
+    owns_buffer = log_buffer is None
+    log_buf = log_buffer if log_buffer is not None else logs.LogBuffer(spark, log_table)
+    flush_err = None
     try:
         for m in models or MODELS:
             try:
@@ -226,7 +244,8 @@ def run_full(spark: SparkSession, execution_id: str | None = None,
                 log_buf.add("gold", m.name, execution_id, "failed", None, str(exc)[:500])
                 results[m.name] = {"status": "failed", "error": str(exc)}
     finally:
-        flush_err = log_buf.flush_safe()
+        if owns_buffer:
+            flush_err = log_buf.flush_safe()
     if flush_err:
         # surface the lost log rows in the layer result (same shape as a
         # table entry so _status/notify consumers handle it): the log no
@@ -272,7 +291,12 @@ def _run_incremental_models(spark, watermark, execution_id, log_table,
     for m in models or MODELS:
         try:
             if force_full_refresh or not spark.catalog.tableExists(m.name):
-                results[m.name] = run_full(spark, execution_id, log_table, models=[m])[m.name]
+                # share THIS run's buffer: a per-model nested buffer would
+                # pay a separate flush job per model, and its flush
+                # failure ('_execution_log' in the nested result) was
+                # silently discarded by the [m.name] projection
+                results[m.name] = run_full(spark, execution_id, log_table,
+                                           models=[m], log_buffer=log_buf)[m.name]
                 results[m.name]["mode"] = "full_refresh"
                 continue
             source = spark.table(f"silver_{m.source_tables[0]}")
@@ -282,16 +306,49 @@ def _run_incremental_models(spark, watermark, execution_id, log_table,
             # carries them (J8); models whose keys are derived (e.g. the
             # calendar's date_key) fall back to a full-delta MERGE.
             join_keys = [c for c in m.merge_keys if c in changed.columns]
-            if join_keys:
+            # Secondary inputs (joined dims) don't carry the merge keys,
+            # so a fresh row there can only reach gold rows whose PRIMARY
+            # rows didn't change through a FULL-delta merge: a corrected
+            # FX rate must reprice invoices that never changed. "Changed"
+            # is tracked per (model, secondary) in a control table
+            # against the secondary's OWN previously-processed max
+            # watermark — NOT against the loose lookback watermark, which
+            # would condemn the model to full merges for the entire
+            # lookback window after every routine dim refresh. One 1-row
+            # max-agg per secondary per run (dims are the small sides);
+            # the control row lands only after the merge succeeds, so a
+            # failed run re-detects the change next time.
+            pending_controls: dict[str, dt.datetime | None] = {}
+            for t in m.source_tables[1:]:
+                sec = spark.table(f"silver_{t}")
+                if m.watermark_col not in sec.columns:
+                    continue
+                cur = sec.agg(F.max(m.watermark_col)).collect()[0][0]
+                key = f"{m.name}:{t}"
+                if cur != logs.last_watermark(spark, SECONDARY_CONTROL_TABLE, key):
+                    pending_controls[key] = cur
+            if join_keys and not pending_controls:
                 # Cast the changed-side keys through the rebuilt side's
                 # types (e.g. silver TIMESTAMP → gold DATE): a raw
                 # DATE = TIMESTAMP comparison coerces DATE to midnight,
                 # silently dropping any non-midnight update from the delta.
+                # Null-safe comparison throughout: standardize_key maps
+                # 'UNKNOWN'/'N/A'/'' to NULL, so NULL merge keys are a
+                # real population — a plain equi-semi-join would silently
+                # drop their updates from the delta (merge_into_table
+                # itself matches them with eqNullSafe for the same
+                # reason).
+                from functools import reduce
+
                 rtypes = dict(rebuilt.dtypes)
                 keys_df = changed.select(
                     *[F.col(k).cast(rtypes[k]).alias(k) for k in join_keys]
                 ).distinct()
-                delta = rebuilt.join(keys_df, join_keys, "left_semi")
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [rebuilt[k].eqNullSafe(keys_df[k]) for k in join_keys],
+                )
+                delta = rebuilt.join(keys_df, cond, "left_semi")
             else:
                 delta = rebuilt
             if m.partition:
@@ -310,6 +367,9 @@ def _run_incremental_models(spark, watermark, execution_id, log_table,
                     merge_into_table(spark, m.name, delta, m.merge_keys)
             finally:
                 delta.unpersist()
+            for key, cur in pending_controls.items():
+                logs.append_control(spark, SECONDARY_CONTROL_TABLE, key,
+                                    execution_id, cur, "success")
             log_buf.add("gold", m.name, execution_id, "success", n)
             results[m.name] = {"status": "success", "records": n, "mode": "incremental"}
         except Exception as exc:  # noqa: BLE001 - per-table isolation, §3.2 status accounting

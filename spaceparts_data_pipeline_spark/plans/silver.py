@@ -32,15 +32,34 @@ from spaceparts_data_pipeline_spark.plans import logs
 #: full rewrite — it must stay constant across incremental runs.
 PARTITION_COL = "p_bucket"
 DEFAULT_N_BUCKETS = 16
+#: Physical-table property recording the bucket count a silver table was
+#: written with. The incremental merge MUST bucket its incoming keys
+#: with the same count (a mismatch routes a key's update to a different
+#: partition than its current row, leaving both) — so it reads this
+#: stamp instead of trusting a parameter. Durable across swaps and
+#: compactions via overwrite_via_staging's spaceparts.* carry-forward.
+N_BUCKETS_PROP = "spaceparts.silver.nBuckets"
 
 
 def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
+def _stored_n_buckets(spark: SparkSession, phys: str) -> int | None:
+    from spaceparts_data_pipeline_spark.operators.maintenance import get_pipeline_prop
+
+    val = get_pipeline_prop(spark, phys, N_BUCKETS_PROP)
+    try:
+        return int(val) if val is not None else None
+    except ValueError:
+        return None
+
+
 def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
                        n_buckets: int, sort_by: list[str] | None = None) -> None:
-    from spaceparts_data_pipeline_spark.operators.maintenance import overwrite_via_staging
+    from spaceparts_data_pipeline_spark.operators.maintenance import (
+        overwrite_via_staging, resolve_physical, set_pipeline_prop,
+    )
 
     out = clean.withColumn(PARTITION_COL, _bucket_expr(keys, n_buckets))
     # one shuffle by bucket so each partition dir gets few, large files
@@ -55,8 +74,11 @@ def _write_partitioned(clean: DataFrame, target: str, keys: list[str],
     # staged swap: a crash mid-write leaves the previous table intact;
     # align_writers=False — the bucket repartition + sort above IS the
     # alignment, and a second repartition would destroy the sort
-    overwrite_via_staging(clean.sparkSession, target, out,
+    spark = clean.sparkSession
+    overwrite_via_staging(spark, target, out,
                           partition_by=PARTITION_COL, align_writers=False)
+    set_pipeline_prop(spark, resolve_physical(spark, target),
+                      N_BUCKETS_PROP, n_buckets)
 
 
 #: Per-run stamp columns excluded from the quarantine identity: the same
@@ -290,6 +312,12 @@ def _run_incremental_inner(
         # version-managed targets front a view; the partition probe and
         # the insertInto need the physical table behind it
         phys = resolve_physical(spark, target)
+        # the bucket count the table was actually WRITTEN with: merging
+        # with a different count routes a key's update into a different
+        # partition than its current row — the stale copy survives and
+        # silver returns two rows for the key. Legacy tables without the
+        # stamp keep the default (all in-repo writers used it).
+        n_buckets = _stored_n_buckets(spark, phys) or DEFAULT_N_BUCKETS
         existing = spark.table(phys)
         keys = infer_keys(existing.columns, order_col)
         partitioned = (

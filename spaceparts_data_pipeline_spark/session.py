@@ -80,7 +80,32 @@ def get_spark(
         )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if persistent_warehouse:
+        # getOrCreate silently IGNORES every builder config when a
+        # session already exists in the process — including the
+        # Hive/Derby catalog, in which case every saveAsTable lands in
+        # the pre-existing session's in-memory catalog and dies with the
+        # process, discovered only when the next run finds no tables.
+        # Static confs can't be applied post-hoc, so the honest move is
+        # a loud warning (raising would break embedders who *meant* to
+        # share their session).
+        wh = os.path.join(os.path.abspath(persistent_warehouse), "tables")
+        impl = spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+        got_wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if impl != "hive" or not got_wh.replace("file:", "").startswith(wh):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "get_spark(persistent_warehouse=%r) reused an existing "
+                "SparkSession with catalogImplementation=%r, "
+                "warehouse.dir=%r — the requested persistent catalog was "
+                "NOT applied (builder configs are ignored by getOrCreate "
+                "on a live session); tables written through this session "
+                "will not survive the process. Stop the existing session "
+                "first or pass its own warehouse.", persistent_warehouse,
+                impl, got_wh)
+    return spark
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:

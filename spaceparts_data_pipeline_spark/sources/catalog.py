@@ -72,8 +72,22 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     wide = df.agg(*aggs)
+
+    # profile() is a DISCOVERY probe — it runs on raw landing frames
+    # BEFORE clean_columns sanitizes names for bronze, so column names
+    # like 'unit price' or 'weight-kg' are expected input. Backtick the
+    # generated identifiers (and escape quotes in the name literal) or
+    # the stack() expression fails to parse.
+    def bt(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def lit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_expr = ", ".join(
-        f"'{c}', {c}__rows, {c}__non_null, {c}__distinct, {c}__min, {c}__max" for c in columns
+        f"{lit(c)}, {bt(c + '__rows')}, {bt(c + '__non_null')}, "
+        f"{bt(c + '__distinct')}, {bt(c + '__min')}, {bt(c + '__max')}"
+        for c in columns
     )
     return wide.selectExpr(
         f"stack({len(columns)}, {stack_expr}) as (column_name, rows, non_null, approx_distinct, min_value, max_value)"

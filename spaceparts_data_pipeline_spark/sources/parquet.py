@@ -43,8 +43,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # scoped to THIS read: the legacy conf changes the schema of any
+        # TIMESTAMP(NANOS) parquet read session-wide (bigint instead of
+        # the loud unsupported-type error), so leaking it would let an
+        # unrelated later read silently mis-type. The read's own schema
+        # is resolved eagerly inside spark.read.parquet, and execution
+        # keeps the resolved schema after the conf is restored
+        # (verified against a real NANOS file).
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:

@@ -543,3 +543,205 @@ def test_merge_fallback_preserves_physical_partitioning(spark, inc_db):
     ).withColumn("p_month", F.trunc("billing_date", "month"))
     merge_into_table(spark, "gold_fb", delta2, ["k"], partition_col="p_month")
     assert spark.table("gold_fb").filter(F.col("k") == 4).collect()[0]["v"] == 444.0
+
+
+def _mini_gold_model(gold_plan, F):
+    def build(spark_):
+        f = spark_.table("silver_fact_mini")
+        r = spark_.table("silver_dim_rate_mini").select(
+            F.col("currency").alias("r_currency"), F.col("rate").alias("eur_rate"))
+        return (
+            f.join(F.broadcast(r), f["currency"] == F.col("r_currency"), "left")
+            .select("k", (F.col("v") * F.coalesce("eur_rate", F.lit(1.0))).alias("v_eur"))
+        )
+
+    return gold_plan.GoldModel("gold_mini_sec", build, ["k"],
+                               source_tables=["fact_mini", "dim_rate_mini"])
+
+
+def test_gold_incremental_propagates_secondary_source_changes(spark, inc_db):
+    """r16 review finding: the incremental driver watermarked ONLY
+    source_tables[0], so a refreshed joined dim (a corrected FX rate)
+    never propagated to gold rows whose primary rows didn't change —
+    gold kept the stale price indefinitely with a 'success' log. A
+    secondary refresh must trigger exactly ONE full-delta merge
+    (tracked per (model, secondary) in gold_secondary_control against
+    the dim's own previous max watermark, not the loose lookback)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.plans import gold as gold_plan
+
+    t_old = dtm.datetime(2025, 1, 1, 10, 0)
+    t_new = dtm.datetime(2025, 1, 2, 10, 0)
+    spark.createDataFrame(
+        [(1, "USD", 100.0, t_old)],
+        "k long, currency string, v double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_fact_mini")
+    spark.createDataFrame(
+        [("USD", 0.9, t_old)],
+        "currency string, rate double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_dim_rate_mini")
+
+    model = _mini_gold_model(gold_plan, F)
+    wm = dtm.datetime(2025, 6, 1)   # far future: primary changed-set empty
+
+    # run 1: table absent -> full refresh; run 2: first incremental
+    # (no control history yet -> conservative full-delta, records it)
+    gold_plan.run_incremental(spark, wm, models=[model])
+    res = gold_plan.run_incremental(spark, wm, models=[model])
+    assert res["gold_mini_sec"]["status"] == "success"
+    assert spark.table("gold_mini_sec").collect()[0]["v_eur"] == pytest.approx(90.0)
+
+    # the DIM alone refreshes (full reload with a corrected rate);
+    # primary facts untouched, so the changed-key delta is empty
+    spark.createDataFrame(
+        [("USD", 0.95, t_new)],
+        "currency string, rate double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_dim_rate_mini")
+    res = gold_plan.run_incremental(spark, wm, models=[model])
+    assert res["gold_mini_sec"]["status"] == "success"
+    # the repriced value reached gold despite zero changed primary rows
+    assert spark.table("gold_mini_sec").collect()[0]["v_eur"] == pytest.approx(95.0)
+
+    # steady state: nothing changed -> no new control rows, value stable
+    n_controls = spark.table(gold_plan.SECONDARY_CONTROL_TABLE).count()
+    res = gold_plan.run_incremental(spark, wm, models=[model])
+    assert res["gold_mini_sec"]["status"] == "success"
+    assert spark.table(gold_plan.SECONDARY_CONTROL_TABLE).count() == n_controls
+    assert spark.table("gold_mini_sec").collect()[0]["v_eur"] == pytest.approx(95.0)
+
+
+def test_gold_incremental_delta_keeps_null_merge_keys(spark, inc_db):
+    """r16 review finding: the changed-key restriction used a plain
+    equi-semi-join, so an updated row whose merge key is NULL (silver's
+    standardize_key maps 'UNKNOWN'/'N/A'/'' to NULL) was silently
+    dropped from the delta — merge_into_table matches NULL keys with
+    eqNullSafe, but the delta never carried them."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.plans import gold as gold_plan
+
+    t_old = dtm.datetime(2025, 1, 1, 10, 0)
+    t_new = dtm.datetime(2025, 3, 1, 10, 0)
+    spark.createDataFrame(
+        [(1, "USD", 100.0, t_old), (None, "USD", 7.0, t_old)],
+        "k long, currency string, v double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_fact_mini")
+    spark.createDataFrame(
+        [("USD", 0.9, t_old)],
+        "currency string, rate double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_dim_rate_mini")
+
+    model = _mini_gold_model(gold_plan, F)
+    # seed gold + control history so the next run takes the RESTRICTED path
+    wm_all = dtm.datetime(2024, 1, 1)
+    gold_plan.run_incremental(spark, wm_all, models=[model])
+    gold_plan.run_incremental(spark, wm_all, models=[model])
+
+    # update ONLY the NULL-key row (fresh watermark); dim untouched
+    spark.createDataFrame(
+        [(1, "USD", 100.0, t_old), (None, "USD", 8.0, t_new)],
+        "k long, currency string, v double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_fact_mini")
+    res = gold_plan.run_incremental(spark, dtm.datetime(2025, 2, 1), models=[model])
+    assert res["gold_mini_sec"]["status"] == "success"
+    got = {r["k"]: r["v_eur"] for r in spark.table("gold_mini_sec").collect()}
+    assert got[None] == pytest.approx(8.0 * 0.9)   # NULL-key update merged
+    assert got[1] == pytest.approx(90.0)
+
+
+def test_gold_full_refresh_flush_failure_surfaces(spark, inc_db, monkeypatch):
+    """r16 review finding: the force_full_refresh branch ran run_full
+    with its own per-model LogBuffer and kept only result[m.name] —
+    the nested '_execution_log' flush-failure entry was discarded, so
+    N lost log rows looked like all-success. The nested run now shares
+    the incremental driver's buffer, whose finally-flush reports."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from spaceparts_data_pipeline_spark.plans import gold as gold_plan
+    from spaceparts_data_pipeline_spark.plans.logs import LogBuffer
+
+    spark.createDataFrame(
+        [(1, "USD", 100.0, dtm.datetime(2025, 1, 1))],
+        "k long, currency string, v double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_fact_mini")
+    spark.createDataFrame(
+        [("USD", 0.9, dtm.datetime(2025, 1, 1))],
+        "currency string, rate double, silver_created_date timestamp",
+    ).write.mode("overwrite").saveAsTable("silver_dim_rate_mini")
+
+    def boom(self):
+        if self._rows:
+            raise RuntimeError("log table unwritable")
+
+    monkeypatch.setattr(LogBuffer, "flush", boom)
+    model = _mini_gold_model(gold_plan, F)
+    res = gold_plan.run_incremental(
+        spark, dtm.datetime(2025, 6, 1), models=[model], force_full_refresh=True)
+    assert res["gold_mini_sec"]["status"] == "success"   # data landed
+    assert res["_execution_log"]["status"] == "failed"   # lost rows reported
+    assert "log table unwritable" in res["_execution_log"]["error"]
+
+
+def test_bronze_incremental_append_reads_one_snapshot(spark, inc_db, monkeypatch):
+    """r16 review finding: the count/watermark agg re-executed the
+    incoming scan AFTER the append — on a live (JDBC) source a row
+    landing in between is counted into the new watermark but was never
+    appended, so the next run skips it forever. Pin that the append
+    consumes a persisted snapshot (the agg then reads the same cache)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spaceparts_data_pipeline_spark.plans import bronze
+
+    seen = []
+    real = bronze._append_with_evolution
+
+    def spy(spark_, incoming, target):
+        seen.append(incoming.storageLevel != StorageLevel.NONE)
+        return real(spark_, incoming, target)
+
+    monkeypatch.setattr(bronze, "_append_with_evolution", spy)
+    src1 = spark.createDataFrame([("o1", 1.0, T0)], SCHEMA)
+    src2 = spark.createDataFrame([("o2", 2.0, T1)], SCHEMA)
+    bronze.run_incremental(spark, src1, "snapfact", overlap=dt.timedelta(0))
+    out = bronze.run_incremental(spark, src2, "snapfact", overlap=dt.timedelta(0))
+    assert seen == [True]            # append path saw a persisted frame
+    assert out["records"] == 1 and out["watermark"] == T1
+
+
+def test_silver_incremental_honors_table_bucket_count(spark, inc_db):
+    """r16 review finding: run_incremental hardcoded DEFAULT_N_BUCKETS
+    while run_full takes n_buckets — a table written with a different
+    bucket count got its incoming keys routed to DIFFERENT partitions
+    than their current rows, so the stale copies survived the merge and
+    silver returned two rows per updated key. The count is now stamped
+    as a physical-table property (durable across staged swaps AND
+    compaction via the spaceparts.* carry-forward) and read back by the
+    merge."""
+    from spaceparts_data_pipeline_spark.operators.maintenance import compact_table
+    from spaceparts_data_pipeline_spark.plans import silver
+
+    rows = [(f"ob{i}", float(i), T0) for i in range(8)]
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite") \
+        .saveAsTable("bronze_bk")
+    silver.run_full(spark, "bk", n_buckets=4)        # NON-default count
+
+    # property must survive a compaction (fresh physical version)
+    compact_table(spark, "silver_bk")
+
+    upd = spark.createDataFrame(
+        [(f"ob{i}", float(i) + 100.0, T1) for i in range(8)], SCHEMA)
+    silver.run_incremental(spark, "bk", upd)
+
+    t = spark.table("silver_bk")
+    assert t.count() == 8                            # no stale duplicates
+    got = {r["order_number"]: r["amount"] for r in t.collect()}
+    assert got == {f"ob{i}": float(i) + 100.0 for i in range(8)}
+    # and every row sits in a bucket consistent with the stamped count
+    assert t.agg(F.max("p_bucket")).collect()[0][0] <= 3

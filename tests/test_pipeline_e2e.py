@@ -1292,3 +1292,20 @@ def test_cli_opens_with_crash_recovery_sweep(spark, sf_small, tmp_path, capsys):
     finally:
         spark.catalog.setCurrentDatabase(prev_db)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_get_spark_warns_when_persistent_warehouse_not_applied(spark, tmp_path, caplog):
+    """r16 review finding: getOrCreate silently ignores every builder
+    config when a session already exists — get_spark(persistent_
+    warehouse=...) then returns a session whose in-memory catalog dies
+    with the process, discovered only on the next run. The mismatch
+    must at least be loudly logged."""
+    import logging
+
+    from spaceparts_data_pipeline_spark.session import get_spark
+
+    with caplog.at_level(logging.WARNING,
+                         logger="spaceparts_data_pipeline_spark.session"):
+        got = get_spark(persistent_warehouse=str(tmp_path / "wh"))
+    assert got is spark   # the pre-existing test session was reused
+    assert any("NOT applied" in r.message for r in caplog.records)

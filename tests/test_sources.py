@@ -353,3 +353,34 @@ class TestQuarantineSink:
                 parent.unpersist()
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}docs")
+
+
+def test_load_table_nanos_conf_is_read_scoped(spark, tmp_path):
+    """r16 review finding: load_table enabled
+    spark.sql.legacy.parquet.nanosAsLong session-wide for 'events' and
+    never restored it — every LATER nanosecond-timestamp parquet read
+    in the session then silently arrived as bigint instead of Spark's
+    loud unsupported-type error. The conf must be scoped to the one
+    read, and the read itself must still work after the restore."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spaceparts_data_pipeline_spark.sources.parquet import load_table
+
+    t = pa.table({
+        "ts": pa.array([dtm.datetime(2024, 1, 1, 0, 0, 1)], type=pa.timestamp("ns")),
+        "v": [1],
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"), coerce_timestamps=None)
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    assert prev is None   # precondition: nothing else leaked it
+    df = load_table(spark, str(tmp_path), "events")
+    # conf restored immediately, not after consumption
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    # and the scoped read still executes + converts after the restore
+    rows = df.collect()
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    assert rows[0]["ts"] == dtm.datetime(2024, 1, 1, 0, 0, 1)
