@@ -26,27 +26,56 @@ def tokens_col(text_col: str = "text"):
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3, out_col: str = "__sh") -> DataFrame:
+    """(id, DISTINCT word-k-gram shingle ARRAY) per document — the ONE
+    shared tokenize+shingle construction every shingle consumer builds
+    on (:func:`word_shingles` explodes it; the det MinHash twin hashes
+    it in place), so tokenization can never silently drift between the
+    xxhash64 path and its SQL-replayable md5 twin (their pinned
+    admit-set equality assumes identical shingles). Pure map-side
+    codegen: the token array is projected ONCE (never re-split per
+    element — the O(tokens²) lambda trap), and the distinct runs on the
+    per-document array, not post-explode.
+
+    The shingle expression is TOTAL (safe on ANY row, short docs
+    included): the optimizer is free to evaluate it beside — not above —
+    the ``size >= k`` filter (infer-filters-from-generate plus predicate
+    pushdown merge filters, and codegen's subexpression hoisting defeats
+    ``AND`` short-circuiting), so the earlier
+    ``element_at`` over ``sequence(0, size-k)`` form — which produces a
+    DESCENDING index sequence when ``size < k`` — crashed the moment a
+    plan change let it see an unfiltered row. Built as a ``zip_with``
+    chain over ``k`` shifted slices (the ``word_ngrams`` pattern):
+    ``slice`` of a short array is just empty."""
+    toks = tokens_col(text_col)
+    with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
+    count = F.greatest(F.size("__t") - F.lit(k - 1), F.lit(0))
+    grams = F.slice(F.col("__t"), F.lit(1), count)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(F.col("__t"), F.lit(j + 1), count),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return with_t.select(F.col(id_col), F.array_distinct(grams).alias(out_col))
+
+
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document: (id, shingle).
 
     Dedup happens BEFORE the explode via ``array_distinct`` on the
-    per-document shingle array: duplicate shingles only ever occur
-    within one document, so this is exactly equivalent to a global
-    ``.distinct()`` on (id, shingle) — but it is pure map-side codegen,
-    where the post-explode distinct was a full shuffle of raw shingle
-    strings paid by EVERY shingle consumer (exact Jaccard, MinHash,
-    contamination, canonical corpus). Measured at 8× sf0.1: x29's
-    shuffle dropped 46.5 → 4.2 MB (11×); d07 loses the exchange but
-    its bytes were already dominated by the (incompressible) signature
-    shuffle (SCALING.md).
+    per-document shingle array (:func:`shingle_arrays`): duplicate
+    shingles only ever occur within one document, so this is exactly
+    equivalent to a global ``.distinct()`` on (id, shingle) — but it is
+    pure map-side codegen, where the post-explode distinct was a full
+    shuffle of raw shingle strings paid by EVERY shingle consumer
+    (exact Jaccard, MinHash, contamination, canonical corpus). Measured
+    at 8× sf0.1: x29's shuffle dropped 46.5 → 4.2 MB (11×); d07 loses
+    the exchange but its bytes were already dominated by the
+    (incompressible) signature shuffle (SCALING.md).
     """
-    toks = tokens_col(text_col)
-    with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
-    shingle = F.transform(
-        F.sequence(F.lit(0), F.size("__t") - k),
-        lambda i: F.concat_ws(" ", *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)]),
-    )
-    return with_t.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
+    return shingle_arrays(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode("__sh").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -581,13 +610,10 @@ def minhash_lsh_pairs_det(
     Output: (id_a, id_b, n_bands) — pairs colliding in ≥1 of
     ``num_perm/rows_per_band`` bands, id_a < id_b.
     """
-    toks = tokens_col(text_col)
-    with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
-    shingle = F.transform(
-        F.sequence(F.lit(0), F.size("__t") - k),
-        lambda i: F.concat_ws(" ", *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)]),
-    )
-    sh = with_t.select(F.col(id_col), F.array_distinct(shingle).alias("__sh"))
+    # the SAME shingle construction as the xxhash64 twin (shared
+    # helper): the pinned admit-set equality between the two pipelines
+    # assumes identical tokenization, so neither may drift alone
+    sh = shingle_arrays(df, id_col, text_col, k)
     # ONE nested transform over the seed range, NOT num_perm sibling
     # array_min(transform(...)) expressions: sibling higher-order
     # functions in a single projection get their same-named lambda
