@@ -655,7 +655,16 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     distributes the decode work list without touching payload bytes.
     The actual frame decode would run through extract_features."""
     n_frames = (F.coalesce(F.col("meta_duration_ms"), F.lit(0)) / every_ms).cast("int")
-    return assets.filter(F.col("media_type") == "video").select(
-        "asset_id",
-        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
-    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    return (
+        assets.filter(F.col("media_type") == "video")
+        # no duration (metadata never extracted) or zero duration → no
+        # frames: greatest(n_frames-1, 0) used to plan a phantom frame
+        # at t=0 for these, dispatching decode work that can't exist. A
+        # short-but-real video (0 < duration < every_ms) still gets its
+        # one frame at t=0.
+        .filter(F.coalesce(F.col("meta_duration_ms"), F.lit(0)) > 0)
+        .select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
+        ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )

@@ -49,9 +49,15 @@ def type_hints(df: DataFrame) -> dict[str, dict]:
         lname = name.lower()
         if dtype in ("bigint", "long", "int"):
             mx = row.get(f"{name}__max")
-            if mx is not None and (lname.endswith("date") or lname == "month"):
-                h["epoch_unit"] = "ns" if abs(mx) > EPOCH_NS_THRESHOLD else "s"
-            elif mx is not None and abs(mx) > EPOCH_NS_THRESHOLD:
+            mn = row.get(f"{name}__min")
+            # magnitude over BOTH extremes: a pre-1970 epoch column is
+            # all-negative (max near 0), so abs(max) alone missed it —
+            # the min aggregate existed but was never read
+            mag = max(abs(v) for v in (mn, mx) if v is not None) \
+                if (mn is not None or mx is not None) else None
+            if mag is not None and (lname.endswith("date") or lname == "month"):
+                h["epoch_unit"] = "ns" if mag > EPOCH_NS_THRESHOLD else "s"
+            elif mag is not None and mag > EPOCH_NS_THRESHOLD:
                 h["epoch_unit"] = "ns"
         elif dtype == "string":
             nonnull = row.get(f"{name}__nonnull") or 0

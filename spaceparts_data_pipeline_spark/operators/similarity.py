@@ -77,7 +77,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL — not an error — when either vector has zero norm: ANSI mode
+    (Spark 4's default) makes x/0 a job-killing DIVIDE_BY_ZERO, and a
+    zero embedding is a routine artifact of failed/padded embedding
+    calls. ``nullif`` keeps the guard hoisting-proof (NULL denominator
+    divides to NULL in any evaluation order); NULL similarity then
+    drops out of threshold filters and desc top-k windows (NULLS LAST)
+    naturally — matching the numpy kernels, which drop the same rows as
+    NaN."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def knn_bruteforce(
@@ -96,7 +104,11 @@ def knn_bruteforce(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = _ensure_parallel(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("__cos", cosine(F.col("__qv"), F.col("__nv")))
+    # NULL __cos = a zero-norm side (see cosine()): such rows must not
+    # occupy top-k slots, so drop them before ranking — a zero-vector
+    # query returns NO rows, matching the vectorized numpy kernel
+    scored = pairs.withColumn("__cos", cosine(F.col("__qv"), F.col("__nv"))) \
+        .filter(F.col("__cos").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("knn_rank", F.row_number().over(w))
@@ -259,6 +271,10 @@ def assign_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     return (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("__ccos", cosine(F.col("__nv"), F.col("__cv")))
+        # zero-norm corpus vectors (NULL cosine to every centroid) are
+        # unassignable — drop them from the index rather than letting a
+        # null-ordered max_by pick an arbitrary cell
+        .filter(F.col("__ccos").isNotNull())
         .groupBy("neighbor_id")
         .agg(F.max_by(F.struct(F.col("centroid_id"), F.col("__nv")), assign_ord).alias("__best"))
         .select("neighbor_id", F.col("__best.__nv").alias("__nv"), F.col("__best.centroid_id").alias("centroid_id"))
@@ -383,6 +399,7 @@ def knn_ivf(
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("__qcos", cosine(F.col("__qv"), F.col("__cv")))
+        .filter(F.col("__qcos").isNotNull())   # zero-norm query: no probes
         .withColumn("__r", F.row_number().over(probe_w))
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "__qv", "centroid_id")
@@ -392,6 +409,7 @@ def knn_ivf(
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("__cos", cosine(F.col("__qv"), F.col("__nv")))
+        .filter(F.col("__cos").isNotNull())    # zero-norm rows: unrankable
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
@@ -1141,6 +1159,7 @@ def knn_ivf_pq(
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("__qcos", cosine(F.col("__qv"), F.col("__cv")))
+        .filter(F.col("__qcos").isNotNull())   # zero-norm query: no probes
         .withColumn("__r", F.row_number().over(probe_w))
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "centroid_id")
@@ -1171,7 +1190,12 @@ def knn_ivf_pq(
         .agg(dsum(F.col("__dot6"), "__num"),
              dsum(F.col("__c26"), "__den2"),
              F.first("__qn").alias("__qn"))
-        .withColumn("__adc", F.col("__num") / (F.col("__qn") * F.sqrt("__den2")))
+        # nullif: a zero-norm query or all-zero reconstructed codes must
+        # yield NULL, not an ANSI DIVIDE_BY_ZERO that kills the job —
+        # same contract as cosine(); NULL rows are unrankable, drop them
+        .withColumn("__adc", F.col("__num")
+                    / F.nullif(F.col("__qn") * F.sqrt("__den2"), F.lit(0.0)))
+        .filter(F.col("__adc").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__adc"),
                                                F.asc("neighbor_id"))

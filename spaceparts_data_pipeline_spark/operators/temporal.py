@@ -48,7 +48,12 @@ def asof_join(
     if clash:
         raise ValueError(f"value_cols collide with left columns: {clash}")
     r = (
-        right.groupBy(*on, F.col(right_ts).alias(left_ts))
+        # a NULL right timestamp can never satisfy right_ts <= left_ts
+        # (DuckDB ASOF agrees) — but unfiltered it sorts FIRST under the
+        # asc window order and its values would attach to every left row
+        # with no true predecessor
+        right.filter(F.col(right_ts).isNotNull())
+        .groupBy(*on, F.col(right_ts).alias(left_ts))
         .agg(F.max(F.struct(*[F.col(c) for c in value_cols])).alias("__vals"))
         .withColumn("__src", F.lit(0))
     )

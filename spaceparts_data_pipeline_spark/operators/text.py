@@ -359,7 +359,11 @@ def sequence_packing(
     """
     from pyspark.sql import Window
 
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # token_count's empty-string guard, not bare size(split(...)):
+    # split('') == [''] so a blank doc counted as ONE token, survived
+    # the n_tokens>0 filter, and shifted every later doc's packed
+    # placement in the shard by a phantom token
+    n_tok = token_count(F.col(text_col)).cast("long")
     w = (
         Window.partitionBy(shard_col).orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -691,7 +695,12 @@ def corpus_shuffle(
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    (r"\b\+?[0-9][0-9 ()-]{6,}[0-9]\b", "<PHONE>"),
+    # (?:\B\+|\b): '\b\+?' put a word boundary BETWEEN two non-word
+    # chars (space→'+'), which never matches — so ' +49 171 2345678'
+    # redacted to ' +<PHONE>' with the plus left behind. \B holds
+    # exactly where \b doesn't, so '\B\+' matches a '+' after
+    # whitespace/start; both \b and \B are in the Java∩RE2 subset.
+    (r"(?:\B\+|\b)[0-9][0-9 ()-]{6,}[0-9]\b", "<PHONE>"),
     (r"[0-9]+", "<NUM>"),
 )
 
@@ -1259,10 +1268,15 @@ def charlm_calibrate(
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q!r}")
-    scored = charlm_nll(
-        ref.select(F.monotonically_increasing_id().alias("__cid"),
-                   F.col(text_col)),
-        ref, id_col="__cid", text_col=text_col)
+    # localCheckpoint pins the nondeterministic ids: the id'd frame is
+    # referenced by TWO branches inside charlm_nll (gram stream + the
+    # left-join spine), and monotonically_increasing_id re-evaluated on
+    # a task retry / recompute can assign DIFFERENT ids per branch —
+    # silently joining scores to the wrong docs. The ref slice is small
+    # by construction, so the materialization is cheap.
+    idd = ref.select(F.monotonically_increasing_id().alias("__cid"),
+                     F.col(text_col)).localCheckpoint(eager=True)
+    scored = charlm_nll(idd, ref, id_col="__cid", text_col=text_col)
     thr = (scored.filter(F.col("n_grams") > 0)
            .agg(F.percentile("avg_nll", F.lit(q))).first()[0])
     if thr is None:
@@ -1296,10 +1310,13 @@ def dsir_calibrate(
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac!r}")
+    # same id-stability checkpoint as charlm_calibrate (the id'd frame
+    # feeds two plan branches); at 100 TB calibrate on a pool SAMPLE —
+    # this materializes (id, text) of whatever is passed in
+    idd = pool.select(F.monotonically_increasing_id().alias("__cid"),
+                      F.col(text_col)).localCheckpoint(eager=True)
     scored = dsir_importance(
-        pool.select(F.monotonically_increasing_id().alias("__cid"),
-                    F.col(text_col)),
-        target, id_col="__cid", text_col=text_col, n_buckets=n_buckets)
+        idd, target, id_col="__cid", text_col=text_col, n_buckets=n_buckets)
     thr = (scored.filter(F.col("n_feats") > 0)
            .agg(F.percentile("avg_logw", F.lit(1.0 - keep_frac))).first()[0])
     if thr is None:

@@ -438,7 +438,8 @@ def x29_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, source,
-             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
       FROM documents
     ),
     nz AS (SELECT * FROM t WHERE n_tokens > 0),
@@ -1299,8 +1300,8 @@ def x31b_bigram_topk_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r3 AS (
       SELECT event_id, c1, c2,
-             len(regexp_extract_all(s, '\b\+?[0-9][0-9 ()-]{6,}[0-9]\b')) AS c3,
-             regexp_replace(s, '\b\+?[0-9][0-9 ()-]{6,}[0-9]\b', '<PHONE>', 'g') AS s
+             len(regexp_extract_all(s, '(?:\B\+|\b)[0-9][0-9 ()-]{6,}[0-9]\b')) AS c3,
+             regexp_replace(s, '(?:\B\+|\b)[0-9][0-9 ()-]{6,}[0-9]\b', '<PHONE>', 'g') AS s
       FROM r2
     ),
     r4 AS (
@@ -1532,7 +1533,7 @@ def x34_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r3 AS (
       SELECT doc_id, source, raw,
-             regexp_replace(s, '\b\+?[0-9][0-9 ()-]{6,}[0-9]\b', '<PHONE>', 'g') AS s
+             regexp_replace(s, '(?:\B\+|\b)[0-9][0-9 ()-]{6,}[0-9]\b', '<PHONE>', 'g') AS s
       FROM r2
     ),
     red AS (
@@ -1641,7 +1642,7 @@ _C01B_TERMS: tuple[str, ...] = ("table value", "fast merge")
     ),
     r3 AS (
       SELECT doc_id, source,
-             regexp_replace(s, '\b\+?[0-9][0-9 ()-]{{6,}}[0-9]\b', '<PHONE>', 'g') AS s
+             regexp_replace(s, '(?:\B\+|\b)[0-9][0-9 ()-]{{6,}}[0-9]\b', '<PHONE>', 'g') AS s
       FROM r2
     ),
     red AS (

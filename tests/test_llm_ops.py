@@ -3134,3 +3134,90 @@ class TestDeterministicSignatures:
         ham = lambda a, b: bin(a ^ b).count("1")
         assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
         assert ham(sh[1], sh[2]) <= 12  # one swapped token nudges few bits
+
+
+class TestR16ReviewRegressions:
+    """r16 fourth-sweep review findings, each pinned."""
+
+    def test_zero_norm_embedding_yields_null_not_divide_by_zero(self, spark):
+        """Under Spark 4's default ANSI mode, cosine() against an
+        all-zero embedding raised DIVIDE_BY_ZERO and killed the whole
+        job (one failed/padded embedding call aborts a 100 TB pass).
+        Zero-norm rows must yield NULL similarity and drop out of
+        top-k/threshold consumers — matching the numpy kernels, which
+        drop the same rows as NaN."""
+        corpus = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 2.0]), (3, [2.0, 4.0])],
+            "vec_id long, embedding array<double>")
+        out = similarity.knn_bruteforce(corpus, corpus, k=2).collect()
+        by_query = {}
+        for r in out:
+            by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        # the zero vector matches nothing and is matched by nothing
+        assert 1 not in by_query
+        assert all(1 not in v for v in by_query.values())
+        assert set(by_query) == {2, 3}
+
+    def test_asof_join_ignores_null_right_timestamps(self, spark):
+        """A NULL right timestamp sorted FIRST under the window order
+        and its values attached to left rows with no true predecessor —
+        DuckDB ASOF (right_ts <= left_ts is NULL -> no match) says NULL."""
+        import datetime as dtm
+
+        from spaceparts_data_pipeline_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, dtm.datetime(2020, 1, 1))], "user long, ts timestamp")
+        right = spark.createDataFrame(
+            [(1, None, 99.0)], "user long, ts timestamp, value double")
+        out = asof_join(left, right, on=["user"], left_ts="ts",
+                        right_ts="ts", value_cols=["value"]).collect()
+        assert len(out) == 1 and out[0]["value"] is None
+
+    def test_sequence_packing_skips_blank_docs(self, spark):
+        """split('') == [''] counted a whitespace-only doc as ONE token,
+        so it survived the n_tokens>0 filter and shifted every later
+        doc's packed placement by a phantom token."""
+        docs = spark.createDataFrame(
+            [(1, "s", "a b c"), (2, "s", "   "), (3, "s", "d e")],
+            "doc_id long, source string, text string")
+        out = {r["doc_id"]: r for r in
+               text.sequence_packing(docs, capacity=4, shard_col="source").collect()}
+        assert 2 not in out                      # blank doc gone entirely
+        assert out[3]["start_seq"] == 0 and out[3]["start_offset"] == 3
+
+    def test_redact_pii_consumes_leading_plus(self, spark):
+        """'\\b\\+?' put a word boundary between two non-word chars
+        (space -> '+'), which never matches — international numbers
+        redacted to '+<PHONE>' with the plus left behind."""
+        df = spark.createDataFrame(
+            [(1, "call +49 171 2345678 now")], "id long, t string")
+        out = df.select(text.redact_pii("t").alias("r")).collect()[0]["r"]
+        assert out == "call <PHONE> now"
+
+    def test_frame_sample_plan_skips_unknown_duration(self, spark):
+        """NULL/zero duration used to plan a phantom frame at t=0; a
+        short-but-real video still gets its one frame."""
+        from spaceparts_data_pipeline_spark.operators.multimodal import frame_sample_plan
+
+        assets = spark.createDataFrame(
+            [(1, "video", None), (2, "video", 0), (3, "video", 500),
+             (4, "video", 2500), (5, "image", 9000)],
+            "asset_id long, media_type string, meta_duration_ms long")
+        out = {}
+        for r in frame_sample_plan(assets, every_ms=1000).collect():
+            out.setdefault(r["asset_id"], []).append(r["frame_ts_ms"])
+        assert 1 not in out and 2 not in out and 5 not in out
+        assert out[3] == [0]                     # short real video: one frame
+        assert out[4] == [0, 1000]
+
+    def test_type_hints_detects_negative_epoch_magnitude(self, spark):
+        """The min aggregate existed but was never read, so an
+        all-negative (pre-1970) ns-epoch column — max near zero —
+        escaped epoch detection."""
+        from spaceparts_data_pipeline_spark.operators.profiling import type_hints
+
+        df = spark.createDataFrame(
+            [(-5_000_000_000_000_000_000,), (-4_000_000_000_000_000_000,)],
+            "eventdate long")
+        assert type_hints(df)["eventdate"].get("epoch_unit") == "ns"
