@@ -26,45 +26,58 @@ def tokens_col(text_col: str = "text"):
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+def _shingle_expr(k: int):
+    """DISTINCT word-``k``-gram shingle ARRAY expression over a
+    projected token column ``__t`` — the ONE shared construction both
+    shingle shapes build on (:func:`word_shingles` explodes it; the det
+    MinHash twin via :func:`shingle_arrays` hashes it in place), so
+    tokenization can never silently drift between the xxhash64 path and
+    its SQL-replayable md5 twin (their pinned admit-set equality assumes
+    identical shingles). One ``concat_ws`` per shingle over the
+    projected ``__t`` (never re-split per element — the O(tokens²)
+    lambda trap; and NOT the ``zip_with``-chain shape, which rebuilds
+    each gram's string k−1 times: measured 2× on the single-file bench
+    layout).
+
+    PARTIAL on short docs: ``sequence(0, size-k)`` DESCENDS when
+    ``size < k`` and the ``element_at`` indices go ≤ 0 — every caller
+    must keep its ``size(__t) >= k`` filter fused in the same frame
+    (pinned by the empty-doc rows in tests/test_llm_ops.py
+    TestFuzzyDedup)."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda i: F.concat_ws(" ", *[F.element_at("__t", (i + j + 1).cast("int")) for j in range(k)]),
+    ))
+
+
 def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    k: int = 3, out_col: str = "__sh") -> DataFrame:
-    """(id, DISTINCT word-k-gram shingle ARRAY) per document — the ONE
-    shared tokenize+shingle construction every shingle consumer builds
-    on (:func:`word_shingles` explodes it; the det MinHash twin hashes
-    it in place), so tokenization can never silently drift between the
-    xxhash64 path and its SQL-replayable md5 twin (their pinned
-    admit-set equality assumes identical shingles). Pure map-side
-    codegen: the token array is projected ONCE (never re-split per
-    element — the O(tokens²) lambda trap), and the distinct runs on the
-    per-document array, not post-explode.
+    """(id, DISTINCT word-k-gram shingle ARRAY) per document — the
+    array-shaped consumer of :func:`_shingle_expr` (the det MinHash twin
+    hashes the array in place, map-side).
 
-    The shingle expression is TOTAL (safe on ANY row, short docs
-    included): the optimizer is free to evaluate it beside — not above —
-    the ``size >= k`` filter (infer-filters-from-generate plus predicate
-    pushdown merge filters, and codegen's subexpression hoisting defeats
-    ``AND`` short-circuiting), so the earlier
-    ``element_at`` over ``sequence(0, size-k)`` form — which produces a
-    DESCENDING index sequence when ``size < k`` — crashed the moment a
-    plan change let it see an unfiltered row. Built as a ``zip_with``
-    chain over ``k`` shifted slices (the ``word_ngrams`` pattern):
-    ``slice`` of a short array is just empty."""
+    The array output additionally rides a ``when(size >= k, ...)``
+    totality guard: downstream plans are free to evaluate the projected
+    array expression beside — not above — the row filter
+    (infer-filters-from-generate + predicate pushdown merge filters, and
+    codegen subexpression hoisting defeats AND short-circuiting), which
+    crashed the unguarded form on short docs. The guard is free HERE;
+    on the EXPLODED shape it forces the generator out of the fast path
+    (measured 0.7 s → 17 s on d07), which is why :func:`word_shingles`
+    keeps the original fused filter+explode form instead of wrapping
+    this function."""
     toks = tokens_col(text_col)
     with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
-    count = F.greatest(F.size("__t") - F.lit(k - 1), F.lit(0))
-    grams = F.slice(F.col("__t"), F.lit(1), count)
-    for j in range(1, k):
-        grams = F.zip_with(
-            grams, F.slice(F.col("__t"), F.lit(j + 1), count),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    return with_t.select(F.col(id_col), F.array_distinct(grams).alias(out_col))
+    total = F.when(F.size("__t") >= k, _shingle_expr(k)) \
+        .otherwise(F.array().cast("array<string>"))
+    return with_t.select(F.col(id_col), total.alias(out_col))
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document: (id, shingle).
 
     Dedup happens BEFORE the explode via ``array_distinct`` on the
-    per-document shingle array (:func:`shingle_arrays`): duplicate
+    per-document shingle array (:func:`_shingle_expr`): duplicate
     shingles only ever occur within one document, so this is exactly
     equivalent to a global ``.distinct()`` on (id, shingle) — but it is
     pure map-side codegen, where the post-explode distinct was a full
@@ -73,9 +86,16 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     at 8× sf0.1: x29's shuffle dropped 46.5 → 4.2 MB (11×); d07 loses
     the exchange but its bytes were already dominated by the
     (incompressible) signature shuffle (SCALING.md).
+
+    The filter and the exploded expression stay FUSED in one frame (the
+    shape that has run green since round 7): wrapping the guarded
+    array helper here pushed the generator off the fast path (0.7 s →
+    17 s on d07's bench) — see :func:`shingle_arrays` for the guard
+    rationale on the array shape.
     """
-    return shingle_arrays(df, id_col, text_col, k).select(
-        F.col(id_col), F.explode("__sh").alias("shingle"))
+    toks = tokens_col(text_col)
+    with_t = df.select(F.col(id_col), toks.alias("__t")).filter(F.size("__t") >= k)
+    return with_t.select(F.col(id_col), F.explode(_shingle_expr(k)).alias("shingle"))
 
 
 def jaccard_pairs(
