@@ -127,6 +127,16 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "jaccard")
 
 
+def _sig_mins(num_perm: int):
+    """The ``num_perm`` per-seed MinHash aggregate expressions over an
+    exploded ``shingle`` column — ONE definition shared by
+    :func:`minhash_signatures` and :func:`_minhash_base` so the seeded
+    hash inputs can never drift between the direct and the shared-base
+    paths."""
+    return [F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+            for seed in range(num_perm)]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -136,10 +146,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_perm`` seeded
     hash functions, the min xxhash64 over the document's shingles.
-    Output: (id, sig array<bigint>). One shuffle (groupBy id)."""
+    Output: (id, sig array<bigint>). One shuffle (groupBy id).
+
+    Shape note (r16, measured): this stays the explode →
+    ``groupBy(id).agg(min(xxhash64(seed, shingle)))`` form. A map-side
+    rewrite (nested ``transform``/``array_min`` over the shingle array,
+    zero exchange) is value-identical but 9× SLOWER on the bench
+    (d07 0.7 s → 6.3 s): higher-order-function lambdas evaluate
+    per-element outside whole-stage codegen, while the exploded shape
+    is fully codegen'd with vectorized partial aggregation — the same
+    expression-shape cliff family SCALING.md round 16 (late) records
+    for the shingle construction itself. Partial (map-side) aggregation
+    means the exchange carries one row per doc, not per shingle."""
     sh = word_shingles(df, id_col, text_col, k)
-    mins = [F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}") for seed in range(num_perm)]
-    agg = sh.groupBy(id_col).agg(*mins)
+    agg = sh.groupBy(id_col).agg(*_sig_mins(num_perm))
     return agg.select(F.col(id_col), F.array(*[f"h{s}" for s in range(num_perm)]).alias("sig"))
 
 
@@ -157,8 +177,17 @@ def band_table(
     finding (:func:`minhash_lsh_pairs`), persisted as the signature
     store for cross-run screening (:func:`incremental_near_dedup`)."""
     sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    return _band_explode(sig, id_col, num_perm, rows_per_band)
+
+
+def _band_explode(sig_df: DataFrame, id_col: str, num_perm: int,
+                  rows_per_band: int) -> DataFrame:
+    """(id, sig array) → (id, band, bucket): one row per band, bucket =
+    xxhash64 of the band's signature slice. Shared by every band-table
+    consumer so the banding geometry can never drift between the
+    direct path and the shared-base path."""
     n_bands = num_perm // rows_per_band
-    return sig.select(
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -170,6 +199,61 @@ def band_table(
             ])
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    """Band-table self-join → candidate pairs (id_a < id_b, n_bands)."""
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def _minhash_base(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    reliable: bool = False,
+) -> DataFrame:
+    """ONE materialized tokenize+shingle+hash pass for the composed LSH
+    pipelines: (id, sig array<long>, __hs array<long>) where ``sig`` is
+    the MinHash signature and ``__hs`` the distinct shingle-hash set —
+    both produced by a SINGLE explode → combined ``groupBy(id)``
+    aggregation (the per-seed mins and the ``collect_set`` share one
+    exchange; see :func:`minhash_signatures` for why the exploded shape
+    beats the map-side array rewrite 9×).
+
+    r16 optimization (guide §2.4/§8 — compute heavy bytes once, reuse
+    the narrow proxy): the d14/d16 pipelines consumed the shingle
+    construction FOUR+ times per run (signature pass per self-join
+    side, a collect_set verify-set pass per join side, and d16 repeated
+    it for the admitted band table) — the executed d14 plan scanned the
+    corpus 4x. This base is ``stage_cut`` (localCheckpoint — the
+    connected-components precedent), so each downstream consumer reads
+    a narrow LogicalRDD (~8 B/shingle + 8 B/perm per doc) instead of
+    re-tokenizing text. Values are bit-identical; only the number of
+    passes changes. The cut is EAGER and runs inside the callers'
+    timed/rebuilt region (bench times these queries with
+    rebuild=True), so no work escapes the measurement."""
+    sh = word_shingles(df, id_col, text_col, k)
+    agg = sh.groupBy(id_col).agg(
+        *_sig_mins(num_perm),
+        F.collect_set(F.xxhash64(F.col("shingle"))).alias("__hs"),
+    )
+    base = agg.select(
+        F.col(id_col),
+        F.array(*[f"h{s}" for s in range(num_perm)]).alias("sig"),
+        F.col("__hs"),
+    )
+    from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+
+    return stage_cut(base, reliable=reliable)
 
 
 def minhash_lsh_pairs(
@@ -196,14 +280,7 @@ def minhash_lsh_pairs(
     their admit sets are pinned equal by tests. (SCALING.md round 14.)
     """
     bands = band_table(df, id_col, text_col, k, num_perm, rows_per_band)
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    return _pairs_from_bands(bands, id_col)
 
 
 def connected_components(
@@ -407,6 +484,8 @@ def verified_lsh_pairs(
     num_perm: int = 16,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    base: DataFrame | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Exact-Jaccard similar pairs computed over LSH CANDIDATES only —
     the verify step of a production MinHash dedup pipeline.
@@ -434,16 +513,23 @@ def verified_lsh_pairs(
     :func:`jaccard_pairs`, so every downstream consumer
     (:func:`connected_components`, :func:`canonical_corpus`) is
     generator-agnostic.
+
+    r16 plan change (guide §2.4/§8): candidates AND verify sets now
+    derive from ONE materialized :func:`_minhash_base` pass (``base``;
+    built here when the caller doesn't share one), instead of four
+    independent tokenize+hash passes (signature per self-join side +
+    collect_set per verify side). The verify-set exchange
+    (explode → collect_set) is gone — the hash set is computed inside
+    the row from the same distinct-shingle array. Pair/jaccard values
+    are bit-identical.
     """
-    cand = minhash_lsh_pairs(df, id_col, text_col, k, num_perm, rows_per_band)
-    sets = (
-        word_shingles(df, id_col, text_col, k)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
-        .groupBy(id_col)
-        .agg(F.collect_set("__h").alias("__hs"))
-    )
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
+    if base is None:
+        base = _minhash_base(df, id_col, text_col, k, num_perm,
+                             reliable=(checkpoint == "reliable"))
+    cand = _pairs_from_bands(
+        _band_explode(base, id_col, num_perm, rows_per_band), id_col)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
     inter = F.size(F.array_intersect("__hs_a", "__hs_b"))
     return (
         cand.join(a, "id_a").join(b, "id_b")
@@ -467,6 +553,7 @@ def canonical_corpus_lsh(
     threshold: float = 0.5,
     max_iter: int = 10,
     checkpoint: str = "local",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup pipeline a training corpus actually runs at 100 TB:
     MinHash-LSH candidates → exact-Jaccard verify on candidates only
@@ -477,8 +564,15 @@ def canonical_corpus_lsh(
     bounded-input exact self-join there, linear LSH here. Equality of
     the two survivor sets on the test fixtures is pinned in
     tests/test_llm_ops.py.
+
+    ``base``: an already-materialized :func:`_minhash_base` of ``df``
+    (same id/text/k/num_perm) to share the tokenize+hash pass with a
+    surrounding pipeline (:func:`incremental_near_dedup` passes its
+    batch base so the admitted band table never re-tokenizes text).
     """
-    pairs = verified_lsh_pairs(df, id_col, text_col, k, num_perm, rows_per_band, threshold)
+    pairs = verified_lsh_pairs(df, id_col, text_col, k, num_perm,
+                               rows_per_band, threshold, base=base,
+                               checkpoint=checkpoint)
     return canonical_corpus(df, pairs, id_col=id_col, max_iter=max_iter,
                             checkpoint=checkpoint)
 
@@ -573,12 +667,24 @@ def incremental_near_dedup(
     bucket) pairs; the store side never rehydrates text; batch text
     moves scan→output only. Store growth is rows·n_bands — compact
     periodically with a distinct-rewrite if file count grows.
+
+    r16 optimization (guide §2.4): the batch's tokenize+shingle+hash
+    pass is materialized ONCE (:func:`_minhash_base`) and shared by the
+    within-batch pipeline AND the admitted band table — previously
+    ``band_table(admitted)`` re-tokenized every admitted document from
+    text (a full extra hash pass per run at num_perm=32). The admitted
+    band table is now the base's band explode semi-joined to the
+    admitted ids — row-identical (bands are a deterministic function of
+    text, and admitted ⊆ batch).
     """
+    base = _minhash_base(batch, id_col, text_col, k, num_perm,
+                         reliable=(checkpoint == "reliable"))
     admitted = canonical_corpus_lsh(
         batch, id_col, text_col, k, num_perm, rows_per_band, threshold,
-        max_iter=max_iter, checkpoint=checkpoint,
+        max_iter=max_iter, checkpoint=checkpoint, base=base,
     )
-    bands = band_table(admitted, id_col, text_col, k, num_perm, rows_per_band)
+    bands = _band_explode(base, id_col, num_perm, rows_per_band).join(
+        admitted.select(id_col), [id_col], "left_semi")
     if band_store is not None:
         hit_ids = (
             bands.join(band_store.select("band", "bucket"), ["band", "bucket"], "left_semi")
