@@ -312,6 +312,31 @@ def select_centroids(
     )
 
 
+def _share_once(df: DataFrame) -> DataFrame:
+    """Share a multiply-consumed intermediate (centroid table, PQ
+    codebook, residual/probe frame) as ONE lazy-localCheckpoint RDD so
+    every downstream consumer reads the same computed blocks instead of
+    re-running the corpus subtree that produced them. Before r16 each
+    consumer of ``cents``/``book``/``resid`` re-evaluated the whole
+    seed/refinement subtree (TakeOrdered or Lloyd pass over the
+    corpus): the executed e06b plan ran 25 parquet corpus scans per
+    query, e06 11 — a direct multiple of corpus passes at scale.
+
+    ``eager=False`` is load-bearing and MEASURED (interleaved A/B
+    min-of-5 at sf0.1, OPTIMIZATION_r16.md change 2): the eager
+    variant (driver collect / eager localCheckpoint per frame) costs
+    6-8 serial blocking driver jobs of ~0.3-0.5 s fixed latency and
+    regressed e06 +35% / e06b +18%; the lazy cut compiles the plan to
+    a leaf immediately (so composed plans stay O(1) like
+    ``lineage.stage_cut``) but materializes inside the first consuming
+    job, adding zero jobs. Not a cross-run cache — the blocks are
+    rebuilt from the parquet inputs on every invocation, inside the
+    timed region; results are unchanged because every shared subtree
+    here is deterministic (md5-ordered TakeOrdered seeds, decimal-sum
+    Lloyd means)."""
+    return df.localCheckpoint(eager=False)
+
+
 def refine_centroids(corpus: DataFrame, cents: DataFrame, iters: int = 1) -> DataFrame:
     """Lloyd refinement passes over IVF seeds: assign every corpus
     vector to its nearest centroid (:func:`assign_cells` — one
@@ -390,6 +415,11 @@ def knn_ivf(
     if kmeans_iters:
         seed_c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
         cents = refine_centroids(seed_c, cents, iters=kmeans_iters)
+    else:
+        # r16: cents is consumed by BOTH assign_cells and the probe
+        # ranking — unshared, each consumer re-ran the TakeOrdered seed
+        # pass over the corpus (refine_centroids already pins).
+        cents = _share_once(cents)
     # corpus → nearest centroid (by cosine), one broadcast pass
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)
@@ -1004,6 +1034,7 @@ def pq_codebooks(
     m: int = 8,
     k_pq: int = 16,
     kmeans_iters: int = 1,
+    share: bool = True,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the vector space
@@ -1018,6 +1049,17 @@ def pq_codebooks(
 
     Output: (sub, code, sub_cv) — m·k_pq rows, always broadcastable.
     ``code`` is the seed vector's source id (stable, oracle-friendly).
+
+    ``share`` routes the seed/iteration frames through
+    :func:`_share_once` (lazy lineage cut, computed once for all
+    consumers). Values are identical either way; callers choose by
+    MEASUREMENT (OPTIMIZATION_r16.md changes 2-3): the residual
+    pipeline (e06b) wins with sharing because its training input is
+    already a narrow cut leaf, while the plain-corpus pipeline (e06)
+    measured consistently FASTER unshared at bench scale — its
+    duplicated seed subtrees are latency-cheap parallel stages, and
+    the row-based RDD leaf costs more than the vectorized parquet
+    re-scans it replaces.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -1034,6 +1076,12 @@ def pq_codebooks(
 
     from spaceparts_data_pipeline_spark.functions.scalars import davg
 
+    # r16: each Lloyd iteration references ``book`` twice (the assign
+    # join and the empty-cell coalesce), so an unshared book re-ran the
+    # seed TakeOrdered 2^iters times per consumer; share the m·k_pq-row
+    # frame at the seed stage and after every refinement.
+    if share:
+        book = _share_once(book)
     sub_vecs = corpus.select(
         F.col(id_col).alias("__vid"),
         F.posexplode(F.array(*[
@@ -1065,6 +1113,8 @@ def pq_codebooks(
             .select("sub", "code",
                     F.coalesce("__mv", "sub_cv").alias("sub_cv"))
         )
+        if share:
+            book = _share_once(book)
     return book
 
 
@@ -1122,8 +1172,15 @@ def knn_ivf_pq(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
+    # r16: deliberately UNSHARED (share=False, plain cents/book) — the
+    # full lazy-share variant was A/B-measured at +0.6-1.5 s on this
+    # query (3 interleaved rounds, flat controls): its duplicated
+    # seed/Lloyd subtrees are latency-cheap parallel stages at bench
+    # scale, and the row-based RDD leaves cost more than the vectorized
+    # parquet re-scans they replace. The residual pipeline below keeps
+    # the share (measured win). Watch item for the next round.
     book = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim,
-                        m=m, k_pq=k_pq, kmeans_iters=pq_iters)
+                        m=m, k_pq=k_pq, kmeans_iters=pq_iters, share=False)
     book = book.withColumn(
         "__c2",
         F.aggregate(F.transform("sub_cv",
@@ -1243,20 +1300,33 @@ def knn_ivf_pq_residual(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
 
-    cents = select_centroids(corpus, id_col=id_col, vec_col=vec_col,
-                             n_centroids=n_centroids)
+    from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+
+    # r16: the residual frame feeds the codebook trainer (seed pass +
+    # Lloyd pass) AND the encoder — unshared, each of those consumers
+    # re-ran scan → assign_cells → residual join from parquet (the
+    # static e06b plan held 50 parquet scans, the executed one 25).
+    # ``resid`` is corpus-sized, so it takes a lazy stage_cut (the
+    # connected_components machinery, eager=False per the measured
+    # serial-job tax — see _share_once): one scan + one assign
+    # exchange, then every consumer reads the narrow
+    # (id, cell, residual) leaf.
+    cents = _share_once(select_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                                        n_centroids=n_centroids))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)
-    resid = (
+    resid = stage_cut(
         assigned.join(F.broadcast(cents), "centroid_id")
         .select("neighbor_id", "centroid_id",
                 F.zip_with("__nv", "__cv",
                            lambda x, y: x.cast("double") - y.cast("double"))
-                .alias("__rv"))
+                .alias("__rv")),
+        eager=False,
     )
-    book = pq_codebooks(resid, id_col="neighbor_id", vec_col="__rv",
-                        dim=dim, m=m, k_pq=k_pq, kmeans_iters=pq_iters)
+    book = _share_once(pq_codebooks(resid, id_col="neighbor_id", vec_col="__rv",
+                                   dim=dim, m=m, k_pq=k_pq,
+                                   kmeans_iters=pq_iters))
 
     enc_ord = F.struct((-F.col("__d")).alias("s"), (-F.col("code")).alias("t"))
     codes = (
@@ -1275,12 +1345,15 @@ def knn_ivf_pq_residual(
                        F.col(vec_col).alias("__qv"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("__qcos"), F.asc("centroid_id"))
-    probes = (
+    # probes feed both the residual LUT and the candidate filter; the
+    # frame is query-sized (n_q·n_probe) so it takes a lazy stage_cut
+    probes = stage_cut(
         q.crossJoin(F.broadcast(cents))
         .withColumn("__qcos", cosine(F.col("__qv"), F.col("__cv")))
         .withColumn("__r", F.row_number().over(probe_w))
         .filter(F.col("__r") <= n_probe)
-        .select("query_id", "centroid_id", "__qv", "__cv")
+        .select("query_id", "centroid_id", "__qv", "__cv"),
+        eager=False,
     )
     # per-(query, probed cell) residual LUT — 6dp-rounded terms so the
     # downstream m-way sum can go through the decimal pattern
