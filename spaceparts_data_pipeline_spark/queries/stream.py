@@ -14,6 +14,7 @@ micro-batch boundaries, which no batch SQL can express.)
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -35,11 +36,34 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+@contextlib.contextmanager
+def _nanos_read_conf(spark: SparkSession):
+    """Hold ``spark.sql.legacy.parquet.nanosAsLong=true`` across an
+    events-stream construction AND drain, restoring the prior value
+    after. Unlike the batch path (sources/parquet.load_table resolves
+    the schema once inside ``spark.read.parquet`` and scopes the conf
+    to that read), the file-stream source re-resolves the parquet
+    footer's TIMESTAMP(NANOS) on every micro-batch, so the conf must
+    span ``awaitTermination``. Restoring it afterwards closes the same
+    session-wide leak the load_table fix closed: a leaked ``true``
+    makes any unrelated later nanosecond-parquet read silently arrive
+    as bigint instead of Spark's loud unsupported-type error."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sources.parquet.load_table("events"): same
-    UTC session, same ns→µs integer truncation, via readStream."""
+    UTC session, same ns→µs integer truncation, via readStream. The
+    caller must hold :func:`_nanos_read_conf` through the drain."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the file-stream source wants a DIRECTORY of files (its basePath
@@ -82,7 +106,6 @@ def s02_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = _events_stream(spark, sf_dir)
     out_schema = "user_id bigint, event_count bigint, first_us bigint, last_us bigint"
     state_schema = "event_count bigint, first_us bigint, last_us bigint"
 
@@ -99,17 +122,19 @@ def s02_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_us": [first], "last_us": [last],
         })
 
-    q = (
-        stream.select("user_id", "ts")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    with _nanos_read_conf(spark):
+        stream = _events_stream(spark, sf_dir)
+        q = (
+            stream.select("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+            .writeStream.format("memory").queryName("s02_mem")
+            .outputMode("update").trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory").queryName("s02_mem")
-        .outputMode("update").trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     per_user = (
         spark.table("s02_mem")
         .groupBy("user_id")
@@ -137,18 +162,19 @@ def s02_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
-    )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory").queryName("s01_mem")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _nanos_read_conf(spark):
+        stream = _events_stream(spark, sf_dir)
+        agg = (
+            stream.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory").queryName("s01_mem")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("s01_mem").select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
@@ -177,20 +203,21 @@ def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py); the exact variant here is the one whose
     final state is batch-equivalent and oracle-checkable.
     """
-    stream = _events_stream(spark, sf_dir)
-    deduped = (
-        stream.select(
-            F.col("event_id"), (F.col("event_id") % 100).alias("bucket")
+    with _nanos_read_conf(spark):
+        stream = _events_stream(spark, sf_dir)
+        deduped = (
+            stream.select(
+                F.col("event_id"), (F.col("event_id") % 100).alias("bucket")
+            )
+            .dropDuplicates(["event_id"])
         )
-        .dropDuplicates(["event_id"])
-    )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory").queryName("s03_mem")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory").queryName("s03_mem")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("s03_mem")
         .groupBy("bucket")

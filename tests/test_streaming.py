@@ -563,3 +563,27 @@ def test_stream_ingest_wiped_checkpoint_reuse_keeps_prior_batches(spark, tmp_pat
     assert final == {1: "alpha", 2: "beta", 3: "gamma"}   # nothing lost
     tags_after = {r["ingest_run"] for r in spark.read.parquet(corpus).collect()}
     assert len(tags_after - tags_before) == 1             # fresh instance scope
+
+
+def test_events_stream_queries_restore_nanos_conf(spark, sf_small):
+    """r16 optimization-round greenness fix: the s01-s03 events-stream
+    queries held spark.sql.legacy.parquet.nanosAsLong=true session-wide
+    (the same leak the load_table read-scoping fix closed for the batch
+    path), which broke test_load_table_nanos_conf_is_read_scoped's
+    precondition whenever a streaming query ran first. The conf must
+    span the stream's construction AND drain (the file-stream source
+    re-resolves the footer per micro-batch) and be restored after."""
+    from spaceparts_data_pipeline_spark.queries import stream as stream_q
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if prev is not None:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        out = stream_q.QUERIES["s03_stream_dedup"](spark, sf_small)
+        n = out.agg(F.sum("n_events")).collect()[0][0]
+        assert n and n > 0                       # the drain really ran
+        assert spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", None) is None
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
