@@ -40,6 +40,35 @@ from pyspark.sql import DataFrame
 _log = logging.getLogger(__name__)
 
 
+def share_mode(df: DataFrame | None = None) -> str:
+    """Runtime override for the r16 measured shared-subtree decisions:
+    ``spark.spaceparts.shareSubtrees`` = ``auto`` (default — ship the
+    per-query choices A/B-measured in OPTIMIZATION_r16.md), ``off``
+    (disable every r16 subtree share, restoring the pre-round recompute
+    shapes), or ``on`` (enable the full-share variants, including the
+    paths measured slower at sf0.1 bench scale: e06's codebook share
+    and the d23/d24 tiny-frame gram-kernel cuts). Read at
+    query-CONSTRUCTION time so one session can interleave variants
+    rep-by-rep — the contract tools_r16/probe_share_crossover.py
+    measures the larger-scale / lower-core crossover against. Values
+    are identical in every mode (each shared subtree is deterministic
+    and the cut is pure materialization); only how many times it is
+    computed changes."""
+    spark = df.sparkSession if df is not None else None
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return "auto"
+    try:
+        mode = (spark.conf.get("spark.spaceparts.shareSubtrees", "auto")
+                or "auto").lower()
+    except Exception:
+        return "auto"
+    return mode if mode in ("auto", "off", "on") else "auto"
+
+
 def stage_cut(df: DataFrame, *, eager: bool = True, reliable: bool = False,
               unpersist: DataFrame | list | tuple | None = None) -> DataFrame:
     """Materialize ``df`` and cut its logical lineage to a leaf.

@@ -312,6 +312,15 @@ def select_centroids(
     )
 
 
+def _share_mode(df: DataFrame | None = None) -> str:
+    """See :func:`operators.lineage.share_mode` — the engine-wide
+    ``spark.spaceparts.shareSubtrees`` = auto|off|on override for the
+    r16 measured shared-subtree decisions."""
+    from spaceparts_data_pipeline_spark.operators.lineage import share_mode
+
+    return share_mode(df)
+
+
 def _share_once(df: DataFrame) -> DataFrame:
     """Share a multiply-consumed intermediate (centroid table, PQ
     codebook, residual/probe frame) as ONE lazy-localCheckpoint RDD so
@@ -333,7 +342,12 @@ def _share_once(df: DataFrame) -> DataFrame:
     rebuilt from the parquet inputs on every invocation, inside the
     timed region; results are unchanged because every shared subtree
     here is deterministic (md5-ordered TakeOrdered seeds, decimal-sum
-    Lloyd means)."""
+    Lloyd means).
+
+    ``spark.spaceparts.shareSubtrees=off`` makes this a no-op (the
+    probe's A/B leg); see :func:`_share_mode`."""
+    if _share_mode(df) == "off":
+        return df
     return df.localCheckpoint(eager=False)
 
 
@@ -1172,15 +1186,19 @@ def knn_ivf_pq(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
-    # r16: deliberately UNSHARED (share=False, plain cents/book) — the
+    # r16: deliberately UNSHARED (share only under mode "on") — the
     # full lazy-share variant was A/B-measured at +0.6-1.5 s on this
     # query (3 interleaved rounds, flat controls): its duplicated
     # seed/Lloyd subtrees are latency-cheap parallel stages at bench
     # scale, and the row-based RDD leaves cost more than the vectorized
     # parquet re-scans they replace. The residual pipeline below keeps
-    # the share (measured win). Watch item for the next round.
+    # the share (measured win). Watch item for the next round —
+    # ``spark.spaceparts.shareSubtrees=on`` re-enables the measured
+    # full-share variant for the crossover probe (see _share_mode).
+    full_share = _share_mode(corpus) == "on"
     book = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim,
-                        m=m, k_pq=k_pq, kmeans_iters=pq_iters, share=False)
+                        m=m, k_pq=k_pq, kmeans_iters=pq_iters,
+                        share=full_share)
     book = book.withColumn(
         "__c2",
         F.aggregate(F.transform("sub_cv",
@@ -1190,6 +1208,8 @@ def knn_ivf_pq(
     # coarse IVF cells (e04's seed quantizer, verbatim machinery)
     cents = select_centroids(corpus, id_col=id_col, vec_col=vec_col,
                              n_centroids=n_centroids)
+    if full_share:
+        cents = _share_once(cents)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)
@@ -1310,19 +1330,22 @@ def knn_ivf_pq_residual(
     # connected_components machinery, eager=False per the measured
     # serial-job tax — see _share_once): one scan + one assign
     # exchange, then every consumer reads the narrow
-    # (id, cell, residual) leaf.
+    # (id, cell, residual) leaf. Like _share_once, the lazy cuts here
+    # are disabled under shareSubtrees=off (the probe's pre-r16 leg).
+    _lazy_cut = (
+        (lambda frame: frame) if _share_mode(corpus) == "off"
+        else (lambda frame: stage_cut(frame, eager=False)))
     cents = _share_once(select_centroids(corpus, id_col=id_col, vec_col=vec_col,
                                         n_centroids=n_centroids))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)
-    resid = stage_cut(
+    resid = _lazy_cut(
         assigned.join(F.broadcast(cents), "centroid_id")
         .select("neighbor_id", "centroid_id",
                 F.zip_with("__nv", "__cv",
                            lambda x, y: x.cast("double") - y.cast("double"))
                 .alias("__rv")),
-        eager=False,
     )
     book = _share_once(pq_codebooks(resid, id_col="neighbor_id", vec_col="__rv",
                                    dim=dim, m=m, k_pq=k_pq,
@@ -1347,13 +1370,12 @@ def knn_ivf_pq_residual(
         F.desc("__qcos"), F.asc("centroid_id"))
     # probes feed both the residual LUT and the candidate filter; the
     # frame is query-sized (n_q·n_probe) so it takes a lazy stage_cut
-    probes = stage_cut(
+    probes = _lazy_cut(
         q.crossJoin(F.broadcast(cents))
         .withColumn("__qcos", cosine(F.col("__qv"), F.col("__cv")))
         .withColumn("__r", F.row_number().over(probe_w))
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "centroid_id", "__qv", "__cv"),
-        eager=False,
     )
     # per-(query, probed cell) residual LUT — 6dp-rounded terms so the
     # downstream m-way sum can go through the decimal pattern

@@ -18,7 +18,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spaceparts_data_pipeline_spark.operators.lineage import stage_cut
+from spaceparts_data_pipeline_spark.operators.lineage import share_mode, stage_cut
 
 PUNCT_PATTERN = r"[.,!?;:]"
 
@@ -1115,6 +1115,18 @@ def charlm_nll(
         return df.select(*cols, F.explode(char_bigrams(text_col)).alias("g"))
 
     model = _grams(train).groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    # shareSubtrees=on (OPTIMIZATION_r16.md change 4, the frame-form
+    # gram-kernel share): cut the vocab²-bounded model frame so its two
+    # broadcast consumers (model join + the ctx derivation) materialize
+    # ONE training gram explosion instead of re-running it each.
+    # REJECTED at sf0.1 bench scale by interleaved A/B (+0.6-1.5 s: the
+    # blocking materialization job costs more than the concurrent
+    # duplicate explosions) — default auto/off keeps the shipped
+    # duplicated-explosion shape; `on` exists for the larger-scale /
+    # lower-core crossover probe. Pure materialization of a
+    # deterministic frame: values identical in every mode.
+    if share_mode(train) == "on":
+        model = stage_cut(model, eager=False)
     ctx = model.groupBy(F.substring("g", 1, 1).alias("c1")).agg(
         F.sum("c12").alias("c1n"))
     vocab = char_vocab(train, text_col)
@@ -1205,8 +1217,16 @@ def dsir_importance(
 
     bd = float(n_buckets)
     tcnt = _feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    ttot = tcnt.agg(F.sum("ct").cast("double").alias("tn"))
     rcnt = _feats(docs).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # shareSubtrees=on: cut the two ≤B-row count frames so each one's
+    # two consumers (its total + the ratio join) materialize ONE
+    # feature explosion instead of two — the d24 leg of the frame-form
+    # share (see charlm_nll above; same sf0.1 rejection, same probe
+    # purpose, values identical in every mode).
+    if share_mode(docs) == "on":
+        tcnt = stage_cut(tcnt, eager=False)
+        rcnt = stage_cut(rcnt, eager=False)
+    ttot = tcnt.agg(F.sum("ct").cast("double").alias("tn"))
     rtot = rcnt.agg(F.sum("cr").cast("double").alias("rn"))
     ratio = (
         rcnt.join(tcnt, "b", "left")

@@ -535,3 +535,79 @@ def test_d07b_det_minhash_buckets_not_shingles_in_exchange(spark, sf_oracle):
             assert "shingle" not in line and "__sh" not in line and "text" not in line
     # signature construction is map-side: no exchange before the band explode
     assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_share_subtrees_conf_toggles_ivf_share_shapes(spark, sf_oracle):
+    """spark.spaceparts.shareSubtrees (r16, the crossover-probe
+    contract): `auto` (default) ships the measured per-query choices —
+    e06b's intermediates are shared RDD leaves, e06's are not; `off`
+    restores the pre-r16 recompute shapes everywhere (no RDD leaves in
+    e06b); `on` enables the full-share variant on e06 too. Values are
+    identical in every mode (checked exactly on e06, whose auto/on
+    shapes differ)."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    def plans():
+        e06 = llm.QUERIES["e06_knn_ivf_pq"](spark, sf_oracle)
+        e06b = llm.QUERIES["e06b_knn_ivf_pq_residual"](spark, sf_oracle)
+        return (e06, e06._jdf.queryExecution().executedPlan().toString(),
+                e06b._jdf.queryExecution().executedPlan().toString())
+
+    prev = spark.conf.get("spark.spaceparts.shareSubtrees", None)
+    try:
+        spark.conf.unset("spark.spaceparts.shareSubtrees")
+        e06_auto, p06_auto, p06b_auto = plans()
+        assert "Scan ExistingRDD" not in p06_auto      # e06 unshared by measurement
+        assert "Scan ExistingRDD" in p06b_auto         # e06b shared by measurement
+        assert "Scan parquet" not in p06b_auto         # every corpus pass behind the cuts
+
+        spark.conf.set("spark.spaceparts.shareSubtrees", "off")
+        e06_off, p06_off, p06b_off = plans()
+        assert "Scan ExistingRDD" not in p06_off
+        assert "Scan ExistingRDD" not in p06b_off      # pre-r16 recompute shape restored
+        assert "Scan parquet" in p06b_off
+
+        spark.conf.set("spark.spaceparts.shareSubtrees", "on")
+        e06_on, p06_on, _ = plans()
+        assert "Scan ExistingRDD" in p06_on            # full-share variant re-enabled
+
+        rows_auto = {tuple(r) for r in e06_auto.collect()}
+        assert {tuple(r) for r in e06_off.collect()} == rows_auto
+        assert {tuple(r) for r in e06_on.collect()} == rows_auto
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.spaceparts.shareSubtrees")
+        else:
+            spark.conf.set("spark.spaceparts.shareSubtrees", prev)
+
+
+def test_share_subtrees_conf_toggles_gram_kernel_cuts(spark, sf_oracle):
+    """The d23/d24 leg of the shareSubtrees contract: mode `on` cuts the
+    tiny model/count frames (plan gains RDD leaves — one gram explosion
+    per training frame instead of one per broadcast consumer); default
+    auto and `off` keep the shipped duplicated-explosion shape (the
+    sf0.1-measured winner). Values identical — the cut frames are
+    deterministic and the cut is pure materialization."""
+    from spaceparts_data_pipeline_spark.queries import llm
+
+    prev = spark.conf.get("spark.spaceparts.shareSubtrees", None)
+    try:
+        rows, plans = {}, {}
+        for mode in ("auto", "off", "on"):
+            spark.conf.set("spark.spaceparts.shareSubtrees", mode)
+            for name in ("d23_charlm_quality", "d24_dsir_importance"):
+                df = llm.QUERIES[name](spark, sf_oracle)
+                plans[(name, mode)] = \
+                    df._jdf.queryExecution().executedPlan().toString()
+                rows[(name, mode)] = {tuple(r) for r in df.collect()}
+        for name in ("d23_charlm_quality", "d24_dsir_importance"):
+            assert "Scan ExistingRDD" not in plans[(name, "auto")]
+            assert "Scan ExistingRDD" not in plans[(name, "off")]
+            assert "Scan ExistingRDD" in plans[(name, "on")]
+            assert rows[(name, "off")] == rows[(name, "auto")]
+            assert rows[(name, "on")] == rows[(name, "auto")]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.spaceparts.shareSubtrees")
+        else:
+            spark.conf.set("spark.spaceparts.shareSubtrees", prev)
