@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spaceparts_data_pipeline_spark.operators.lineage import (
+    scale_share,
+    share_mode,
+)
+
 
 def _ensure_parallel(df: DataFrame, n_hint: int | None = None) -> DataFrame:
     """Vector math via higher-order functions is CPU-heavy per row; a
@@ -312,16 +317,8 @@ def select_centroids(
     )
 
 
-def _share_mode(df: DataFrame | None = None) -> str:
-    """See :func:`operators.lineage.share_mode` — the engine-wide
-    ``spark.spaceparts.shareSubtrees`` = auto|off|on override for the
-    r16 measured shared-subtree decisions."""
-    from spaceparts_data_pipeline_spark.operators.lineage import share_mode
-
-    return share_mode(df)
-
-
-def _share_once(df: DataFrame) -> DataFrame:
+def _share_once(df: DataFrame, share: bool = True,
+                reliable: bool = False) -> DataFrame:
     """Share a multiply-consumed intermediate (centroid table, PQ
     codebook, residual/probe frame) as ONE lazy-localCheckpoint RDD so
     every downstream consumer reads the same computed blocks instead of
@@ -344,10 +341,20 @@ def _share_once(df: DataFrame) -> DataFrame:
     here is deterministic (md5-ordered TakeOrdered seeds, decimal-sum
     Lloyd means).
 
-    ``spark.spaceparts.shareSubtrees=off`` makes this a no-op (the
-    probe's A/B leg); see :func:`_share_mode`."""
-    if _share_mode(df) == "off":
+    ``share=False`` makes this a no-op — callers resolve
+    :func:`lineage.share_mode` ONCE at function entry and thread the
+    decision through, so a conf change mid-construction can never
+    build a mixed-mode query (ADVICE r16). ``reliable=True`` writes
+    the cut through the SparkContext checkpoint dir instead of
+    executor-local blocks (requires ``sc.setCheckpointDir``): local
+    checkpoint blocks die with their executor, which ABORTS (never
+    corrupts) a consuming job — fine for the idempotent bench/oracle
+    paths, worth trading for checkpoint-dir I/O on multi-hour cluster
+    runs (the ``lineage.stage_cut`` replay contract)."""
+    if not share:
         return df
+    if reliable:
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 
@@ -433,7 +440,7 @@ def knn_ivf(
         # r16: cents is consumed by BOTH assign_cells and the probe
         # ranking — unshared, each consumer re-ran the TakeOrdered seed
         # pass over the corpus (refine_centroids already pins).
-        cents = _share_once(cents)
+        cents = _share_once(cents, share=share_mode(corpus) != "off")
     # corpus → nearest centroid (by cosine), one broadcast pass
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)
@@ -1049,6 +1056,7 @@ def pq_codebooks(
     k_pq: int = 16,
     kmeans_iters: int = 1,
     share: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the vector space
@@ -1095,7 +1103,7 @@ def pq_codebooks(
     # seed TakeOrdered 2^iters times per consumer; share the m·k_pq-row
     # frame at the seed stage and after every refinement.
     if share:
-        book = _share_once(book)
+        book = _share_once(book, reliable=reliable)
     sub_vecs = corpus.select(
         F.col(id_col).alias("__vid"),
         F.posexplode(F.array(*[
@@ -1128,7 +1136,7 @@ def pq_codebooks(
                     F.coalesce("__mv", "sub_cv").alias("sub_cv"))
         )
         if share:
-            book = _share_once(book)
+            book = _share_once(book, reliable=reliable)
     return book
 
 
@@ -1186,16 +1194,18 @@ def knn_ivf_pq(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
-    # r16: deliberately UNSHARED (share only under mode "on") — the
-    # full lazy-share variant was A/B-measured at +0.6-1.5 s on this
-    # query (3 interleaved rounds, flat controls): its duplicated
-    # seed/Lloyd subtrees are latency-cheap parallel stages at bench
-    # scale, and the row-based RDD leaves cost more than the vectorized
-    # parquet re-scans they replace. The residual pipeline below keeps
-    # the share (measured win). Watch item for the next round —
-    # ``spark.spaceparts.shareSubtrees=on`` re-enables the measured
-    # full-share variant for the crossover probe (see _share_mode).
-    full_share = _share_mode(corpus) == "on"
+    # r16 measured the full lazy share at +0.6-1.5 s on the SINGLE-FILE
+    # sf0.1 bench (duplicated seed/Lloyd subtrees are latency-cheap
+    # parallel stages while cores sit idle, and the row-based RDD
+    # leaves forfeit the vectorized parquet scan) but at −18% as soon
+    # as the scan has ≥1 split per core (8-core and multi-file legs,
+    # SCALING.md "share crossover"). r17: ``auto`` now resolves that
+    # crossover per construction via lineage.scale_share — single-file
+    # low-split layouts keep the unshared shape, production multi-file
+    # layouts share. Mode is read ONCE here and threaded through so a
+    # conf change mid-construction cannot build a mixed-mode query.
+    mode = share_mode(corpus)
+    full_share = scale_share(corpus, mode)
     book = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim,
                         m=m, k_pq=k_pq, kmeans_iters=pq_iters,
                         share=full_share)
@@ -1208,8 +1218,7 @@ def knn_ivf_pq(
     # coarse IVF cells (e04's seed quantizer, verbatim machinery)
     cents = select_centroids(corpus, id_col=id_col, vec_col=vec_col,
                              n_centroids=n_centroids)
-    if full_share:
-        cents = _share_once(cents)
+    cents = _share_once(cents, share=full_share)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)
@@ -1296,6 +1305,7 @@ def knn_ivf_pq_residual(
     m: int = 8,
     k_pq: int = 16,
     pq_iters: int = 1,
+    reliable: bool = False,
 ) -> DataFrame:
     """IVFADC proper (Jégou et al. 2011 §III): PQ on the RESIDUAL
     x − c(cell) instead of the raw vector — residuals concentrate near
@@ -1315,6 +1325,14 @@ def knn_ivf_pq_residual(
     plus one extra broadcast join (cell centroid → residual). Same
     determinism toolkit (md5 seeds, decimal-Lloyd means, 6dp-rounded
     terms + decimal sums) → FULL SQL oracle.
+
+    ``reliable=True`` routes every shared intermediate (cents / resid /
+    book / probes) through the SparkContext checkpoint dir instead of
+    executor-local blocks (requires ``sc.setCheckpointDir``): the local
+    share makes this pipeline's intermediates UNRECOVERABLE on executor
+    loss — the job aborts and must re-run, acceptable for idempotent
+    bench/oracle invocations but worth the checkpoint-dir I/O on
+    multi-hour cluster runs (r16 verdict #7).
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -1332,11 +1350,14 @@ def knn_ivf_pq_residual(
     # exchange, then every consumer reads the narrow
     # (id, cell, residual) leaf. Like _share_once, the lazy cuts here
     # are disabled under shareSubtrees=off (the probe's pre-r16 leg).
+    # Mode is read ONCE and threaded through (ADVICE r16).
+    share = share_mode(corpus) != "off"
     _lazy_cut = (
-        (lambda frame: frame) if _share_mode(corpus) == "off"
-        else (lambda frame: stage_cut(frame, eager=False)))
+        (lambda frame: stage_cut(frame, eager=False, reliable=reliable))
+        if share else (lambda frame: frame))
     cents = _share_once(select_centroids(corpus, id_col=id_col, vec_col=vec_col,
-                                        n_centroids=n_centroids))
+                                        n_centroids=n_centroids),
+                        share=share, reliable=reliable)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__nv"))
     assigned = assign_cells(c, cents)
@@ -1349,7 +1370,9 @@ def knn_ivf_pq_residual(
     )
     book = _share_once(pq_codebooks(resid, id_col="neighbor_id", vec_col="__rv",
                                    dim=dim, m=m, k_pq=k_pq,
-                                   kmeans_iters=pq_iters))
+                                   kmeans_iters=pq_iters,
+                                   share=share, reliable=reliable),
+                       share=share, reliable=reliable)
 
     enc_ord = F.struct((-F.col("__d")).alias("s"), (-F.col("code")).alias("t"))
     codes = (

@@ -18,7 +18,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spaceparts_data_pipeline_spark.operators.lineage import share_mode, stage_cut
+from spaceparts_data_pipeline_spark.operators.lineage import scale_share, stage_cut
 
 PUNCT_PATTERN = r"[.,!?;:]"
 
@@ -1115,17 +1115,19 @@ def charlm_nll(
         return df.select(*cols, F.explode(char_bigrams(text_col)).alias("g"))
 
     model = _grams(train).groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
-    # shareSubtrees=on (OPTIMIZATION_r16.md change 4, the frame-form
-    # gram-kernel share): cut the vocab²-bounded model frame so its two
-    # broadcast consumers (model join + the ctx derivation) materialize
-    # ONE training gram explosion instead of re-running it each.
-    # REJECTED at sf0.1 bench scale by interleaved A/B (+0.6-1.5 s: the
-    # blocking materialization job costs more than the concurrent
-    # duplicate explosions) — default auto/off keeps the shipped
-    # duplicated-explosion shape; `on` exists for the larger-scale /
-    # lower-core crossover probe. Pure materialization of a
-    # deterministic frame: values identical in every mode.
-    if share_mode(train) == "on":
+    # Gram-kernel share (OPTIMIZATION_r16.md change 4, frame form): cut
+    # the vocab²-bounded model frame so its two broadcast consumers
+    # (model join + the ctx derivation) materialize ONE training gram
+    # explosion instead of re-running it each. On the SINGLE-FILE sf0.1
+    # bench the cut LOSES (+0.6-1.5 s: the blocking materialization job
+    # costs more than duplicate explosions running concurrently on idle
+    # cores) but WINS −14..−18% once the scan has ≥1 split per core
+    # (multi-file / larger-data legs, SCALING.md "share crossover") —
+    # r17 resolves that crossover per construction via
+    # lineage.scale_share (on → always, off → never, auto → the scan
+    # parallelism signal). Pure materialization of a deterministic
+    # frame: values identical in every mode.
+    if scale_share(train):
         model = stage_cut(model, eager=False)
     ctx = model.groupBy(F.substring("g", 1, 1).alias("c1")).agg(
         F.sum("c12").alias("c1n"))
@@ -1218,12 +1220,13 @@ def dsir_importance(
     bd = float(n_buckets)
     tcnt = _feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     rcnt = _feats(docs).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    # shareSubtrees=on: cut the two ≤B-row count frames so each one's
-    # two consumers (its total + the ratio join) materialize ONE
-    # feature explosion instead of two — the d24 leg of the frame-form
-    # share (see charlm_nll above; same sf0.1 rejection, same probe
-    # purpose, values identical in every mode).
-    if share_mode(docs) == "on":
+    # Cut the two ≤B-row count frames so each one's two consumers (its
+    # total + the ratio join) materialize ONE feature explosion instead
+    # of two — the d24 leg of the frame-form gram-kernel share (see
+    # charlm_nll above: loses at single-file sf0.1, wins −12..−29% at
+    # ≥1 scan split per core; lineage.scale_share resolves the
+    # crossover per construction, values identical in every mode).
+    if scale_share(docs):
         tcnt = stage_cut(tcnt, eager=False)
         rcnt = stage_cut(rcnt, eager=False)
     ttot = tcnt.agg(F.sum("ct").cast("double").alias("tn"))

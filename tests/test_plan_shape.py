@@ -540,9 +540,13 @@ def test_d07b_det_minhash_buckets_not_shingles_in_exchange(spark, sf_oracle):
 def test_share_subtrees_conf_toggles_ivf_share_shapes(spark, sf_oracle):
     """spark.spaceparts.shareSubtrees (r16, the crossover-probe
     contract): `auto` (default) ships the measured per-query choices —
-    e06b's intermediates are shared RDD leaves, e06's are not; `off`
-    restores the pre-r16 recompute shapes everywhere (no RDD leaves in
-    e06b); `on` enables the full-share variant on e06 too. Values are
+    e06b's intermediates are shared RDD leaves; e06's are scale-gated
+    (lineage.scale_share) and stay UNSHARED here because the
+    single-file oracle layout sits below the measured flip point
+    (the multi-file flip is pinned by
+    test_scale_share_auto_flips_on_multifile_layout); `off` restores
+    the pre-r16 recompute shapes everywhere (no RDD leaves in e06b);
+    `on` forces the full-share variant on e06 too. Values are
     identical in every mode (checked exactly on e06, whose auto/on
     shapes differ)."""
     from spaceparts_data_pipeline_spark.queries import llm
@@ -571,9 +575,11 @@ def test_share_subtrees_conf_toggles_ivf_share_shapes(spark, sf_oracle):
         e06_on, p06_on, _ = plans()
         assert "Scan ExistingRDD" in p06_on            # full-share variant re-enabled
 
-        rows_auto = {tuple(r) for r in e06_auto.collect()}
-        assert {tuple(r) for r in e06_off.collect()} == rows_auto
-        assert {tuple(r) for r in e06_on.collect()} == rows_auto
+        # sorted lists, not sets: a duplicate-row multiplicity drift
+        # between modes must fail too (ADVICE r16)
+        rows_auto = sorted(map(tuple, e06_auto.collect()))
+        assert sorted(map(tuple, e06_off.collect())) == rows_auto
+        assert sorted(map(tuple, e06_on.collect())) == rows_auto
     finally:
         if prev is None:
             spark.conf.unset("spark.spaceparts.shareSubtrees")
@@ -584,10 +590,13 @@ def test_share_subtrees_conf_toggles_ivf_share_shapes(spark, sf_oracle):
 def test_share_subtrees_conf_toggles_gram_kernel_cuts(spark, sf_oracle):
     """The d23/d24 leg of the shareSubtrees contract: mode `on` cuts the
     tiny model/count frames (plan gains RDD leaves — one gram explosion
-    per training frame instead of one per broadcast consumer); default
-    auto and `off` keep the shipped duplicated-explosion shape (the
-    sf0.1-measured winner). Values identical — the cut frames are
-    deterministic and the cut is pure materialization."""
+    per training frame instead of one per broadcast consumer); `off`
+    keeps the duplicated-explosion shape, and `auto` resolves the
+    scale_share signal — which is OFF at this single-file layout (the
+    sf0.1-measured winner; the multi-file flip is pinned by
+    test_scale_share_auto_flips_on_multifile_layout). Values identical
+    — the cut frames are deterministic and the cut is pure
+    materialization."""
     from spaceparts_data_pipeline_spark.queries import llm
 
     prev = spark.conf.get("spark.spaceparts.shareSubtrees", None)
@@ -599,7 +608,8 @@ def test_share_subtrees_conf_toggles_gram_kernel_cuts(spark, sf_oracle):
                 df = llm.QUERIES[name](spark, sf_oracle)
                 plans[(name, mode)] = \
                     df._jdf.queryExecution().executedPlan().toString()
-                rows[(name, mode)] = {tuple(r) for r in df.collect()}
+                # sorted lists so multiplicity drift fails (ADVICE r16)
+                rows[(name, mode)] = sorted(map(tuple, df.collect()))
         for name in ("d23_charlm_quality", "d24_dsir_importance"):
             assert "Scan ExistingRDD" not in plans[(name, "auto")]
             assert "Scan ExistingRDD" not in plans[(name, "off")]
@@ -611,3 +621,112 @@ def test_share_subtrees_conf_toggles_gram_kernel_cuts(spark, sf_oracle):
             spark.conf.unset("spark.spaceparts.shareSubtrees")
         else:
             spark.conf.set("spark.spaceparts.shareSubtrees", prev)
+
+
+def test_scale_share_auto_flips_on_multifile_layout(spark, sf_oracle, tmp_path):
+    """r17 (r16 verdict next-round #1): `auto` is SCALE-ADAPTIVE — the
+    conf-gated subtree shares that lose on a 1-2-split single-file scan
+    flip ON once the input scan has >= 1 splittable unit per core (the
+    measured crossover, SCALING.md r16 5a-5d / r17). Pinned here on the
+    d23 gram kernel: same data written single-file vs one-file-per-core
+    x2, auto mode — the multi-file construction gains the RDD cut leaf,
+    the single-file one stays duplicated-explosion, and the rows are
+    identical (sorted lists: multiplicity drift must fail)."""
+    import os
+
+    from spaceparts_data_pipeline_spark.operators.lineage import scale_share
+    from spaceparts_data_pipeline_spark.operators.text import charlm_nll
+
+    docs = spark.read.parquet(os.path.join(sf_oracle, "documents.parquet"))
+    cores = spark.sparkContext.defaultParallelism
+    mf_path = str(tmp_path / "documents_multifile.parquet")
+    docs.repartition(cores * 2).write.mode("overwrite").parquet(mf_path)
+    docs_mf = spark.read.parquet(mf_path)
+
+    prev = spark.conf.get("spark.spaceparts.shareSubtrees", None)
+    try:
+        spark.conf.unset("spark.spaceparts.shareSubtrees")
+        assert scale_share(docs) is False           # single file, many cores
+        assert scale_share(docs_mf) is True         # >= 1 file per core
+
+        single = charlm_nll(docs, docs)
+        multi = charlm_nll(docs_mf, docs_mf)
+        p_single = single._jdf.queryExecution().executedPlan().toString()
+        p_multi = multi._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" not in p_single   # below the flip point
+        assert "Scan ExistingRDD" in p_multi        # auto shares at scale
+
+        assert sorted(map(tuple, multi.collect())) == \
+            sorted(map(tuple, single.collect()))
+
+        # off still disables the share even on the multi-file layout
+        spark.conf.set("spark.spaceparts.shareSubtrees", "off")
+        assert scale_share(docs_mf) is False
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.spaceparts.shareSubtrees")
+        else:
+            spark.conf.set("spark.spaceparts.shareSubtrees", prev)
+
+
+def test_share_mode_validates_conf_values(spark):
+    """share_mode (ADVICE r16): whitespace/case-normalize valid values;
+    unknown values coerce to auto WITH a warning, never silently pick a
+    wrong A/B leg."""
+    import logging
+
+    from spaceparts_data_pipeline_spark.operators.lineage import share_mode
+
+    prev = spark.conf.get("spark.spaceparts.shareSubtrees", None)
+    try:
+        for raw, want in ((" ON ", "on"), ("Off", "off"), ("AUTO", "auto")):
+            spark.conf.set("spark.spaceparts.shareSubtrees", raw)
+            assert share_mode(spark.range(1)) == want
+        spark.conf.set("spark.spaceparts.shareSubtrees", "tru")
+        import spaceparts_data_pipeline_spark.operators.lineage as lineage
+
+        logger = logging.getLogger(lineage.__name__)
+        records: list[logging.LogRecord] = []
+
+        class _Cap(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        h = _Cap()
+        logger.addHandler(h)
+        try:
+            assert share_mode(spark.range(1)) == "auto"
+        finally:
+            logger.removeHandler(h)
+        assert any("unrecognized" in r.getMessage() for r in records)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.spaceparts.shareSubtrees")
+        else:
+            spark.conf.set("spark.spaceparts.shareSubtrees", prev)
+
+
+def test_share_once_reliable_routes_through_checkpoint_dir(spark, tmp_path):
+    """_share_once(reliable=True) (r16 verdict next-round #7): the
+    shared intermediate goes through the SparkContext checkpoint dir —
+    recoverable on executor loss — instead of executor-local blocks;
+    values and the leaf-cut property are unchanged."""
+    from spaceparts_data_pipeline_spark.operators.similarity import _share_once
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.range(10).selectExpr("id", "id * id AS sq")
+    local = _share_once(df, share=True)
+    rel = _share_once(df, share=True, reliable=True)
+    noop = _share_once(df, share=False)
+    assert noop is df                              # no-op when unshared
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, rel.collect())) == want
+    assert sorted(map(tuple, local.collect())) == want
+    # both cut the plan to a leaf
+    for cut in (local, rel):
+        assert "Scan ExistingRDD" in \
+            cut._jdf.queryExecution().executedPlan().toString()
+    # the reliable variant wrote through the checkpoint dir
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))

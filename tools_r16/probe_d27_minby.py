@@ -80,9 +80,17 @@ def main() -> None:
         d = llm.T(spark, sf_dir, "documents")
         return alt_global_line_dedup(llm._multiline(d, every=2))
 
-    a = {tuple(r) for r in head_df().collect()}
-    b = {tuple(r) for r in alt_df().collect()}
-    assert a == b, f"shapes differ: {len(a)} vs {len(b)} rows"
+    # sorted lists (multiplicity drift must fail) + a sample of the
+    # symmetric difference on mismatch so a failed gate is debuggable
+    # (ADVICE r16)
+    a = sorted(map(tuple, head_df().collect()))
+    b = sorted(map(tuple, alt_df().collect()))
+    if a != b:
+        only_a = [r for r in a if r not in b][:5]
+        only_b = [r for r in b if r not in a][:5]
+        raise AssertionError(
+            f"shapes differ: {len(a)} vs {len(b)} rows; "
+            f"window-only sample {only_a}; minby-only sample {only_b}")
     print(f"equality: {len(a)} rows identical", flush=True)
 
     def _isolate():

@@ -92,13 +92,21 @@ def main() -> None:
         return out
 
     # value equality gate: ON vs OFF must be row-identical at this scale
+    # (sorted lists so multiplicity drift fails; sample the symmetric
+    # difference on mismatch — ADVICE r16)
     if not args.skip_equality:
         for name in args.names:
             spark.conf.set("spark.spaceparts.shareSubtrees", "off")
-            a = {tuple(r) for r in queries[name](spark, sf_dir).collect()}
+            a = sorted(map(tuple, queries[name](spark, sf_dir).collect()))
             spark.conf.set("spark.spaceparts.shareSubtrees", "on")
-            b = {tuple(r) for r in queries[name](spark, sf_dir).collect()}
-            assert a == b, f"{name}: ON/OFF outputs differ at {scale}"
+            b = sorted(map(tuple, queries[name](spark, sf_dir).collect()))
+            if a != b:
+                only_a = [r for r in a if r not in b][:5]
+                only_b = [r for r in b if r not in a][:5]
+                raise AssertionError(
+                    f"{name}: ON/OFF outputs differ at {scale} "
+                    f"({len(a)} vs {len(b)} rows; off-only {only_a}; "
+                    f"on-only {only_b})")
             print(f"equality {name}: {len(a)} rows identical", flush=True)
 
     results: dict[tuple[str, str], list[float]] = {}
