@@ -78,6 +78,11 @@ CORPUS = [
     # per-round argmax collects — eager, so rebuild-inside-timer) and
     # the IVF-PQ ANN path (codebook training + encode + ADC rank)
     "x37_bpe_merges",
+    # round 17 (r16 verdict #5): the greedy-batched trainer — the
+    # production-vocab path (k=32 in ~k/batch corpus passes) — gets its
+    # own tracked line next to the exact trainer it relaxes. ADDED key;
+    # nothing removed or renamed.
+    "x37b_bpe_merges_greedy",
     "e06_knn_ivf_pq",
     "e06b_knn_ivf_pq_residual",
     # round 13 late: corpus-wide line dedup (heaviest new linear text
@@ -237,10 +242,23 @@ def main() -> None:
                ("metric", "value", "unit", "queries", "queries_corpus",
                 "queries_twins", "sf", "layer_rows_per_hour")}
     compact["detail"] = "BENCH_LOCAL.jsonl"
+    # dispersion honesty (r16 verdict #8): this machine shows 2-2.5×
+    # same-tree spreads, so a min-only archive can't tell drift from a
+    # stall. Flag the SUSPECT readings — medians ≥25% (and ≥0.15 s)
+    # above their min — in the compact line itself; a quiet run emits
+    # an empty dict, a stall-hit run names the inflated queries. Full
+    # per-query dispersion stays in BENCH_LOCAL.jsonl. Shed FIRST when
+    # the line would overflow the driver wrapper's 2000-char tail.
+    mins = {**timings, **corpus_timings, **twin_timings}
+    compact["median_if_noisy"] = {
+        name: dispersion[name]["median"] for name, mn in mins.items()
+        if dispersion[name]["median"] >= 1.25 * mn
+        and dispersion[name]["median"] - mn >= 0.15}
     line = json.dumps(compact)
     # never regress to an unparseable wrapper: shed optional sections
     # one at a time, re-checking the length after each pop
-    for optional in ("queries_twins", "queries_corpus", "query_count"):
+    for optional in ("median_if_noisy", "queries_twins", "queries_corpus",
+                     "query_count"):
         if len(line) <= 1900:
             break
         compact.pop(optional, None)

@@ -1484,7 +1484,7 @@ def measure_share_crossover(spark, base: str, factor: int,
                         print(f"{scale} round {rnd} {name:28s} {mode:3s} "
                               f"min {min(ts):6.2f}  all {ts}", flush=True)
                 if control:
-                    ts = timed(control, "off", max(2, reps - 2))
+                    ts = timed(control, "off", sf_dir, max(2, reps - 2))
                     ctrl.extend(ts)
                     print(f"{scale} round {rnd} {control:28s} ctl "
                           f"min {min(ts):6.2f}  all {ts}", flush=True)

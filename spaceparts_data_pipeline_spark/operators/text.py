@@ -1486,7 +1486,21 @@ def bpe_train(
         .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
         .select("w", "cnt", F.split("w", "").alias("syms"))
     )
-    words = stage_cut(words)
+    # r17 (r16 verdict next-round #5): the per-round cuts are LAZY —
+    # each round's argmax collect is the first action over the round's
+    # frame, so it materializes the cut INSIDE its own job instead of
+    # paying a separate blocking count job per round (the same serial
+    # job tax the r16 A/B measured on e06b's eager variant, here paid
+    # k/batch times per training run). The lineage-cut property that
+    # prevents the r11 analyzed-plan OOM is unchanged: lazy
+    # localCheckpoint still replaces the logical plan with a leaf at
+    # construction; only WHEN the blocks materialize moves. The
+    # previous round's blocks are released one round LATE (after the
+    # collect that materialized the new cut) so the chain never
+    # recomputes through an already-released cache — the stage_cut
+    # ordering contract.
+    words = stage_cut(words, eager=False)
+    release_after_collect: DataFrame | None = None
     if batch_max < 1:
         raise ValueError(f"batch_max must be >= 1, got {batch_max!r}")
     merges: list[tuple[int, str, str, int]] = []
@@ -1508,6 +1522,11 @@ def bpe_train(
             .limit(top_l)
             .collect()
         )
+        # this collect materialized the current round's lazy cut, so the
+        # PREVIOUS round's blocks are now safe to release
+        if release_after_collect is not None:
+            release_after_collect.unpersist()
+            release_after_collect = None
         if not rows:
             break
         cap = min(batch_max, k - len(merges))
@@ -1583,7 +1602,10 @@ def bpe_train(
 
         merged = F.aggregate(
             "syms", F.array().cast("array<string>"), _fold_step)
-        words = stage_cut(words.withColumn("syms", merged), unpersist=words)
+        release_after_collect = words
+        words = stage_cut(words.withColumn("syms", merged), eager=False)
+    if release_after_collect is not None:
+        release_after_collect.unpersist()
     words.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long")

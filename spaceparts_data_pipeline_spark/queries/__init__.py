@@ -600,32 +600,24 @@ LOCAL_ONLY = {
 # d15/s04 and d16/s05 apart).
 
 # =====================================================================
-# Round-16 window rotation (round-15 verdict next-round #1 + #3,
-# executed MECHANICALLY this round: the window is now derived from the
-# computed staleness ledger — tests/staleness_ledger.py reads every
-# CORRECTNESS_r*.json, and tests/test_staleness_ledger.py fails the
-# suite if the first-50 window would let any driver-tier entry exceed
-# the 4-round staleness limit next round, or if COVERAGE.md's generated
-# ledger section drifts from the computed one. The r15 hand-written
-# ledger had misfiled q03, omitted x29, and still listed demoted q05.)
+# Round-17 window rotation (r16 verdict next-round #6: the computed
+# ledger cleared r17's obligation in r16, so this round's free budget
+# pre-drains the WHOLE 17-entry r14 tranche — due r18 — a round early,
+# so r18 isn't a cliff on top of its own 25-entry r15-tranche
+# obligation. The window stays derived from the computed staleness
+# ledger: tests/staleness_ledger.py reads every CORRECTNESS_r*.json and
+# tests/test_staleness_ledger.py fails the suite if the first-50 window
+# would let any driver-tier entry exceed the 4-round staleness limit
+# next round, or if COVERAGE.md's generated section drifts.)
 #
-# IN — everything due through r17 by the computed ledger, 25 entries:
-#   r11 rows at their limit (the r16 obligation): q03, x29;
-#   r12 rows (due r17) pre-drained a round early: d04, d05, d12, x30,
-#       x32;
-#   the WHOLE r13 tranche (due r17) taken a round early rather than
-#       split — clearing r17's obligation entirely so its budget is
-#       free for the 17-entry r14 tranche: q07, q09, q14, q21, d20,
-#       d22, x18b, x27, x28, x31, x34, x36, e05, e06, e06b, s01, s02,
-#       s03.
-# OUT — 25 entries, every one with an r15 full-hash driver row (fresh
-# through r19) and all still value-checked by the local parity suite
-# every run, attested in PARITY_LOCAL_r{N}.json:
-#   q19/q20/q24/x19 (the pre-drained late-r15 batch), d07b, d23, d24,
-#   x35, x40, the whole r15 analytic tranche x03/x04/x08/x09/x10/x13/
-#   x16/x17/x20/x22/x24, m01, x01, and the streaming ingest family
-#   s04/s05/s06 (their batch siblings d15/d26 stay in-window; the
-#   incoming s01/s02/s03 carry the streaming family's r16 evidence).
+# IN — the full r14 tranche (due r18), 17 entries: q01, q10, q18, q23,
+#   x02, x07, x11, x12, x15, x21, x38b, x41, d08b, d16, d17, d18, d21.
+# OUT — 17 entries, every one with an r16 full-hash driver row (fresh
+# through r20) and all still value-checked by the local parity suite
+# every run, attested in PARITY_LOCAL_r{N}.json: q07, q09, q14, q21,
+#   d05, d12, d20, d22, x18b, x27, x28, x31, x34, x36, e05, s01, s02.
+#   (e06/e06b/s03 stay in-window: the IVF share paths were touched by
+#   this round's scale-adaptive auto and keep a fresh driver row.)
 # =====================================================================
 _PRIORITY = [
     # reference-parity core (SURVEY §2) — the keep set
@@ -637,35 +629,34 @@ _PRIORITY = [
     "q17_otd_quality", "q22_dim_product_enrich",
     "q25b_scd2_apply",
     "p01_silver_events_pipeline",
-    # reference-parity drains: r11-limit q03 + the r13 scalar/sample
-    # tranche
+    # reference-parity drains: r11-limit q03 (kept: headline bench) +
+    # the r14 relational tranche taken a round early
     "q03_top_revenue_orders",
-    "q07_null_standardize", "q09_latest_control_row",
-    "q14_calendar_dim", "q21_sample_scan",
-    # LLM data ops: dedup + corpus-quality family (keep set + the r12/
-    # r13 drains d04/d05/d12/d20/d22 and r11-limit x29)
+    "q01_pricing_summary", "q10_watermark_max",
+    "q18_sales_measures", "q23_dedup_latest_agg",
+    # LLM data ops: dedup + corpus-quality family (keep set + r11-limit
+    # x29 + the r14 drains d08b/d16/d17/d18/d21)
     "d25b_semdedup_auto", "d14_canonical_corpus_lsh",
     "d15_incremental_dedup",
     "d26_incremental_semdedup", "d27_line_dedup_global",
-    "d04_text_quality", "d05_lang_id", "d12_stratified_sample",
-    "d20_blocklist_filter", "d22_substring_dedup",
+    "d04_text_quality",
+    "d08b_simhash_det", "d16_incremental_near_dedup",
+    "d17_gopher_quality", "d18_c4_line_filter", "d21_line_repetition",
     "x29_contamination_check", "x32_pii_redact",
     "c01_corpus_funnel", "c01b_corpus_funnel_c4", "c02_selection_pipeline",
-    # LLM data ops: similarity / ANN family (keep e03c/e04b; drain the
-    # r13 e05/e06/e06b rows)
+    # LLM data ops: similarity / ANN family (keep e03c/e04b; e06/e06b
+    # keep fresh rows for the r17 scale-adaptive share change)
     "e03c_similar_pairs_lsh_det", "e04b_knn_ivf_refined",
-    "e05_knn_topk_vectorized", "e06_knn_ivf_pq", "e06b_knn_ivf_pq_residual",
-    # tokenizer + training shaping (keep x37b/x38; drain r12 x30 and
-    # r13 x31/x36)
-    "x37b_bpe_merges_greedy", "x38_bpe_encode",
-    "x30_sequence_packing", "x31_bigram_topk", "x36_corpus_shuffle",
-    # analytic extensions — the r13 temporal/quantile/profile drains
-    "x18b_exact_quantiles", "x27_asof_join", "x28_range_pairs",
-    "x34_corpus_summary",
-    # structured streaming: the windowed/stateful/dedup family (r13
-    # drains; the ingest-screen family s04/s05/s06 rotates out on r15
-    # rows)
-    "s01_stream_windowed_counts", "s02_stream_stateful_profile",
+    "e06_knn_ivf_pq", "e06b_knn_ivf_pq_residual",
+    # tokenizer + training shaping (keep x37b/x38; drain r14 x38b/x41;
+    # x30 keeps its r16 row rolling)
+    "x37b_bpe_merges_greedy", "x38_bpe_encode", "x38b_bpe_decode",
+    "x41_epoch_upsample", "x30_sequence_packing",
+    # analytic extensions — the r14 window/percentile/string tranche
+    "x02_rolling_events", "x07_tfidf_topterms", "x11_cube_counts",
+    "x12_price_percentiles", "x15_json_extract", "x21_ranking_functions",
+    # structured streaming: s03 keeps the family's fresh row (s01/s02
+    # rotate out on r16 rows)
     "s03_stream_dedup",
 ]
 
