@@ -16,6 +16,10 @@ from pyspark.sql.types import (
 from spaceparts_data_pipeline_spark.plans import logs
 from spaceparts_data_pipeline_spark.streaming.incremental import run_incremental_pipeline
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 SCHEMA = StructType([
     StructField("order_number", StringType()),
     StructField("amount", DoubleType()),

@@ -11,6 +11,10 @@ from pyspark.sql.types import (
 
 from spaceparts_data_pipeline_spark.operators import dedup_fuzzy, multimodal, similarity, text
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 
 def _fake_jpeg_decoder(payload, media_type):
     """Module-level (picklable) injected decoder for the codec seam

@@ -18,6 +18,10 @@ from spaceparts_data_pipeline_spark.operators.maintenance import (
 )
 from spaceparts_data_pipeline_spark.plans import bronze, silver
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 SCHEMA = StructType([
     StructField("order_number", StringType()),
     StructField("amount", DoubleType()),

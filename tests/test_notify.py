@@ -14,6 +14,10 @@ from spaceparts_data_pipeline_spark.plans.notify import (
     WebhookNotifier, notify_on_failure, render_failure,
 )
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 
 @pytest.fixture()
 def notify_db(spark):

@@ -18,6 +18,10 @@ from spaceparts_data_pipeline_spark.operators.merge import merge_upsert, upsert_
 from spaceparts_data_pipeline_spark.operators.quality import drop_all_null, quarantine_split
 from spaceparts_data_pipeline_spark.operators.standardize import standardize_types
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 
 class TestIdentifiers:
     def test_accent_stripping(self):

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from spaceparts_data_pipeline_spark.plans import gold, logs, runner, silver
 from tests.fixtures import EPOCH_2025_NS, T1, build_fixtures
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 HORIZON = "2027-01-01"
 
 

@@ -12,6 +12,10 @@ from spaceparts_data_pipeline_spark.operators.partitioning import (
     dedup_latest_agg, salted_sum, write_bucketed,
 )
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 
 def test_bucketed_join_has_no_shuffle(spark, sf_small):
     spark.sql("CREATE DATABASE IF NOT EXISTS buck_db")

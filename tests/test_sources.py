@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from spaceparts_data_pipeline_spark.sources import catalog, jdbc, parquet
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 
 class TestCatalog:
     def test_discovery_denylist_and_order(self, spark):

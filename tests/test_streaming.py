@@ -13,6 +13,10 @@ from pyspark.sql.types import (
 
 from spaceparts_data_pipeline_spark.streaming import structured
 
+#: soak tier (r16 verdict #2): excluded from the default
+#: driver-facing run (see pytest.ini); run with -m soak / -m ""
+pytestmark = pytest.mark.soak
+
 SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts", TimestampType()),
