@@ -354,7 +354,18 @@ def connected_components(
 
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
-    _cut = lambda df: stage_cut(df, reliable=(checkpoint == "reliable"))  # noqa: E731
+    # r17: the cuts are LAZY (the x37 trainer lesson, r16 verdict #5's
+    # serial-job tax): every cut frame's FIRST action is the label-sum
+    # convergence collect right below it, which materializes the cut
+    # inside its own job — previously each round paid a separate eager
+    # blocking job before the collect (2 driver jobs per round → 1;
+    # measured on d13/d14/d16, tools_r17/probe_cc_lazy_cut.py). The
+    # lineage-cut property is unchanged (a lazy localCheckpoint still
+    # replaces the logical plan with a leaf at construction — the
+    # analyzed-plan-doubling OOM guard). Round blocks are still freed
+    # by the ContextCleaner when the last reference drops.
+    _cut = lambda df: stage_cut(df, eager=False,  # noqa: E731
+                                reliable=(checkpoint == "reliable"))
     edges = _cut(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
